@@ -1,0 +1,91 @@
+"""Query driver: ties configs + store + operators together.
+
+Python equivalent of tools/src/gt_mpi_gather.cc main(): loads loader/query
+JSON, imports or opens the array, and runs one of the query types
+(calls / variants / Broad-combined-VCF).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.config import ImportParams, QueryParams, QueryConfig, INT64_MAX
+from ..core.vid import VidMapper
+from ..store.columnar import ColumnarStore
+from ..store.import_pipeline import import_callsets
+from ..vcf.fasta import ReferenceGenome
+from ..vcf.header import build_header_lines, chrom_line, load_template
+from . import json_output
+from .scan import Variant, scan_and_operate
+from .vcf_writer import CombineToVCF
+
+
+def load_vid_for_query(qp: QueryParams,
+                       ip: Optional[ImportParams]) -> VidMapper:
+    vid_file = qp.vid_mapping_file or (ip.vid_mapping_file if ip else "")
+    callset_file = qp.callset_mapping_file or (
+        ip.callset_mapping_file if ip else "")
+    base = qp if qp.vid_mapping_file else ip
+    vid_path = (qp.resolve(vid_file) if qp.vid_mapping_file
+                else ip.resolve(vid_file))
+    cs_path = (qp.resolve(callset_file) if qp.callset_mapping_file
+               else (ip.resolve(callset_file) if ip else callset_file))
+    _ = base
+    return VidMapper.from_files(vid_path, cs_path)
+
+
+def build_store_from_loader(ip: ImportParams, vid: VidMapper,
+                            rank: int = 0) -> ColumnarStore:
+    begin, end = ip.partition_bounds(rank) if ip.column_partitions \
+        else (0, None)
+    return import_callsets(
+        vid, base_dir=ip.base_dir,
+        column_partition=(begin, end if ip.column_partitions else None),
+        treat_deletions_as_intervals=ip.treat_deletions_as_intervals)
+
+
+def make_query_config(qp: QueryParams, vid: VidMapper) -> QueryConfig:
+    schema_attrs = vid.schema_attribute_names(import_id="ID" in vid.fields)
+    return QueryConfig(vid, qp, schema_attrs)
+
+
+def run_calls_query(store: ColumnarStore, qc: QueryConfig) -> str:
+    return json_output.print_calls_json(store, qc)
+
+
+def run_vcf_query(store: ColumnarStore, qc: QueryConfig, qp: QueryParams,
+                  vid: VidMapper,
+                  template_path: Optional[str] = None,
+                  reference_path: Optional[str] = None) -> str:
+    """--produce-Broad-GVCF: header + combined records."""
+    ref_genome = ReferenceGenome(reference_path) if reference_path else None
+    sample_names = [vid.callset_name(r) for r in qc.rows_to_query]
+    filter_names = {info.field_idx: name
+                    for name, info in vid.fields.items() if info.is_filter}
+    op = CombineToVCF(qc, vid, ref_genome, sample_names,
+                      filter_name_by_field_idx=filter_names)
+    out_lines: List[str] = []
+    if template_path:
+        template = load_template(template_path)
+        out_lines.extend(build_header_lines(template, vid, qc))
+        out_lines.append(chrom_line(sample_names, qc.sites_only_query))
+    intervals = qc.column_intervals if qc.column_intervals else [None]
+    for iv in intervals:
+        scan_and_operate(store, qc, op.operate, iv,
+                         handle_spanning_deletions=True)
+    out_lines.extend(op.lines)
+    return "\n".join(out_lines) + "\n"
+
+
+def run_variants_query(store: ColumnarStore, qc: QueryConfig) -> str:
+    """Range query (gt_get_column_interval + GA4GH merge), default JSON."""
+    from .variants_path import gt_get_column_interval
+    variants = []
+    intervals = qc.column_intervals if qc.column_intervals \
+        else [(0, INT64_MAX - 1)]
+    for iv in intervals:
+        variants.extend(gt_get_column_interval(store, qc, iv))
+    return json_output.print_variants_json(variants, qc)

@@ -1,0 +1,186 @@
+"""Columnar variant store.
+
+One `ColumnarStore` holds all cells of one column partition as a
+Structure-of-Arrays, sorted column-major by (col, row) — the TPU-native
+replacement for the reference's TileDB sparse array + END-duplicated cells
+(reference src/main/cpp/src/genomicsdb/variant_storage_manager.cc,
+load_operators.cc:161-298).
+
+Columns:
+  row[n], col[n], end[n]        original cell coordinates / END attribute
+  eff_end[n]                    END truncated at the next same-row cell begin
+                                (materializes LoaderArrayWriter's overlap
+                                truncation, load_operators.cc:209-270)
+  fields: name -> FieldData     one per schema attribute
+
+Ragged data is (values, offsets) pairs; 2-D ragged adds an outer offsets
+level.  Validity is explicit (`valid` bool per cell) — matches the
+reference's "is field valid" notion after NULL filtering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core import formats
+
+
+@dataclass
+class FieldData:
+    """Per-attribute columnar data for n cells."""
+    name: str
+    kind: str               # 'fixed' | 'ragged' | 'ragged2d' | 'str'
+    dtype: str              # 'int32' | 'float32' | 'bytes'
+    valid: np.ndarray = None            # bool [n]
+    values: np.ndarray = None           # fixed: [n, k]; ragged: [total]
+    offsets: np.ndarray = None          # ragged: int64 [n+1]
+    outer_offsets: np.ndarray = None    # ragged2d: int64 [n+1] into offsets
+
+    def cell_value(self, i: int):
+        """Python value for cell i (None when invalid)."""
+        if not self.valid[i]:
+            return None
+        if self.kind == "fixed":
+            return self.values[i]
+        if self.kind == "str":
+            lo, hi = self.offsets[i], self.offsets[i + 1]
+            return self.values[lo:hi].tobytes().decode()
+        if self.kind == "ragged":
+            lo, hi = self.offsets[i], self.offsets[i + 1]
+            return self.values[lo:hi]
+        if self.kind == "ragged2d":
+            olo, ohi = self.outer_offsets[i], self.outer_offsets[i + 1]
+            out = []
+            for j in range(olo, ohi):
+                lo, hi = self.offsets[j], self.offsets[j + 1]
+                out.append(self.values[lo:hi])
+            return out
+        raise ValueError(self.kind)
+
+
+@dataclass
+class ColumnarStore:
+    """All cells of one column partition, sorted by (col, row)."""
+    num_rows: int                      # total rows in array (row domain size)
+    lb_row: int = 0                    # smallest row idx
+    row: np.ndarray = None             # int64 [n]
+    col: np.ndarray = None             # int64 [n]
+    end: np.ndarray = None             # int64 [n]
+    eff_end: np.ndarray = None         # int64 [n]
+    fields: Dict[str, FieldData] = dc_field(default_factory=dict)
+    attribute_order: List[str] = dc_field(default_factory=list)
+
+    @property
+    def num_cells(self) -> int:
+        return 0 if self.row is None else len(self.row)
+
+    # ---------------- query primitives ----------------
+
+    def cells_in_column_range(self, begin: int, end: int) -> np.ndarray:
+        """Indices of cells with begin <= col <= end, in (col, row) order."""
+        lo = np.searchsorted(self.col, begin, side="left")
+        hi = np.searchsorted(self.col, end, side="right")
+        return np.arange(lo, hi)
+
+    def cells_intersecting(self, column: int) -> np.ndarray:
+        """Indices of cells live at `column` (col <= column <= eff_end)."""
+        if self.num_cells == 0:
+            return np.arange(0)
+        mask = (self.col <= column) & (self.eff_end >= column)
+        return np.nonzero(mask)[0]
+
+
+def build_store(cells: List[dict], attribute_order: List[str],
+                field_specs: Dict[str, tuple], num_rows: int,
+                lb_row: int = 0) -> ColumnarStore:
+    """Pack a list of per-cell dicts into a ColumnarStore.
+
+    `cells` must already be in final storage order.  Each cell dict has
+    'row', 'col', 'end', and per-attribute entries (missing key == invalid).
+    `field_specs[name] = (kind, dtype, fixed_len)`.
+    """
+    n = len(cells)
+    store = ColumnarStore(num_rows=num_rows, lb_row=lb_row)
+    store.attribute_order = list(attribute_order)
+    store.row = np.array([c["row"] for c in cells], dtype=np.int64)
+    store.col = np.array([c["col"] for c in cells], dtype=np.int64)
+    store.end = np.array([c["end"] for c in cells], dtype=np.int64)
+    # effective END: truncated at next same-row begin
+    eff = store.end.copy()
+    last_seen: Dict[int, int] = {}
+    order = np.argsort(store.row, kind="stable")
+    # iterate per row in column order
+    for r in np.unique(store.row):
+        idxs = np.nonzero(store.row == r)[0]
+        for a, b in zip(idxs[:-1], idxs[1:]):
+            if eff[a] >= store.col[b]:
+                eff[a] = store.col[b] - 1
+    store.eff_end = eff
+    _ = (last_seen, order)
+    for name in attribute_order:
+        kind, dtype, fixed_len = field_specs[name]
+        valid = np.zeros(n, dtype=bool)
+        if kind == "fixed":
+            np_dtype = np.int32 if dtype == "int32" else np.float32
+            fill = (formats.INT_MISSING if dtype == "int32"
+                    else formats.FLOAT_MISSING)
+            vals = np.full((n, fixed_len), fill, dtype=np_dtype)
+            for i, c in enumerate(cells):
+                v = c.get(name)
+                if v is not None:
+                    valid[i] = True
+                    vals[i, :len(v)] = v
+            fd = FieldData(name=name, kind=kind, dtype=dtype, valid=valid,
+                           values=vals)
+        elif kind in ("ragged", "str"):
+            if kind == "str":
+                np_dtype = np.uint8
+            else:
+                np_dtype = np.int32 if dtype == "int32" else np.float32
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            chunks = []
+            for i, c in enumerate(cells):
+                v = c.get(name)
+                if v is not None:
+                    valid[i] = True
+                    if kind == "str":
+                        arr = np.frombuffer(v.encode(), dtype=np.uint8)
+                    else:
+                        arr = np.asarray(v, dtype=np_dtype)
+                    chunks.append(arr)
+                    offsets[i + 1] = offsets[i] + len(arr)
+                else:
+                    offsets[i + 1] = offsets[i]
+            values = (np.concatenate(chunks) if chunks
+                      else np.zeros(0, dtype=np_dtype))
+            fd = FieldData(name=name, kind=kind, dtype=dtype, valid=valid,
+                           values=values, offsets=offsets)
+        elif kind == "ragged2d":
+            np_dtype = np.int32 if dtype == "int32" else np.float32
+            outer = np.zeros(n + 1, dtype=np.int64)
+            inner: List[int] = [0]
+            chunks = []
+            for i, c in enumerate(cells):
+                v = c.get(name)  # list of 1-D arrays
+                if v is not None:
+                    valid[i] = True
+                    for sub in v:
+                        arr = np.asarray(sub, dtype=np_dtype)
+                        chunks.append(arr)
+                        inner.append(inner[-1] + len(arr))
+                    outer[i + 1] = outer[i] + len(v)
+                else:
+                    outer[i + 1] = outer[i]
+            values = (np.concatenate(chunks) if chunks
+                      else np.zeros(0, dtype=np_dtype))
+            fd = FieldData(name=name, kind=kind, dtype=dtype, valid=valid,
+                           values=values,
+                           offsets=np.asarray(inner, dtype=np.int64),
+                           outer_offsets=outer)
+        else:
+            raise ValueError(kind)
+        store.fields[name] = fd
+    return store
