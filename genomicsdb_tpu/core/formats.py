@@ -26,11 +26,15 @@ import numpy as np
 INT_MISSING = -(2**31)          # bcf_int32_missing = INT32_MIN
 INT_VECTOR_END = -(2**31) + 1   # bcf_int32_vector_end
 
-# htslib float sentinels (NaN payloads)
+# htslib float sentinels (NaN payloads).  These are SIGNALING NaNs; any trip
+# through a Python float (float64) quietens the payload, so they are kept as
+# np.float32 scalars with exact bits and must never pass through float().
 FLOAT_MISSING_BITS = 0x7F800001
 FLOAT_VECTOR_END_BITS = 0x7F800002
-FLOAT_MISSING = struct.unpack("<f", struct.pack("<I", FLOAT_MISSING_BITS))[0]
-FLOAT_VECTOR_END = struct.unpack("<f", struct.pack("<I", FLOAT_VECTOR_END_BITS))[0]
+FLOAT_MISSING = np.frombuffer(struct.pack("<I", FLOAT_MISSING_BITS),
+                              dtype=np.float32)[0]
+FLOAT_VECTOR_END = np.frombuffer(struct.pack("<I", FLOAT_VECTOR_END_BITS),
+                                 dtype=np.float32)[0]
 
 # char sentinels
 CHAR_MISSING = "."   # bcf_str_missing is '.' (0x07 in BCF encoding)
@@ -47,8 +51,12 @@ TILEDB_EMPTY_CHAR = "\0"
 GT_NO_CALL = -1
 
 
-def float_bits(x: float) -> int:
-    return struct.unpack("<I", struct.pack("<f", np.float32(x)))[0]
+def float_bits(x) -> int:
+    """Exact float32 bit pattern (no float64 round trip for f32 inputs)."""
+    a = np.asarray(x)
+    if a.dtype != np.float32:
+        a = a.astype(np.float32)
+    return int(a.view(np.uint32))
 
 
 def is_float_missing(x) -> bool:

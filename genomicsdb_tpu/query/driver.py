@@ -63,8 +63,10 @@ def run_vcf_query(store: ColumnarStore, qc: QueryConfig, qp: QueryParams,
     """--produce-Broad-GVCF: header + combined records."""
     ref_genome = ReferenceGenome(reference_path) if reference_path else None
     sample_names = [vid.callset_name(r) for r in qc.rows_to_query]
+    # any vid field can appear as a FILTER id (PASS/LowQual have no
+    # vcf_field_class in the test vids); map every global field idx
     filter_names = {info.field_idx: name
-                    for name, info in vid.fields.items() if info.is_filter}
+                    for name, info in vid.fields.items()}
     op = CombineToVCF(qc, vid, ref_genome, sample_names,
                       filter_name_by_field_idx=filter_names)
     out_lines: List[str] = []

@@ -116,6 +116,10 @@ def print_calls_json(store: ColumnarStore, qc: QueryConfig) -> str:
         p2 = p1 + INDENT + INDENT
         cell_strs = [print_call_cell(c, qc, p2)
                      for c in iterate_cells(store, qc, iv)]
+        if not cell_strs:
+            # intervals without cells produce no block (the columnar
+            # operator only opens one on the first cell)
+            continue
         block = (f"{p1}{{\n"
                  f'{p1 + INDENT}"query_interval": [ {begin}, {end} ],\n'
                  f'{p1 + INDENT}"variant_calls": [\n'

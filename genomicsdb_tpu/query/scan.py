@@ -63,6 +63,8 @@ def scan_and_operate(store: ColumnarStore, qc: QueryConfig,
     def push_call(qidx: int, call: CallView):
         nonlocal num_calls_with_deletions
         has_del, is_ref_blk = call.classify()
+        call.contains_deletion_flag = has_del
+        call.is_reference_block_flag = is_ref_blk
         calls[qidx] = call
         valid[qidx] = True
         deleted_flags[qidx] = has_del

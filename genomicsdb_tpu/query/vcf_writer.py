@@ -63,11 +63,12 @@ class CombineToVCF(CombineOperator):
                 and self._too_many_alts(num_merged_alts)):
             return None
         is_float = info.type == "float"
+        is_2d = info.length.num_dimensions > 1
         values = []
         for qidx, call in variant.valid_calls():
             v = self.field_src(call, name, remapped, remapping_needed, qidx)
             if v is not None:
-                values.append(np.atleast_1d(np.asarray(v)))
+                values.append(v if is_2d else np.atleast_1d(np.asarray(v)))
         if op == kf.OP_SUM or op == kf.OP_MEAN or op == kf.OP_MEDIAN:
             firsts = []
             for v in values:
@@ -482,8 +483,9 @@ class CombineToVCF(CombineOperator):
                 continue
             if is_gt:
                 vals = self._encode_gt(per_sample, 0)
-                fmt_names.append("GT")
-                fmt_values.append(vals)
+                # htslib places GT first in FORMAT regardless of add order
+                fmt_names.insert(0, "GT")
+                fmt_values.insert(0, vals)
                 continue
             if name == "MIN_DP":
                 min_dp_vec = [int(v[0]) for v in per_sample]

@@ -27,6 +27,13 @@ NON_REF_REPR = "&"  # TILEDB_NON_REF_VARIANT_REPRESENTATION (gt_common.h:46)
 ALT_SEPARATOR = "|"  # TILEDB_ALT_ALLELE_SEPARATOR
 
 
+def _is_sum_like(op) -> bool:
+    """is_VCF_field_combine_operation_sum (vid_mapper.cc:1189-1192):
+    fields divided among samples of a multi-sample VCF at import."""
+    return op in (kf.OP_SUM, kf.OP_DP, kf.OP_ELEMENT_WISE_SUM,
+                  kf.OP_HISTOGRAM_SUM)
+
+
 def is_symbolic_allele(allele: str) -> bool:
     """Reference: VariantUtils::is_symbolic_allele — symbolic/structural."""
     return (len(allele) > 0
@@ -119,11 +126,14 @@ class VCFCellConverter:
     Equivalent of VCF2Binary (vcf2binary.h:219)."""
 
     def __init__(self, vcf: VCFFile, vid: VidMapper,
-                 sample_to_row: Dict[str, int],
+                 idx_to_row: Dict[int, int],
                  treat_deletions_as_intervals: bool = True):
         self.vcf = vcf
         self.vid = vid
-        self.sample_to_row = sample_to_row
+        # local sample index in file -> array row (callsets use idx_in_file,
+        # NOT the sample name: reference vcf2binary.cc
+        # m_local_callset_idx_to_tiledb_row_idx)
+        self.idx_to_row = idx_to_row
         self.treat_deletions = treat_deletions_as_intervals
         self.import_id = "ID" in vid.fields
         # FILTER name -> global vid field idx
@@ -147,7 +157,7 @@ class VCFCellConverter:
         cells: List[dict] = []
         hdr = self.vcf.header
         nsamples = len(hdr.samples)
-        sample_rows = [self.sample_to_row.get(s) for s in hdr.samples]
+        sample_rows = [self.idx_to_row.get(i) for i in range(nsamples)]
         for rec in self.vcf:
             col = self.vid.flatten_position(rec.chrom, rec.pos)
             end = self._end_column(rec, col)
@@ -190,9 +200,7 @@ class VCFCellConverter:
                 if raw is None:
                     continue
                 vals = parse_multid_string(raw, parent, info.tuple_index)
-                if (parent.combine_op in (kf.OP_SUM, kf.OP_ELEMENT_WISE_SUM,
-                                          kf.OP_HISTOGRAM_SUM)
-                        and nsamples > 1):
+                if _is_sum_like(parent.combine_op) and nsamples > 1:
                     divide_all = parent.combine_op != kf.OP_HISTOGRAM_SUM
                     if divide_all or info.tuple_index == 1:
                         vals = [self._divide(v, nsamples, local_idx)
@@ -208,8 +216,7 @@ class VCFCellConverter:
                     continue
                 if info.vcf_type == "string" and info.length.num_dimensions > 1:
                     vals = parse_multid_string(raw, info, 0)
-                    if (info.combine_op in (kf.OP_SUM, kf.OP_ELEMENT_WISE_SUM)
-                            and nsamples > 1):
+                    if _is_sum_like(info.combine_op) and nsamples > 1:
                         vals = [self._divide(v, nsamples, local_idx)
                                 for v in vals]
                     cell[name] = vals
@@ -223,7 +230,7 @@ class VCFCellConverter:
                     continue
                 if self._all_missing(v, info.type):
                     continue
-                if info.combine_op == kf.OP_SUM and nsamples > 1:
+                if _is_sum_like(info.combine_op) and nsamples > 1:
                     v = self._divide(v, nsamples, local_idx)
                 cell[name] = v
             elif info.is_format:
@@ -323,9 +330,10 @@ def import_callsets(vid: VidMapper, base_dir: str = "",
     merge, overlap truncation happens in build_store.
     """
     import os
-    files: Dict[str, List[Tuple[str, int]]] = {}
+    files: Dict[str, List[Tuple[int, int]]] = {}
     for cs in vid.callsets.values():
-        files.setdefault(cs.filename, []).append((cs.name, cs.row_idx))
+        files.setdefault(cs.filename, []).append((cs.idx_in_file,
+                                                  cs.row_idx))
     all_cells: List[dict] = []
     for filename, samples in files.items():
         path = filename
@@ -346,7 +354,9 @@ def cells_to_store(all_cells: List[dict], vid: VidMapper,
                    column_partition: Tuple[int, int] = (0, None)
                    ) -> ColumnarStore:
     begin, part_end = column_partition
-    if part_end is not None:
+    if part_end is None:
+        part_end = 2**63 - 2
+    if begin > 0 or part_end < 2**63 - 2:
         # Keep cells that intersect the partition; for spanning cells the
         # reference replays them at partition begin (load_operators.cc:33-79):
         # only the LAST spanning interval per row survives.

@@ -55,8 +55,6 @@ def build_header_lines(template: VCFHeader, vid: VidMapper, qc: QueryConfig
                          or info.combine_op == kf.OP_MOVE_TO_FORMAT)
         dp_info_as_format = (name == "DP" and info.is_info
                              and info.combine_op == kf.OP_DP)
-        if info.is_flattened:
-            continue
         vcf_name = info.vcf_name
         if is_info_out and vcf_name not in template.infos:
             num = _number_for(info)

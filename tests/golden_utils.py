@@ -81,6 +81,26 @@ def run_vcf(callset_file, attributes=None, column_ranges=None,
         reference_path=os.path.join(REF_TESTS, "inputs/chr1_10MB.fasta.gz"))
 
 
+def run_loading(callset_file, vid_file="inputs/vid.json",
+                column_partition=(0, None), **kw) -> str:
+    """produce_combined_vcf-during-load stdout: whole-array combine with ALL
+    schema attributes (reference load_operators.cc:313-459)."""
+    import os as _os
+    from genomicsdb_tpu.store.import_pipeline import import_callsets
+    vid = VidMapper.from_files(_os.path.join(REF_TESTS, vid_file),
+                               _os.path.join(REF_TESTS, callset_file))
+    store = import_callsets(vid, base_dir=REF_TESTS,
+                            column_partition=column_partition)
+    qp = make_query_params([], None, **kw)
+    qp.scan_full = True
+    qc = driver.make_query_config(qp, vid)
+    return driver.run_vcf_query(
+        store, qc, qp, vid,
+        template_path=_os.path.join(REF_TESTS,
+                                    "inputs/template_vcf_header.vcf"),
+        reference_path=_os.path.join(REF_TESTS, "inputs/chr1_10MB.fasta.gz"))
+
+
 def run_variants(callset_file, attributes, column_ranges,
                  vid_file="inputs/vid.json", **kw) -> str:
     vid, store = load_setup(callset_file, vid_file)
