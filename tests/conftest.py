@@ -1,14 +1,21 @@
 import os
-
-# Force CPU with a virtual 8-device mesh for sharding tests; the real TPU is
-# reserved for bench.py.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    (os.environ.get("XLA_FLAGS", "") +
-     " --xla_force_host_platform_device_count=8").strip())
-
 import sys
+
+# Force tests onto a virtual 8-device CPU mesh; the real TPU chip is reserved
+# for bench.py.  The container's sitecustomize pre-registers the 'axon' TPU
+# platform and sets JAX_PLATFORMS=axon, so override via jax.config (backends
+# initialize lazily - this runs before the first computation).
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8"
+                           ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except ImportError:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REFERENCE_TESTS = "/root/reference/tests"
