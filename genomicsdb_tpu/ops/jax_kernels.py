@@ -54,18 +54,17 @@ def ncr_table(n_max: int) -> np.ndarray:
 
 # ---------------- device kernels ----------------
 
-def genotype_index_batch(alleles: jnp.ndarray, ncr: jnp.ndarray
-                         ) -> jnp.ndarray:
-    """Canonical genotype index of [..., P] allele vectors (unsorted ok).
-
-    gt_idx = sum_i C(i + a_i, a_i - 1) over the ascending-sorted vector
-    (variant_field_handler.cc:299-321)."""
-    s = jnp.sort(alleles, axis=-1)
-    p = s.shape[-1]
-    i = jnp.arange(p, dtype=jnp.int32)
-    n = i + s
-    r = s  # C(n, a_i - 1) = ncr[n, a_i]
-    return jnp.sum(ncr[n, r], axis=-1)
+def _sorting_network(vals):
+    """Ascending sort of a static-length list of equal-shape arrays
+    (keeps the ploidy axis OUT of the tensors: each element is [R, S, G])."""
+    vals = list(vals)
+    n = len(vals)
+    for i in range(n):
+        for j in range(0, n - i - 1):
+            lo = jnp.minimum(vals[j], vals[j + 1])
+            hi = jnp.maximum(vals[j], vals[j + 1])
+            vals[j], vals[j + 1] = lo, hi
+    return vals
 
 
 @partial(jax.jit, static_argnames=("num_merged_alleles", "ploidy"))
@@ -82,25 +81,36 @@ def remap_genotype_fields(values: jnp.ndarray, inv_lut: jnp.ndarray,
     input_nr: [R, S]       input NON_REF allele idx (-1 = none)
     num_merged: [R]        actual #merged alleles per record
     Returns [R, S, G] remapped, INT_MISSING where no mapping.
+
+    TPU note: the ploidy axis is unrolled statically (a [.., G, P] tensor
+    with P minor would be lane-padded ~64x); per-slot tensors stay [R,S,G].
     """
-    combos = jnp.asarray(genotype_combo_table(num_merged_alleles, ploidy))
+    combos = genotype_combo_table(num_merged_alleles, ploidy)  # host np
     ncr = jnp.asarray(ncr_table(num_merged_alleles + ploidy + 2))
     G = combos.shape[0]
-    # input allele for each (record, sample, genotype, ploidy-slot)
-    # combos[g, p] indexes inv_lut's last dim
-    in_allele = inv_lut[..., combos]                 # [R, S, G, P]
-    nr = input_nr[..., None, None]
-    in_allele = jnp.where(in_allele == LUT_MISSING,
-                          jnp.where(nr >= 0, nr, LUT_MISSING), in_allele)
-    combo_missing = jnp.any(in_allele == LUT_MISSING, axis=-1)  # [R, S, G]
-    in_gt = genotype_index_batch(jnp.maximum(in_allele, 0), ncr)  # [R, S, G]
+    nr = input_nr[..., None]                          # [R, S, 1]
+    # per-ploidy-slot input alleles, each [R, S, G]
+    slot_alleles = []
+    combo_missing = jnp.zeros(inv_lut.shape[:2] + (G,), dtype=bool)
+    for p in range(ploidy):
+        a = inv_lut[..., combos[:, p]]                # [R, S, G]
+        a = jnp.where(a == LUT_MISSING,
+                      jnp.where(nr >= 0, nr, LUT_MISSING), a)
+        combo_missing = combo_missing | (a == LUT_MISSING)
+        slot_alleles.append(jnp.maximum(a, 0))
+    # canonical genotype index of the sorted allele vector:
+    # gt = sum_i C(i + a_i, a_i - 1)  (variant_field_handler.cc:299-321)
+    sorted_slots = _sorting_network(slot_alleles)
+    in_gt = jnp.zeros_like(sorted_slots[0])
+    for i, a in enumerate(sorted_slots):
+        in_gt = in_gt + ncr[i + a, a]
     in_range = in_gt < in_len[..., None]
     gathered = jnp.take_along_axis(
         values, jnp.clip(in_gt, 0, values.shape[-1] - 1), axis=-1)
     ok = (~combo_missing) & in_range
     # genotypes beyond the record's actual count stay missing
-    max_allele = jnp.max(combos, axis=-1)            # [G]
-    in_record = max_allele[None, :] < num_merged[:, None]   # [R, G]
+    max_allele = np.max(combos, axis=-1)              # [G] host
+    in_record = jnp.asarray(max_allele)[None, :] < num_merged[:, None]
     ok = ok & in_record[:, None, :]
     return jnp.where(ok, gathered, INT_MISSING)
 

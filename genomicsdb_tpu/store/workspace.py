@@ -1,0 +1,227 @@
+"""On-disk workspace: persistent columnar arrays with fragments.
+
+Replaces the reference's TileDB workspace/array layout
+(variant_storage_manager.cc:99-620): a workspace directory holds arrays;
+each array holds immutable fragments (one per import batch) plus JSON
+metadata (schema, row bounds).  `consolidate` merges fragments into one —
+the equivalent of consolidate_tiledb_array (tools/src/consolidate_tiledb_array.cc).
+
+Fragment payload is a single .npz of the columnar SoA — loads straight into
+host RAM and uploads to HBM without per-cell decoding.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .columnar import ColumnarStore, FieldData
+
+WORKSPACE_MARKER = "__genomicsdb_tpu_workspace__"
+
+
+def create_workspace(path: str, overwrite: bool = False):
+    if os.path.isdir(path) and overwrite:
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, WORKSPACE_MARKER)
+    with open(marker, "w") as f:
+        f.write(json.dumps({"version": 1}))
+
+
+def is_workspace(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, WORKSPACE_MARKER))
+
+
+def _array_dir(workspace: str, array_name: str) -> str:
+    return os.path.join(workspace, array_name)
+
+
+def delete_array(workspace: str, array_name: str):
+    d = _array_dir(workspace, array_name)
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+
+
+def _store_to_npz_dict(store: ColumnarStore) -> Dict[str, np.ndarray]:
+    arrs: Dict[str, np.ndarray] = {
+        "__row__": store.row, "__col__": store.col, "__end__": store.end,
+        "__eff_end__": store.eff_end,
+    }
+    for name, fd in store.fields.items():
+        arrs[f"{name}::valid"] = fd.valid
+        arrs[f"{name}::values"] = fd.values
+        if fd.offsets is not None:
+            arrs[f"{name}::offsets"] = fd.offsets
+        if fd.outer_offsets is not None:
+            arrs[f"{name}::outer"] = fd.outer_offsets
+    return arrs
+
+
+def write_fragment(workspace: str, array_name: str, store: ColumnarStore,
+                   metadata: Optional[dict] = None) -> str:
+    adir = _array_dir(workspace, array_name)
+    os.makedirs(adir, exist_ok=True)
+    frag_name = f"fragment_{time.time_ns()}"
+    frag_path = os.path.join(adir, frag_name + ".npz")
+    np.savez_compressed(frag_path, **_store_to_npz_dict(store))
+    meta = {
+        "attribute_order": store.attribute_order,
+        "num_rows": store.num_rows,
+        "lb_row": store.lb_row,
+        "field_meta": {name: {"kind": fd.kind, "dtype": fd.dtype}
+                       for name, fd in store.fields.items()},
+    }
+    if metadata:
+        meta.update(metadata)
+    meta_path = os.path.join(adir, "metadata.json")
+    existing = {}
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            existing = json.load(f)
+    # row bounds grow across fragments (update_row_bounds_in_array)
+    if "num_rows" in existing:
+        meta["num_rows"] = max(existing["num_rows"], meta["num_rows"])
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=1)
+    return frag_path
+
+
+def _fragment_paths(workspace: str, array_name: str) -> List[str]:
+    adir = _array_dir(workspace, array_name)
+    if not os.path.isdir(adir):
+        return []
+    return sorted(os.path.join(adir, f) for f in os.listdir(adir)
+                  if f.endswith(".npz"))
+
+
+def _load_fragment(path: str, meta: dict) -> ColumnarStore:
+    data = np.load(path)
+    store = ColumnarStore(num_rows=meta["num_rows"],
+                          lb_row=meta.get("lb_row", 0))
+    store.attribute_order = list(meta["attribute_order"])
+    store.row = data["__row__"]
+    store.col = data["__col__"]
+    store.end = data["__end__"]
+    store.eff_end = data["__eff_end__"]
+    for name in store.attribute_order:
+        fm = meta["field_meta"][name]
+        fd = FieldData(name=name, kind=fm["kind"], dtype=fm["dtype"],
+                       valid=data[f"{name}::valid"],
+                       values=data[f"{name}::values"])
+        if f"{name}::offsets" in data:
+            fd.offsets = data[f"{name}::offsets"]
+        if f"{name}::outer" in data:
+            fd.outer_offsets = data[f"{name}::outer"]
+        store.fields[name] = fd
+    return store
+
+
+def open_array(workspace: str, array_name: str) -> ColumnarStore:
+    """Load an array, merging fragments column-major if more than one."""
+    adir = _array_dir(workspace, array_name)
+    meta_path = os.path.join(adir, "metadata.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    frags = _fragment_paths(workspace, array_name)
+    if not frags:
+        raise FileNotFoundError(f"no fragments in {adir}")
+    stores = [_load_fragment(p, meta) for p in frags]
+    if len(stores) == 1:
+        return stores[0]
+    return merge_stores(stores)
+
+
+def merge_stores(stores: List[ColumnarStore]) -> ColumnarStore:
+    """k-way column-major merge of fragments (consolidation kernel)."""
+    base = stores[0]
+    n_total = sum(s.num_cells for s in stores)
+    out = ColumnarStore(num_rows=max(s.num_rows for s in stores),
+                        lb_row=min(s.lb_row for s in stores))
+    out.attribute_order = list(base.attribute_order)
+    rows = np.concatenate([s.row for s in stores])
+    cols = np.concatenate([s.col for s in stores])
+    ends = np.concatenate([s.end for s in stores])
+    order = np.lexsort((rows, cols))
+    out.row, out.col, out.end = rows[order], cols[order], ends[order]
+    # recompute effective ENDs across the merged cell set
+    eff = out.end.copy()
+    for r in np.unique(out.row):
+        idxs = np.nonzero(out.row == r)[0]
+        for a, b in zip(idxs[:-1], idxs[1:]):
+            if eff[a] >= out.col[b]:
+                eff[a] = out.col[b] - 1
+    out.eff_end = eff
+    for name in out.attribute_order:
+        fds = [s.fields[name] for s in stores]
+        kind, dtype = fds[0].kind, fds[0].dtype
+        valid = np.concatenate([fd.valid for fd in fds])[order]
+        if kind == "fixed":
+            values = np.concatenate([fd.values for fd in fds])[order]
+            out.fields[name] = FieldData(name=name, kind=kind, dtype=dtype,
+                                         valid=valid, values=values)
+            continue
+        # ragged: rebuild offsets in merged order
+        lens = np.concatenate([np.diff(fd.offsets) if fd.kind != "ragged2d"
+                               else np.diff(fd.outer_offsets)
+                               for fd in fds])
+        if kind == "ragged2d":
+            chunks = []
+            inner: List[int] = [0]
+            outer = np.zeros(n_total + 1, dtype=np.int64)
+            cell_values = []
+            for fd, s in zip(fds, stores):
+                for i in range(s.num_cells):
+                    cell_values.append(fd.cell_value(i)
+                                       if fd.valid[i] else None)
+            for oi, src in enumerate(order):
+                v = cell_values[src]
+                if v is not None:
+                    for sub in v:
+                        chunks.append(np.asarray(sub))
+                        inner.append(inner[-1] + len(sub))
+                    outer[oi + 1] = outer[oi] + len(v)
+                else:
+                    outer[oi + 1] = outer[oi]
+            values = (np.concatenate(chunks) if chunks
+                      else np.zeros(0, dtype=fds[0].values.dtype))
+            out.fields[name] = FieldData(
+                name=name, kind=kind, dtype=dtype, valid=valid,
+                values=values, offsets=np.asarray(inner, dtype=np.int64),
+                outer_offsets=outer)
+            continue
+        starts_all = np.concatenate([fd.offsets[:-1] for fd in fds])
+        base_off = np.cumsum([0] + [len(fd.values) for fd in fds[:-1]])
+        value_cat = np.concatenate([fd.values for fd in fds])
+        abs_starts = np.concatenate(
+            [fd.offsets[:-1] + b for fd, b in zip(fds, base_off)])
+        _ = starts_all
+        new_offsets = np.zeros(n_total + 1, dtype=np.int64)
+        chunks = []
+        for oi, src in enumerate(order):
+            ln = lens[src]
+            st = abs_starts[src]
+            chunks.append(value_cat[st:st + ln])
+            new_offsets[oi + 1] = new_offsets[oi] + ln
+        values = (np.concatenate(chunks) if chunks
+                  else np.zeros(0, dtype=value_cat.dtype))
+        out.fields[name] = FieldData(name=name, kind=kind, dtype=dtype,
+                                     valid=valid, values=values,
+                                     offsets=new_offsets)
+    return out
+
+
+def consolidate_array(workspace: str, array_name: str):
+    """Merge all fragments into one (consolidate_tiledb_array equivalent)."""
+    frags = _fragment_paths(workspace, array_name)
+    if len(frags) <= 1:
+        return
+    store = open_array(workspace, array_name)
+    for p in frags:
+        os.remove(p)
+    write_fragment(workspace, array_name, store)
