@@ -149,6 +149,7 @@ class VidMapper:
         self._contigs_by_offset: List[ContigInfo] = []
         self.callsets: Dict[str, CallsetInfo] = {}
         self.rows: Dict[int, CallsetInfo] = {}
+        self.callsets_dir: Optional[str] = None
 
     # ---------------- construction ----------------
 
@@ -161,6 +162,8 @@ class VidMapper:
         if callsets_file:
             with open(callsets_file) as f:
                 vm.parse_callsets(json.load(f))
+            import os
+            vm.callsets_dir = os.path.dirname(os.path.abspath(callsets_file))
         return vm
 
     def parse_vid(self, doc: dict):
@@ -253,12 +256,16 @@ class VidMapper:
     def _flatten_fields(self):
         """DP-style INFO+FORMAT split and composite-tuple flattening.
 
-        Reference: vid_mapper.cc:728-790 (flatten_field).
+        Flattened fields are inserted IN PLACE right after their parent —
+        the reference flattens each field immediately after parsing it
+        (vid_mapper.cc:1430-1431 flatten_field call site), so DP_FORMAT
+        sits between DP and the next vid field.
         """
         import copy
-        new_order = list(self.field_order)
+        new_order: List[str] = []
         for name in self.field_order:
             info = self.fields[name]
+            new_order.append(name)
             both = info.is_info and info.is_format
             format_name = name
             if both:

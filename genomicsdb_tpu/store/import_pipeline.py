@@ -288,6 +288,90 @@ class VCFCellConverter:
         return False
 
 
+def parse_csv_cells(path: str, vid: VidMapper) -> List[dict]:
+    """Parse the reference's CSV cell format (tiledb_loader_text_file.cc):
+
+    row,begin,end,REF,ALT('|'-joined,'&'),QUAL,FILTER_count[,ids...],then
+    per vid-order field: fixed fields as k cells (empty=missing element),
+    var-length numerics as count[,values...], strings as one raw cell.
+    """
+    cells: List[dict] = []
+    field_seq = []
+    for name in vid.field_order:
+        info = vid.fields[name]
+        if name in ("END", "REF", "ALT", "QUAL", "FILTER"):
+            continue
+        if not (info.is_info or info.is_format) or info.is_composite():
+            continue
+        field_seq.append((name, info))
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            toks = line.split(",")
+            it = iter(toks)
+
+            def nxt():
+                return next(it)
+
+            cell: dict = {"row": int(nxt()), "col": int(nxt()),
+                          "end": int(nxt())}
+            cell["REF"] = nxt()
+            alt = nxt()
+            cell["ALT"] = alt
+            qual = nxt()
+            if qual != "":
+                cell["QUAL"] = [np.float32(qual)]
+            n_flt = nxt()
+            flt = []
+            for _ in range(int(n_flt) if n_flt != "" else 0):
+                flt.append(int(nxt()))
+            cell["FILTER"] = flt
+            for name, info in field_seq:
+                is_float = info.type == "float"
+                if info.type in ("char", "string"):
+                    v = nxt()
+                    if v != "":
+                        cell[name] = v
+                    continue
+                if info.type == "flag":
+                    v = nxt()
+                    if v not in ("", "0"):
+                        cell[name] = [1]
+                    continue
+                if info.length.is_fixed() and info.length.num_dimensions == 1:
+                    k = info.length.fixed_len
+                    vals = [nxt() for _ in range(k)]
+                    if all(v == "" for v in vals):
+                        continue
+                    if is_float:
+                        cell[name] = np.asarray(
+                            [np.float32(v) if v != "" else
+                             formats.FLOAT_MISSING for v in vals],
+                            dtype=np.float32)
+                    else:
+                        cell[name] = np.asarray(
+                            [int(v) if v != "" else formats.INT_MISSING
+                             for v in vals], dtype=np.int32)
+                    continue
+                cnt_tok = nxt()
+                cnt = int(cnt_tok) if cnt_tok != "" else 0
+                vals = [nxt() for _ in range(cnt)]
+                if cnt == 0:
+                    continue
+                if is_float:
+                    cell[name] = np.asarray(
+                        [np.float32(v) if v != "" else formats.FLOAT_MISSING
+                         for v in vals], dtype=np.float32)
+                else:
+                    cell[name] = np.asarray(
+                        [int(v) if v != "" else formats.INT_MISSING
+                         for v in vals], dtype=np.int32)
+            cells.append(cell)
+    return cells
+
+
 def field_specs_for_vid(vid: VidMapper, import_id: bool) -> Dict[str, tuple]:
     """Map each schema attribute to (kind, dtype, fixed_len)."""
     specs: Dict[str, tuple] = {
@@ -319,6 +403,29 @@ def field_specs_for_vid(vid: VidMapper, import_id: bool) -> Dict[str, tuple]:
     return specs
 
 
+def _resolve_input(filename: str, base_dir: str, vid: VidMapper) -> str:
+    """Resolve a callset filename: absolute, or relative to the loader
+    JSON's directory, the CWD, or walk-ups from the callset JSON's
+    directory (the reference resolves against the process CWD)."""
+    import os
+    if os.path.isabs(filename):
+        return filename
+    candidates = []
+    if base_dir:
+        candidates.append(os.path.join(base_dir, filename))
+    candidates.append(filename)
+    d = vid.callsets_dir
+    for _ in range(3):
+        if not d:
+            break
+        candidates.append(os.path.join(d, filename))
+        d = os.path.dirname(d)
+    for c in candidates:
+        if os.path.isfile(c):
+            return c
+    return candidates[0] if candidates else filename
+
+
 def import_callsets(vid: VidMapper, base_dir: str = "",
                     column_partition: Tuple[int, int] = (0, None),
                     treat_deletions_as_intervals: bool = True,
@@ -336,9 +443,10 @@ def import_callsets(vid: VidMapper, base_dir: str = "",
                                                   cs.row_idx))
     all_cells: List[dict] = []
     for filename, samples in files.items():
-        path = filename
-        if base_dir and not os.path.isabs(path):
-            path = os.path.join(base_dir, path)
+        path = _resolve_input(filename, base_dir, vid)
+        if path.endswith(".csv"):
+            all_cells.extend(parse_csv_cells(path, vid))
+            continue
         vcf = VCFFile(path)
         conv = VCFCellConverter(vcf, vid, dict(samples),
                                 treat_deletions_as_intervals)

@@ -1,0 +1,123 @@
+"""Query CLI (gt_mpi_gather equivalent).
+
+Usage:
+  python -m genomicsdb_tpu.tools.gdb_query -j query.json [-l loader.json]
+      [--print-calls | --print-csv | --print-AC | --produce-Broad-GVCF
+       | --produce-interesting-positions | --produce-histogram BIN_SIZE]
+      [-p page_size] [-s segment_size] [-r rank] [--num-ranks N]
+
+Mirrors tools/src/gt_mpi_gather.cc: default output is the variants JSON
+(range query); per-rank column subsetting against loader partitions; with
+--num-ranks > 1 the per-rank results are gathered and stitched in rank
+order (the MPI_Gatherv equivalent, gt_mpi_gather.cc:166-263).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..core.config import ImportParams, QueryParams
+from ..core.vid import VidMapper
+from ..query import driver as qdriver
+from ..query import operators as ops
+from ..query.scan import scan_and_operate, iterate_cells
+from ..store import workspace as ws
+
+
+def load_context(args, rank: int):
+    ip = ImportParams.from_file(args.loader) if args.loader else None
+    qp = QueryParams.from_file(args.query_json, rank)
+    if args.segment_size:
+        qp.segment_size = args.segment_size
+    vid = qdriver.load_vid_for_query(qp, ip)
+    workspace = qp.workspace or ""
+    store = None
+    if workspace and qp.array_name and ws.is_workspace(workspace):
+        store = ws.open_array(workspace, qp.array_name)
+    if store is None:
+        if ip is None:
+            raise SystemExit("no workspace array found and no loader JSON "
+                             "given to import from")
+        store = qdriver.build_store_from_loader(ip, vid, rank)
+    # subset query ranges against the rank's loader partition
+    # (gt_mpi_gather.cc:556-557)
+    if ip is not None and ip.column_partitions and qp.column_ranges:
+        lo, hi = ip.partition_bounds(rank)
+        subset = [(max(a, lo), min(b, hi))
+                  for a, b in qp.column_ranges[0] if a <= hi and b >= lo]
+        qp.column_ranges = [subset]
+    return ip, qp, vid, store
+
+
+def run_rank(args, rank: int) -> str:
+    ip, qp, vid, store = load_context(args, rank)
+    qc = qdriver.make_query_config(qp, vid)
+    if args.print_calls:
+        return qdriver.run_calls_query(store, qc)
+    if args.print_csv:
+        ivs = qc.column_intervals or None
+        return ops.print_csv(store, qc, ivs)
+    if args.print_AC:
+        op = ops.AlleleCountOperator(qc)
+        for iv in (qc.column_intervals or [None]):
+            for call in iterate_cells(store, qc, iv):
+                op.operate(call)
+        return op.render()
+    if args.produce_interesting_positions:
+        op = ops.InterestingLocationsPrinter()
+        for iv in (qc.column_intervals or [None]):
+            scan_and_operate(store, qc, op.operate, iv)
+        return op.render()
+    if args.produce_histogram:
+        op = ops.ColumnHistogramOperator(0, 4_000_000_000, args.bin_size)
+        for iv in (qc.column_intervals or [None]):
+            for call in iterate_cells(store, qc, iv):
+                op.operate(call)
+        return op.equi_partition_and_render(args.num_equi_bins)
+    if args.produce_Broad_GVCF:
+        template = qp.resolve(qp.vcf_header_filename) \
+            if qp.vcf_header_filename else None
+        if template is None and ip is not None and ip.vcf_header_filename:
+            template = ip.resolve(ip.vcf_header_filename)
+        refg = qp.resolve(qp.reference_genome) if qp.reference_genome \
+            else (ip.resolve(ip.reference_genome) if ip else None)
+        # header only on rank 0 (partition outputs are concatenated)
+        return qdriver.run_vcf_query(
+            store, qc, qp, vid,
+            template_path=template if rank == 0 else None,
+            reference_path=refg)
+    # default: variants JSON range query
+    return qdriver.run_variants_query(store, qc)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gdb_query")
+    p.add_argument("-j", "--query-json", dest="query_json", required=True)
+    p.add_argument("-l", "--loader", default=None)
+    p.add_argument("-s", "--segment-size", type=int, default=0)
+    p.add_argument("-p", "--page-size", type=int, default=0)
+    p.add_argument("-r", "--rank", type=int, default=0)
+    p.add_argument("--num-ranks", type=int, default=1,
+                   help="gather outputs of ranks [rank, rank+num_ranks)")
+    p.add_argument("--print-calls", action="store_true")
+    p.add_argument("--print-csv", action="store_true")
+    p.add_argument("--print-AC", dest="print_AC", action="store_true")
+    p.add_argument("--produce-Broad-GVCF", dest="produce_Broad_GVCF",
+                   action="store_true")
+    p.add_argument("--produce-interesting-positions",
+                   action="store_true")
+    p.add_argument("--produce-histogram", dest="produce_histogram",
+                   action="store_true")
+    p.add_argument("--bin-size", type=int, default=10000)
+    p.add_argument("--num-equi-bins", type=int, default=10)
+    args = p.parse_args(argv)
+    # rank fan-out + ordered gather (combine output is partition-ordered by
+    # construction, gt_mpi_gather.cc:322-366)
+    pieces = [run_rank(args, r)
+              for r in range(args.rank, args.rank + args.num_ranks)]
+    sys.stdout.write("".join(pieces))
+
+
+if __name__ == "__main__":
+    main()
