@@ -79,7 +79,24 @@ def run_vcf_query(store: ColumnarStore, qc: QueryConfig, qp: QueryParams,
         scan_and_operate(store, qc, op.operate, iv,
                          handle_spanning_deletions=True)
     out_lines.extend(op.lines)
+    if not out_lines:
+        return ""
     return "\n".join(out_lines) + "\n"
+
+
+def run_vcf_query_paged(store: ColumnarStore, qc: QueryConfig,
+                        qp: QueryParams, vid: VidMapper,
+                        page_size: int,
+                        template_path: Optional[str] = None,
+                        reference_path: Optional[str] = None):
+    """Paged production of the combined VCF (the reference's resumable
+    VariantQueryProcessorScanState + RWBuffer '-p page_size' mode,
+    gt_mpi_gather.cc:349-362).  Yields byte pages lazily; their
+    concatenation is byte-identical to run_vcf_query."""
+    from .stream import CombinedRecordStream
+    stream = CombinedRecordStream(store, qc, qp, vid, template_path,
+                                  reference_path)
+    yield from stream.pages(page_size)
 
 
 def run_variants_query(store: ColumnarStore, qc: QueryConfig) -> str:

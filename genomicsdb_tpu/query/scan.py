@@ -46,6 +46,20 @@ def scan_and_operate(store: ColumnarStore, qc: QueryConfig,
                      interval: Optional[Tuple[int, int]] = None,
                      handle_spanning_deletions: bool = True):
     """Run the sweep over one query column interval (or the whole array)."""
+    for variant in scan_variants(store, qc, interval,
+                                 handle_spanning_deletions):
+        operate(variant)
+
+
+def scan_variants(store: ColumnarStore, qc: QueryConfig,
+                  interval: Optional[Tuple[int, int]] = None,
+                  handle_spanning_deletions: bool = True
+                  ) -> Iterator[Variant]:
+    """Generator form of the sweep: yields one Variant per aligned
+    sub-interval.  Being a generator, it is naturally resumable — this is
+    the engine behind the paged/streaming readers (the reference needs an
+    explicit VariantQueryProcessorScanState object for this,
+    query_variants.h:126-191)."""
     rows = qc.rows_to_query
     row_to_qidx = {r: i for i, r in enumerate(rows)}
     nrows = len(rows)
@@ -107,7 +121,7 @@ def scan_and_operate(store: ColumnarStore, qc: QueryConfig,
                 min_end = next_start - 1
             if num_calls_with_deletions:
                 min_end = current_start  # single-position stepping
-            operate(Variant(current_start, min_end, list(calls), list(valid)))
+            yield Variant(current_start, min_end, list(calls), list(valid))
             # pop all calls ending exactly at min_end
             while True:
                 top = pq_top()
@@ -147,7 +161,7 @@ def scan_and_operate(store: ColumnarStore, qc: QueryConfig,
             ended = True
             break
         if col != current_start:
-            handle_gvcf_ranges(col, False)
+            yield from handle_gvcf_ranges(col, False)
             current_start = col
         r = int(store.row[ci])
         if r not in row_to_qidx:
@@ -167,9 +181,9 @@ def scan_and_operate(store: ColumnarStore, qc: QueryConfig,
         next_start = interval[1]
         if next_start != INT64_MAX:
             next_start += 1
-        handle_gvcf_ranges(next_start, False)
+        yield from handle_gvcf_ranges(next_start, False)
     else:
-        handle_gvcf_ranges(0, True)
+        yield from handle_gvcf_ranges(0, True)
     _ = ended
 
 

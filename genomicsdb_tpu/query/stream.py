@@ -1,0 +1,98 @@
+"""Streaming query readers.
+
+Python equivalents of the reference's Java-facing read path:
+  * GenomicsDBQueryStream / GenomicsDBBCFGenerator
+    (genomicsdb_bcf_generator.h:33-93, reader/GenomicsDBQueryStream.java:38):
+    incremental, byte-budgeted production of combined records backed by a
+    resumable scan.
+  * GenomicsDBFeatureReader (reader/GenomicsDBFeatureReader.java): iterate
+    combined records as structured objects per query interval.
+
+Our scan is a Python generator, so resumability is structural; pages are
+produced on demand without materializing the whole result.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+from ..core.config import QueryConfig, QueryParams
+from ..core.vid import VidMapper
+from ..store.columnar import ColumnarStore
+from ..vcf.fasta import ReferenceGenome
+from ..vcf.header import build_header_lines, chrom_line, load_template
+from .scan import scan_variants
+from .vcf_writer import CombineToVCF
+
+
+class CombinedRecordStream:
+    """Iterates combined-VCF text records lazily (header + records)."""
+
+    def __init__(self, store: ColumnarStore, qc: QueryConfig,
+                 qp: QueryParams, vid: VidMapper,
+                 template_path: Optional[str] = None,
+                 reference_path: Optional[str] = None):
+        self.store = store
+        self.qc = qc
+        self.vid = vid
+        ref_genome = (ReferenceGenome(reference_path)
+                      if reference_path else None)
+        sample_names = [vid.callset_name(r) for r in qc.rows_to_query]
+        filter_names = {info.field_idx: name
+                        for name, info in vid.fields.items()}
+        self.op = CombineToVCF(qc, vid, ref_genome, sample_names,
+                               filter_name_by_field_idx=filter_names)
+        self.header_lines: List[str] = []
+        if template_path:
+            template = load_template(template_path)
+            self.header_lines = build_header_lines(template, vid, qc)
+            self.header_lines.append(
+                chrom_line(sample_names, qc.sites_only_query))
+
+    def __iter__(self) -> Iterator[str]:
+        for line in self.header_lines:
+            yield line + "\n"
+        intervals = self.qc.column_intervals or [None]
+        for iv in intervals:
+            for variant in scan_variants(self.store, self.qc, iv,
+                                         handle_spanning_deletions=True):
+                n_before = len(self.op.lines)
+                self.op.operate(variant)
+                for rec in self.op.lines[n_before:]:
+                    yield rec + "\n"
+                self.op.lines.clear()
+
+    def pages(self, page_size: int) -> Iterator[bytes]:
+        """Byte-budgeted pages (the '-p page_size' / JNI stream mode)."""
+        page = bytearray()
+        for rec in self:
+            page += rec.encode()
+            if len(page) >= page_size:
+                yield bytes(page)
+                page = bytearray()
+        if page:
+            yield bytes(page)
+
+
+class FeatureReader:
+    """Structured-record iteration per interval (htsjdk FeatureReader
+    equivalent).  Yields (contig, pos_1based, variant, operator) tuples the
+    caller can inspect without text parsing."""
+
+    def __init__(self, store: ColumnarStore, qc: QueryConfig,
+                 vid: VidMapper):
+        self.store = store
+        self.qc = qc
+        self.vid = vid
+
+    def query(self, contig: str, begin_1based: int, end_1based: int):
+        lo = self.vid.flatten_position(contig, begin_1based)
+        hi = self.vid.flatten_position(contig, end_1based)
+        for variant in scan_variants(self.store, self.qc, (lo, hi)):
+            loc = self.vid.get_contig_location(variant.start)
+            yield (loc[0], loc[1] + 1, variant)
+
+    def iterate(self):
+        for variant in scan_variants(self.store, self.qc, None):
+            loc = self.vid.get_contig_location(variant.start)
+            yield (loc[0], loc[1] + 1, variant)

@@ -42,10 +42,14 @@ def run_import(loader_json: str, rank: int = 0, out=sys.stdout) -> None:
                 ws.delete_array(workspace, array_name)
             ws.write_fragment(workspace, array_name, store)
     if ip.produce_combined_vcf:
+        from ..core.config import INT64_MAX
         qp = QueryParams()
         qp.base_dir = ip.base_dir
-        qp.scan_full = True
         qp.attributes = []
+        # combine clamped to the partition interval
+        # (load_operators.cc:398-408)
+        hi = end if end is not None else INT64_MAX - 1
+        qp.column_ranges = [[(begin, hi)]]
         qc = qdriver.make_query_config(qp, vid)
         text = qdriver.run_vcf_query(
             store, qc, qp, vid,

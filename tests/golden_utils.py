@@ -91,8 +91,13 @@ def run_loading(callset_file, vid_file="inputs/vid.json",
                                _os.path.join(REF_TESTS, callset_file))
     store = import_callsets(vid, base_dir=REF_TESTS,
                             column_partition=column_partition)
-    qp = make_query_params([], None, **kw)
-    qp.scan_full = True
+    # the loader combine is clamped to the partition interval
+    # (load_operators.cc:398-408 current_start clamp + finish)
+    from genomicsdb_tpu.core.config import INT64_MAX
+    lo = column_partition[0]
+    hi = column_partition[1] if column_partition[1] is not None \
+        else INT64_MAX - 1
+    qp = make_query_params([], [(lo, hi)], **kw)
     qc = driver.make_query_config(qp, vid)
     return driver.run_vcf_query(
         store, qc, qp, vid,
