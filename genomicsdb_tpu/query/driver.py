@@ -99,6 +99,37 @@ def run_vcf_query_paged(store: ColumnarStore, qc: QueryConfig,
     yield from stream.pages(page_size)
 
 
+def run_java_vcf_query(store: ColumnarStore, qc: QueryConfig,
+                       qp: QueryParams, vid: VidMapper,
+                       template_path: Optional[str] = None,
+                       reference_path: Optional[str] = None) -> str:
+    """java_vcf query type: htsjdk-rendered combined VCF
+    (TestGenomicsDB --query path)."""
+    from ..vcf.header import build_header_lines, chrom_line, load_template
+    from .java_writer import JavaCombineToVCF, transform_header_lines
+    from .scan import scan_and_operate
+    ref_genome = ReferenceGenome(reference_path) if reference_path else None
+    sample_names = [vid.callset_name(r) for r in qc.rows_to_query]
+    filter_names = {info.field_idx: name
+                    for name, info in vid.fields.items()}
+    op = JavaCombineToVCF(qc, vid, ref_genome, sample_names,
+                          filter_name_by_field_idx=filter_names)
+    out_lines: List[str] = []
+    if template_path:
+        template = load_template(template_path)
+        out_lines.extend(transform_header_lines(
+            build_header_lines(template, vid, qc)))
+        out_lines.append(chrom_line(sample_names, qc.sites_only_query))
+    intervals = qc.column_intervals if qc.column_intervals else [None]
+    for iv in intervals:
+        scan_and_operate(store, qc, op.operate, iv,
+                         handle_spanning_deletions=True)
+    out_lines.extend(op.lines)
+    if not out_lines:
+        return ""
+    return "\n".join(out_lines) + "\n"
+
+
 def run_variants_query(store: ColumnarStore, qc: QueryConfig) -> str:
     """Range query (gt_get_column_interval + GA4GH merge), default JSON."""
     from .variants_path import gt_get_column_interval

@@ -96,18 +96,20 @@ class CombineToVCF(CombineOperator):
                         else int(s) + int(x)
                 res = (np.float32(s) / np.float32(len(firsts))) if is_float \
                     else int(s) // len(firsts)
-            return self._render_info_scalar(res, is_float)
+            return ("f" if is_float else "i", res)
         if op == kf.OP_ELEMENT_WISE_SUM:
             if info.length.num_dimensions > 1:
-                return self._elem_sum_2d(values, info)
-            return self._elem_sum_1d(values, is_float)
+                v = self._elem_sum_2d(values, info)
+                return ("s", v) if v is not None else None
+            v = self._elem_sum_1d(values, is_float)
+            return ("fl" if is_float else "il", v) if v is not None else None
         if op == kf.OP_CONCATENATE:
             if not values:
                 return None
             cat = np.concatenate(values)
             if len(cat) == 0:
                 return None
-            return ",".join(self._render_element(x, is_float) for x in cat)
+            return ("fl" if is_float else "il", list(cat))
         return None
 
     def _elem_sum_1d(self, values, is_float: bool) -> Optional[str]:
@@ -136,8 +138,7 @@ class CombineToVCF(CombineOperator):
                         num_valid = i + 1
         if num_valid == 0:
             return None
-        result = result[:num_valid]
-        return ",".join(self._render_element(x, is_float) for x in result)
+        return result[:num_valid]
 
     def _elem_sum_2d(self, values, info) -> Optional[str]:
         """compute_valid_element_wise_sum_2D_vector + stringify
@@ -237,10 +238,23 @@ class CombineToVCF(CombineOperator):
             return "."
         return str(int(x))
 
+    def _render_qual(self, res) -> str:
+        return formats.format_float_vcf(res)
+
     def _render_info_scalar(self, x, is_float: bool) -> str:
         if is_float:
             return formats.format_float_vcf(x)
         return str(int(x))
+
+    def _render_info_typed(self, kind: str, value) -> str:
+        if kind == "i":
+            return str(int(value))
+        if kind == "f":
+            return formats.format_float_vcf(value)
+        if kind == "s":
+            return str(value)
+        is_float = kind == "fl"
+        return ",".join(self._render_element(x, is_float) for x in value)
 
     # ---------------- FORMAT machinery ----------------
 
@@ -420,7 +434,7 @@ class CombineToVCF(CombineOperator):
                 else:
                     res = None
                 if res is not None:
-                    qual_txt = formats.format_float_vcf(res)
+                    qual_txt = self._render_qual(res)
         # REF: replace 'N' with reference base
         ref_out = merged_ref
         if len(ref_out) == 1 and ref_out == "N" and self.ref_genome:
@@ -454,9 +468,10 @@ class CombineToVCF(CombineOperator):
         num_merged_alts = len(merged_alts)
         for name in self.info_fields:
             info = qc.field_info(name)
-            rendered = self._combine_info(name, variant, remapped,
-                                          remapping_needed, num_merged_alts)
-            if rendered is not None:
+            typed = self._combine_info(name, variant, remapped,
+                                       remapping_needed, num_merged_alts)
+            if typed is not None:
+                rendered = self._render_info_typed(*typed)
                 info_parts.append(f"{info.vcf_name}={rendered}")
         for parent, bin_f, cnt_f in self.histogram_fields:
             rendered = self._histogram_sum(bin_f, cnt_f, variant, remapped,
@@ -528,7 +543,14 @@ class CombineToVCF(CombineOperator):
                                    for x in dp_out])
             if sum_info_dp > 0 and not is_ref_block_only:
                 info_parts.append(f"DP={sum_info_dp}")
-        # assemble line
+        # assemble line (style hook)
+        self.lines.append(self._assemble_line(
+            contig, cpos, id_txt, ref_out, alt_out, qual_txt, filter_txt,
+            info_parts, fmt_names, fmt_values, ncalls))
+
+    def _assemble_line(self, contig, cpos, id_txt, ref_out, alt_out,
+                       qual_txt, filter_txt, info_parts, fmt_names,
+                       fmt_values, ncalls) -> str:
         info_txt = ";".join(info_parts) if info_parts else "."
         cols = [contig, str(cpos + 1), id_txt, ref_out, alt_out, qual_txt,
                 filter_txt, info_txt]
@@ -541,7 +563,7 @@ class CombineToVCF(CombineOperator):
             else:
                 cols.append(".")
                 cols.extend("." for _ in range(ncalls))
-        self.lines.append("\t".join(cols))
+        return "\t".join(cols)
 
 
 LEGAL_BASES_SET = {"A", "T", "G", "C"}

@@ -118,3 +118,16 @@ def diff_strings(got: str, want: str, n=40):
     import difflib
     return "\n".join(list(difflib.unified_diff(
         want.splitlines(), got.splitlines(), "golden", "got", lineterm=""))[:n])
+
+
+def run_java_vcf(callset_file, attributes=None, column_ranges=None,
+                 vid_file="inputs/vid.json", **kw) -> str:
+    vid, store = load_setup(callset_file, vid_file)
+    qp = make_query_params(attributes or VCF_ATTRIBUTES_ORDER,
+                           column_ranges, **kw)
+    qc = driver.make_query_config(qp, vid)
+    return driver.run_java_vcf_query(
+        store, qc, qp, vid,
+        template_path=os.path.join(REF_TESTS,
+                                   "inputs/template_vcf_header.vcf"),
+        reference_path=os.path.join(REF_TESTS, "inputs/chr1_10MB.fasta.gz"))
