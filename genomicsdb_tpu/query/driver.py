@@ -102,14 +102,21 @@ def run_vcf_query_paged(store: ColumnarStore, qc: QueryConfig,
 def run_java_vcf_query(store: ColumnarStore, qc: QueryConfig,
                        qp: QueryParams, vid: VidMapper,
                        template_path: Optional[str] = None,
-                       reference_path: Optional[str] = None) -> str:
+                       reference_path: Optional[str] = None,
+                       sort_samples: bool = False) -> str:
     """java_vcf query type: htsjdk-rendered combined VCF
-    (TestGenomicsDB --query path)."""
+    (TestGenomicsDB --query path).  sort_samples reorders sample columns
+    alphabetically (the Spark reader's behavior, spark_* goldens)."""
     from ..vcf.header import build_header_lines, chrom_line, load_template
     from .java_writer import JavaCombineToVCF, transform_header_lines
     from .scan import scan_and_operate
     ref_genome = ReferenceGenome(reference_path) if reference_path else None
     sample_names = [vid.callset_name(r) for r in qc.rows_to_query]
+    if sort_samples:
+        order = sorted(range(len(sample_names)),
+                       key=lambda i: sample_names[i])
+        qc.rows_to_query = [qc.rows_to_query[i] for i in order]
+        sample_names = [sample_names[i] for i in order]
     filter_names = {info.field_idx: name
                     for name, info in vid.fields.items()}
     op = JavaCombineToVCF(qc, vid, ref_genome, sample_names,

@@ -114,3 +114,19 @@ def test_new_fields_loading():
     check(run_loading("inputs/callsets/t6_7_8.json",
                       vid_file="inputs/vid_MLEAC_MLEAF.json"),
           "t6_7_8_new_field_gatk.vcf")
+
+
+def test_spark_sample_sorted_vcf_at_12150():
+    """Spark reader output: sample columns sorted by name
+    (spark/GenomicsDBRDD path)."""
+    from golden_utils import load_setup
+    vid, store = load_setup("inputs/callsets/t0_1_2.json")
+    qp = make_query_params(VCF_ATTRIBUTES_ORDER, [(12150, 1000000000)])
+    qc = driver.make_query_config(qp, vid)
+    got = driver.run_java_vcf_query(
+        store, qc, qp, vid,
+        template_path=os.path.join(REF_TESTS,
+                                   "inputs/template_vcf_header.vcf"),
+        reference_path=os.path.join(REF_TESTS, "inputs/chr1_10MB.fasta.gz"),
+        sort_samples=True)
+    check(got, "spark_t0_1_2_vcf_at_12150")
