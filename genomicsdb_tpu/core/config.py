@@ -33,6 +33,20 @@ def _parse_column_ranges(doc) -> List[List[Tuple[int, int]]]:
         if isinstance(rank_entry, dict) and "range_list" in rank_entry:
             for r in rank_entry["range_list"]:
                 intervals.append((int(r["low"]), int(r["high"])))
+        elif isinstance(rank_entry, dict) and \
+                "column_or_interval_list" in rank_entry:
+            # protobuf-JSON form (GATK path; reference
+            # genomicsdb_export_config.proto + run.py
+            # modify_query_column_ranges_for_PB)
+            for item in rank_entry["column_or_interval_list"]:
+                ci = item.get("column_interval", {})
+                if "column_interval" in ci:
+                    ci = ci["column_interval"]
+                if "begin" in ci:
+                    intervals.append((int(ci["begin"]), int(ci["end"])))
+                elif "column" in item:
+                    c = int(item["column"])
+                    intervals.append((c, c))
         else:
             for item in rank_entry:
                 if isinstance(item, (int, float)):

@@ -1,0 +1,238 @@
+// Native import kernels: VCF record tokenizer + numeric list parsers.
+//
+// The host-side equivalent of the reference's htslib-backed decode hot path
+// (reference src/main/cpp/src/vcf/vcf2binary.cc:481-546 prefetch +
+// :991-1160 per-callset serialization): byte-crunching runs here, the
+// vid-driven cell assembly stays in Python, and the columnar arrays upload
+// to the device unchanged.
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in this image).
+//
+// Build: make -C genomicsdb_tpu/runtime/native
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int32_t INT_MISSING = INT32_MIN;
+constexpr uint32_t FLOAT_MISSING_BITS = 0x7F800001u;
+
+inline float float_missing() {
+  float f;
+  uint32_t b = FLOAT_MISSING_BITS;
+  std::memcpy(&f, &b, sizeof(f));
+  return f;
+}
+
+// Fast int parse over [p, end); returns missing on '.' or empty.
+inline int32_t parse_int(const char* p, const char* end) {
+  if (p >= end || (*p == '.' && p + 1 == end)) return INT_MISSING;
+  bool neg = false;
+  if (*p == '-') { neg = true; ++p; }
+  int64_t v = 0;
+  for (; p < end; ++p) {
+    if (*p < '0' || *p > '9') return INT_MISSING;
+    v = v * 10 + (*p - '0');
+  }
+  return static_cast<int32_t>(neg ? -v : v);
+}
+
+inline float parse_float(const char* p, const char* end) {
+  if (p >= end || (*p == '.' && p + 1 == end)) return float_missing();
+  char buf[64];
+  size_t n = static_cast<size_t>(end - p);
+  if (n >= sizeof(buf)) n = sizeof(buf) - 1;
+  std::memcpy(buf, p, n);
+  buf[n] = 0;
+  char* e = nullptr;
+  float v = std::strtof(buf, &e);
+  if (e == buf) return float_missing();
+  return v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Record tokenizer.
+//
+// Scans the record section of a VCF text (no header lines) and emits, per
+// record, the byte offsets of each tab-separated column.  Caller passes
+// pre-sized output arrays:
+//   col_offsets: [max_records * (max_cols + 1)] int64 — column k of record
+//                r spans [col_offsets[r*(max_cols+1)+k],
+//                         col_offsets[r*(max_cols+1)+k+1] - 1)  (the -1
+//                drops the delimiter; the last real column ends at the
+//                newline).
+//   num_cols:    [max_records] int32 — actual #columns of each record.
+// Returns the number of records tokenized (<= max_records), or -1 if the
+// buffers were too small.
+// ---------------------------------------------------------------------------
+int64_t gdb_tokenize_records(const char* text, int64_t len,
+                             int64_t max_records, int32_t max_cols,
+                             int64_t* col_offsets, int32_t* num_cols) {
+  int64_t rec = 0;
+  int64_t i = 0;
+  const int64_t stride = max_cols + 1;
+  while (i < len) {
+    // skip blank lines
+    if (text[i] == '\n') { ++i; continue; }
+    if (rec >= max_records) return -1;
+    int64_t* offs = col_offsets + rec * stride;
+    int32_t ncol = 0;
+    offs[0] = i;
+    while (i < len && text[i] != '\n') {
+      if (text[i] == '\t') {
+        if (ncol + 1 >= max_cols) return -1;
+        offs[++ncol] = i + 1;
+      }
+      ++i;
+    }
+    offs[++ncol] = i + 1;  // past-newline sentinel (or past-EOF)
+    num_cols[rec] = ncol;
+    ++rec;
+    ++i;  // past newline
+  }
+  return rec;
+}
+
+// ---------------------------------------------------------------------------
+// Batched delimited-number parsing.
+//
+// For n spans [starts[i], ends[i]) of `text`, split on `delim` and parse
+// elements as int32 (missing '.' -> INT32_MIN).  Output is a ragged pair
+// (values, offsets): offsets has n+1 entries; values must hold
+// sum(#elements).  Empty spans produce zero elements.
+// Returns total #values written, or -1 on overflow of values_cap.
+// ---------------------------------------------------------------------------
+int64_t gdb_parse_int_lists(const char* text, const int64_t* starts,
+                            const int64_t* ends, int64_t n, char delim,
+                            int32_t* values, int64_t values_cap,
+                            int64_t* offsets) {
+  int64_t total = 0;
+  offsets[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const char* p = text + starts[i];
+    const char* lim = text + ends[i];
+    if (p >= lim) { offsets[i + 1] = total; continue; }
+    const char* tok = p;
+    for (const char* q = p;; ++q) {
+      if (q == lim || *q == delim) {
+        if (total >= values_cap) return -1;
+        values[total++] = parse_int(tok, q);
+        tok = q + 1;
+        if (q == lim) break;
+      }
+    }
+    offsets[i + 1] = total;
+  }
+  return total;
+}
+
+int64_t gdb_parse_float_lists(const char* text, const int64_t* starts,
+                              const int64_t* ends, int64_t n, char delim,
+                              float* values, int64_t values_cap,
+                              int64_t* offsets) {
+  int64_t total = 0;
+  offsets[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const char* p = text + starts[i];
+    const char* lim = text + ends[i];
+    if (p >= lim) { offsets[i + 1] = total; continue; }
+    const char* tok = p;
+    for (const char* q = p;; ++q) {
+      if (q == lim || *q == delim) {
+        if (total >= values_cap) return -1;
+        values[total++] = parse_float(tok, q);
+        tok = q + 1;
+        if (q == lim) break;
+      }
+    }
+    offsets[i + 1] = total;
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// GT parser: spans of "a/b|c" genotype strings -> allele idx vectors,
+// optionally interleaved with phase flags (reference vcf2binary.cc
+// m_store_phase_information_for_GT).  '.' alleles -> -1.
+// ---------------------------------------------------------------------------
+int64_t gdb_parse_gt(const char* text, const int64_t* starts,
+                     const int64_t* ends, int64_t n, int store_phase,
+                     int32_t* values, int64_t values_cap,
+                     int64_t* offsets) {
+  int64_t total = 0;
+  offsets[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const char* p = text + starts[i];
+    const char* lim = text + ends[i];
+    if (p >= lim) { offsets[i + 1] = total; continue; }
+    const char* tok = p;
+    bool first = true;
+    for (const char* q = p;; ++q) {
+      if (q == lim || *q == '/' || *q == '|') {
+        int32_t allele = (q == tok || (*tok == '.' && q == tok + 1))
+                             ? -1
+                             : parse_int(tok, q);
+        if (allele == INT_MISSING) allele = -1;
+        if (!first && store_phase) {
+          if (total >= values_cap) return -1;
+          // phase flag of the PREVIOUS separator
+          values[total++] = (*(tok - 1) == '|') ? 1 : 0;
+        }
+        if (total >= values_cap) return -1;
+        values[total++] = allele;
+        first = false;
+        tok = q + 1;
+        if (q == lim) break;
+      }
+    }
+    offsets[i + 1] = total;
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// Sub-field splitter: within n spans, find the k-th `delim`-separated
+// sub-span (used for FORMAT sample columns "GT:AD:DP" -> field k).
+// Writes out_starts/out_ends (absolute offsets); missing -> start==end.
+// ---------------------------------------------------------------------------
+void gdb_split_field(const char* text, const int64_t* starts,
+                     const int64_t* ends, int64_t n, char delim,
+                     int32_t field_idx, int64_t* out_starts,
+                     int64_t* out_ends) {
+  for (int64_t i = 0; i < n; ++i) {
+    const char* base = text;
+    int64_t s = starts[i];
+    int64_t e = ends[i];
+    int32_t k = 0;
+    int64_t fs = s;
+    int64_t fe = e;
+    bool found = (field_idx == 0);
+    for (int64_t j = s; j <= e; ++j) {
+      if (j == e || base[j] == delim) {
+        if (k == field_idx) {
+          fe = j;
+          found = true;
+          break;
+        }
+        ++k;
+        fs = j + 1;
+      }
+    }
+    if (!found || fs > e) {
+      out_starts[i] = 0;
+      out_ends[i] = 0;
+    } else {
+      out_starts[i] = fs;
+      out_ends[i] = fe;
+    }
+  }
+}
+
+}  // extern "C"

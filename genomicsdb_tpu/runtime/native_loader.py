@@ -1,0 +1,138 @@
+"""ctypes bindings for the native import kernels (auto-built on demand).
+
+Falls back silently to None when no C++ toolchain is available; callers
+keep the pure-Python path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libgdb_native.so")
+
+_lib = None
+_tried = False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.isfile(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR],
+                           capture_output=True, check=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    lib.gdb_tokenize_records.restype = i64
+    lib.gdb_tokenize_records.argtypes = [
+        ctypes.c_char_p, i64, i64, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int32)]
+    for name in ("gdb_parse_int_lists",):
+        f = getattr(lib, name)
+        f.restype = i64
+        f.argtypes = [ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+                      np.ctypeslib.ndpointer(np.int64), i64, ctypes.c_char,
+                      np.ctypeslib.ndpointer(np.int32), i64,
+                      np.ctypeslib.ndpointer(np.int64)]
+    lib.gdb_parse_float_lists.restype = i64
+    lib.gdb_parse_float_lists.argtypes = [
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64), i64, ctypes.c_char,
+        np.ctypeslib.ndpointer(np.float32), i64,
+        np.ctypeslib.ndpointer(np.int64)]
+    lib.gdb_parse_gt.restype = i64
+    lib.gdb_parse_gt.argtypes = [
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64), i64, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int32), i64,
+        np.ctypeslib.ndpointer(np.int64)]
+    lib.gdb_split_field.restype = None
+    lib.gdb_split_field.argtypes = [
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64), i64, ctypes.c_char,
+        ctypes.c_int32, np.ctypeslib.ndpointer(np.int64),
+        np.ctypeslib.ndpointer(np.int64)]
+    _lib = lib
+    return _lib
+
+
+def tokenize_records(text: bytes, max_cols: int = 64):
+    """(col_offsets [n, max_cols+1], num_cols [n]) for a VCF record blob."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    est_records = text.count(b"\n") + 1
+    col_offsets = np.zeros((est_records, max_cols + 1), dtype=np.int64)
+    num_cols = np.zeros(est_records, dtype=np.int32)
+    n = lib.gdb_tokenize_records(text, len(text), est_records, max_cols,
+                                 col_offsets, num_cols)
+    if n < 0:
+        return None
+    return col_offsets[:n], num_cols[:n]
+
+
+def parse_int_lists(text: bytes, starts: np.ndarray, ends: np.ndarray,
+                    delim: bytes = b","):
+    lib = get_lib()
+    n = len(starts)
+    cap = int((ends - starts).sum()) // 1 + n + 1
+    values = np.empty(cap, dtype=np.int32)
+    offsets = np.empty(n + 1, dtype=np.int64)
+    total = lib.gdb_parse_int_lists(text, starts, ends, n, delim, values,
+                                    cap, offsets)
+    if total < 0:
+        raise RuntimeError("int list parse overflow")
+    return values[:total], offsets
+
+
+def parse_float_lists(text: bytes, starts: np.ndarray, ends: np.ndarray,
+                      delim: bytes = b","):
+    lib = get_lib()
+    n = len(starts)
+    cap = int((ends - starts).sum()) + n + 1
+    values = np.empty(cap, dtype=np.float32)
+    offsets = np.empty(n + 1, dtype=np.int64)
+    total = lib.gdb_parse_float_lists(text, starts, ends, n, delim, values,
+                                      cap, offsets)
+    if total < 0:
+        raise RuntimeError("float list parse overflow")
+    return values[:total], offsets
+
+
+def parse_gt(text: bytes, starts: np.ndarray, ends: np.ndarray,
+             store_phase: bool):
+    lib = get_lib()
+    n = len(starts)
+    cap = int((ends - starts).sum()) * 2 + n + 2
+    values = np.empty(cap, dtype=np.int32)
+    offsets = np.empty(n + 1, dtype=np.int64)
+    total = lib.gdb_parse_gt(text, starts, ends, n, int(store_phase),
+                             values, cap, offsets)
+    if total < 0:
+        raise RuntimeError("GT parse overflow")
+    return values[:total], offsets
+
+
+def split_field(text: bytes, starts: np.ndarray, ends: np.ndarray,
+                delim: bytes, field_idx: int):
+    lib = get_lib()
+    n = len(starts)
+    out_s = np.empty(n, dtype=np.int64)
+    out_e = np.empty(n, dtype=np.int64)
+    lib.gdb_split_field(text, starts, ends, n, delim, field_idx, out_s,
+                        out_e)
+    return out_s, out_e

@@ -31,6 +31,14 @@ def load_context(args, rank: int):
     if args.segment_size:
         qp.segment_size = args.segment_size
     vid = qdriver.load_vid_for_query(qp, ip)
+    if args.chromosome:
+        # --chromosome/--begin/--end contig-interval query (TestGenomicsDB
+        # java driver flags): translate to flattened columns via the vid
+        lo = vid.flatten_position(args.chromosome, args.begin or 1)
+        hi = vid.flatten_position(
+            args.chromosome,
+            args.end or vid.contigs[args.chromosome].length)
+        qp.column_ranges = [[(lo, hi)]]
     workspace = qp.workspace or ""
     store = None
     if workspace and qp.array_name and ws.is_workspace(workspace):
@@ -83,10 +91,11 @@ def run_rank(args, rank: int) -> str:
         refg = qp.resolve(qp.reference_genome) if qp.reference_genome \
             else (ip.resolve(ip.reference_genome) if ip else None)
         # header only on rank 0 (partition outputs are concatenated)
-        return qdriver.run_vcf_query(
-            store, qc, qp, vid,
-            template_path=template if rank == 0 else None,
-            reference_path=refg)
+        fn = qdriver.run_java_vcf_query if args.java_vcf \
+            else qdriver.run_vcf_query
+        return fn(store, qc, qp, vid,
+                  template_path=template if rank == args.rank else None,
+                  reference_path=refg)
     # default: variants JSON range query
     return qdriver.run_variants_query(store, qc)
 
@@ -111,6 +120,11 @@ def main(argv=None):
                    action="store_true")
     p.add_argument("--bin-size", type=int, default=10000)
     p.add_argument("--num-equi-bins", type=int, default=10)
+    p.add_argument("--chromosome", default=None)
+    p.add_argument("--begin", type=int, default=None)
+    p.add_argument("--end", type=int, default=None)
+    p.add_argument("--java-vcf", dest="java_vcf", action="store_true",
+                   help="htsjdk-style rendering for --produce-Broad-GVCF")
     args = p.parse_args(argv)
     # rank fan-out + ordered gather (combine output is partition-ordered by
     # construction, gt_mpi_gather.cc:322-366)
