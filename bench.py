@@ -35,19 +35,25 @@ def bench_device(num_samples=128, cells_per_sample=2048, region_len=262144,
     starts_p = np.pad(starts, (0, pad),
                       constant_values=np.iinfo(np.int64).max - 1)
     recnm = np.pad(blk.rec_num_merged, (0, pad), constant_values=1)
-    chunks = [(jax.device_put(starts_p[i:i + chunk]),
-               jax.device_put(recnm[i:i + chunk]))
-              for i in range(0, len(starts_p), chunk)]
-    # warmup/compile
-    out = fn(*fixed, chunks[0][0], chunks[0][1])
+    n_chunks = len(starts_p) // chunk
+    starts_2d = jax.device_put(starts_p.reshape(n_chunks, chunk))
+    recnm_2d = jax.device_put(recnm.reshape(n_chunks, chunk))
+
+    # one dispatch: lax.map over chunks (isolates device time from the
+    # remote-dispatch latency of the axon tunnel)
+    @jax.jit
+    def run_all(starts_2d, recnm_2d, *fixed_args):
+        return jax.lax.map(
+            lambda sr: fn(*fixed_args, sr[0], sr[1]),
+            (starts_2d, recnm_2d))
+
+    out = run_all(starts_2d, recnm_2d, *fixed)
     jax.block_until_ready(out)
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        outs = []
-        for s, r in chunks:
-            outs.append(fn(*fixed, s, r))
-        jax.block_until_ready(outs)
+        out = run_all(starts_2d, recnm_2d, *fixed)
+        jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return {
@@ -97,9 +103,65 @@ def bench_oracle(num_samples=128, cells_per_sample=32, region_len=4096):
             "seconds": dt}
 
 
+def bench_import(n_records=20000, n_samples=8, tmpdir="/tmp"):
+    """Import throughput: native columnar-direct loader vs the Python
+    reference path, cells/sec."""
+    import os
+    import random
+    random.seed(0)
+    path = os.path.join(tmpdir, "bench_cohort.vcf")
+    samples = [f"S{i}" for i in range(n_samples)]
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.1\n")
+        for line in [
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+            '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">',
+            '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="q">',
+            '##FORMAT=<ID=MIN_DP,Number=1,Type=Integer,Description="m">',
+            '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="p">',
+            '##INFO=<ID=END,Number=1,Type=Integer,Description="e">',
+            '##contig=<ID=1,length=249250621>',
+        ]:
+            f.write(line + "\n")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                + "\t".join(samples) + "\n")
+        pos = 1
+        for i in range(n_records):
+            end = pos + random.randint(10, 200)
+            cells = "\t".join(
+                f"0/0:{random.randint(1, 60)}:0:0:0,0,0"
+                for _ in range(n_samples))
+            f.write(f"1\t{pos}\t.\tC\t<NON_REF>\t.\t.\tEND={end}\t"
+                    f"GT:DP:GQ:MIN_DP:PL\t{cells}\n")
+            pos = end + 1
+    from genomicsdb_tpu.core.vid import VidMapper
+    from genomicsdb_tpu.store.fast_import import fast_import_file
+    from genomicsdb_tpu.store.import_pipeline import (VCFCellConverter,
+                                                      import_callsets)
+    vid = VidMapper.from_files("/root/reference/tests/inputs/vid.json")
+    idx_to_row = {i: i for i in range(n_samples)}
+    t0 = time.perf_counter()
+    st = fast_import_file(path, vid, idx_to_row)
+    t_fast = time.perf_counter() - t0
+    n_cells = st.num_cells if st is not None else 0
+    from genomicsdb_tpu.vcf.reader import VCFFile
+    t0 = time.perf_counter()
+    conv = VCFCellConverter(VCFFile(path), vid, idx_to_row)
+    cells = conv.convert()
+    t_py = time.perf_counter() - t0
+    os.unlink(path)
+    return {
+        "cells": n_cells,
+        "native_cells_per_sec": n_cells / t_fast if t_fast else 0,
+        "python_cells_per_sec": len(cells) / t_py,
+        "speedup": t_py / t_fast if t_fast else 0,
+    }
+
+
 def main():
     dev = bench_device()
     oracle = bench_oracle()
+    imp = bench_import()
     value = dev["positions_per_sec"]
     vs = value / oracle["positions_per_sec"]
     line = {
@@ -112,6 +174,8 @@ def main():
                        for k, v in dev.items()},
             "oracle_positions_per_sec":
                 round(oracle["positions_per_sec"], 1),
+            "import": {k: round(v, 1) if isinstance(v, float) else v
+                       for k, v in imp.items()},
         },
     }
     print(json.dumps(line))

@@ -94,26 +94,24 @@ def combine_step(col, end, pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                                      ploidy=ploidy)
     ad_out = K.remap_allele_fields(adg, inv, adl, nr, rec_num_merged,
                                    alt_only=False)
-    # GT remap: input allele -> merged allele via forward LUT derived from
-    # inv (invert the inverse on the fly: scatter)
+    # GT remap: input allele -> merged allele (invert inv_lut).  Ploidy and
+    # merged-allele axes are unrolled statically so every tensor stays
+    # [B, S] (a [B,S,A,M] one-hot costs ~4x the whole step in HBM traffic).
     gtg = jnp.where(valid[..., None], g(gt), INT_MISSING)
-    # forward lut: for input allele a, merged m s.t. inv[m]==a
-    m_idx = jnp.arange(inv.shape[-1], dtype=jnp.int32)
-    # fwd[b,s,a] = sum over m of (inv==a)*m  (at most one hit)
-    A_in = gt.shape[-1] if gt.shape[-1] > 0 else 1
-    max_in_allele = ad.shape[-1]
-    a_range = jnp.arange(max_in_allele, dtype=jnp.int32)
-    hits = (inv[..., None, :] == a_range[:, None])      # [B,S,A,M]
-    fwd = jnp.where(jnp.any(hits, axis=-1),
-                    jnp.sum(hits * m_idx, axis=-1), -1)  # [B,S,A]
-    gt_ok = (gtg >= 0) & (gtg < max_in_allele)
-    gt_merged = jnp.take_along_axis(
-        fwd, jnp.clip(gtg, 0, max_in_allele - 1), axis=-1)
-    nr_merged = rec_num_merged[:, None, None] - 1
-    gt_out = jnp.where(gt_ok,
-                       jnp.where(gt_merged >= 0, gt_merged, nr_merged),
-                       gtg)
-    _ = (A_in, fv)
+    M_dim = inv.shape[-1]
+    P_dim = gtg.shape[-1]
+    nr_merged = rec_num_merged[:, None] - 1             # [B, 1]
+    gt_cols = []
+    for p in range(P_dim):
+        a = gtg[..., p]                                 # [B, S]
+        merged = jnp.full_like(a, -1)
+        for m in range(M_dim):
+            merged = jnp.where(inv[..., m] == a, m, merged)
+        ok = (a >= 0) & (a != INT_MISSING)
+        out_p = jnp.where(ok, jnp.where(merged >= 0, merged, nr_merged), a)
+        gt_cols.append(out_p)
+    gt_out = jnp.stack(gt_cols, axis=-1)
+    _ = fv
     # INFO medians over samples (valid float = payload-checked on host;
     # here invalid encoded as NaN -> excluded via isfinite)
     infog = jax.vmap(lambda f: _gather_cells(f, live))(info_f)  # [F,B,S]
@@ -184,18 +182,20 @@ def synthesize_cohort(num_samples: int, cells_per_sample: int,
     info_f = np.where(is_var[None], info_f, np.nan).astype(np.float32)
     raw_mq = np.where(is_var, rng.random((S, C)) * 100, np.nan
                       ).astype(np.float32)
-    # LUTs: random permutation-ish of merged alleles
+    # LUTs mirror the real merge invariant: cell alleles 0..n_in-2 map to
+    # merged 0..n_in-2, the cell's NON_REF (last input allele) maps to the
+    # LAST merged allele, middle merged alleles are absent (-1).
     inv_lut = np.full((S, C, max_merged), -1, dtype=np.int32)
     inv_lut[..., 0] = 0
-    for m in range(1, max_merged):
-        inv_lut[..., m] = np.where(m < n_in_alleles, m, -1)
+    for m in range(1, max_merged - 1):
+        inv_lut[..., m] = np.where(m < n_in_alleles - 1, m, -1)
+    inv_lut[..., max_merged - 1] = n_in_alleles - 1  # NON_REF last
     input_nr = (n_in_alleles - 1).astype(np.int32)
     num_merged = n_in_alleles.astype(np.int32)
     # sweep on host for the synthetic block
     events = np.unique(np.concatenate([col.ravel(), end.ravel() + 1]))
     starts = events[events < region_len]
-    rec_num_merged = rng.integers(2, max_merged + 1,
-                                  size=len(starts)).astype(np.int32)
+    rec_num_merged = np.full(len(starts), max_merged, dtype=np.int32)
     return CellBlock(col=col, end=end, pl=pl, pl_len=pl_len, ad=ad,
                      ad_len=ad_len, gt=gt, gq=gq, dp=dp, min_dp=min_dp,
                      dp_info=dp_info, info_f=info_f, raw_mq=raw_mq,

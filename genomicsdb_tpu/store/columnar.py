@@ -93,6 +93,83 @@ class ColumnarStore:
         return np.nonzero(mask)[0]
 
 
+def compute_eff_end(row: np.ndarray, col: np.ndarray, end: np.ndarray
+                    ) -> np.ndarray:
+    """Effective ENDs: truncate each cell at the next same-row cell begin
+    (vectorized; input must be (col,row)-sorted)."""
+    eff = end.copy()
+    if len(row) == 0:
+        return eff
+    order = np.lexsort((col, row))  # row-major, col within row
+    r_sorted = row[order]
+    c_sorted = col[order]
+    same_row = r_sorted[:-1] == r_sorted[1:]
+    prev_idx = order[:-1][same_row]
+    next_col = c_sorted[1:][same_row]
+    trunc = eff[prev_idx] >= next_col
+    eff[prev_idx[trunc]] = next_col[trunc] - 1
+    return eff
+
+
+def store_take(store: ColumnarStore, idx: np.ndarray) -> ColumnarStore:
+    """Subset a store to the given cell indices (in the given order)."""
+    out = ColumnarStore(num_rows=store.num_rows, lb_row=store.lb_row)
+    out.attribute_order = list(store.attribute_order)
+    out.row = store.row[idx]
+    out.col = store.col[idx]
+    out.end = store.end[idx]
+    out.eff_end = compute_eff_end(out.row, out.col, out.end)
+    for name, fd in store.fields.items():
+        valid = fd.valid[idx]
+        if fd.kind == "fixed":
+            out.fields[name] = FieldData(name, fd.kind, fd.dtype, valid,
+                                         fd.values[idx])
+            continue
+        if fd.kind == "ragged2d":
+            # rebuild two-level ragged by python gather (rare fields)
+            outer = np.zeros(len(idx) + 1, dtype=np.int64)
+            inner: List[int] = [0]
+            chunks = []
+            for oi, src in enumerate(idx):
+                olo, ohi = fd.outer_offsets[src], fd.outer_offsets[src + 1]
+                for j in range(olo, ohi):
+                    lo, hi = fd.offsets[j], fd.offsets[j + 1]
+                    chunks.append(fd.values[lo:hi])
+                    inner.append(inner[-1] + (hi - lo))
+                outer[oi + 1] = outer[oi] + (ohi - olo)
+            values = (np.concatenate(chunks) if chunks
+                      else np.zeros(0, dtype=fd.values.dtype))
+            out.fields[name] = FieldData(
+                name, fd.kind, fd.dtype, valid, values,
+                np.asarray(inner, dtype=np.int64), outer)
+            continue
+        lens = np.diff(fd.offsets)[idx]
+        offsets = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        total = int(offsets[-1])
+        values = np.empty(total, dtype=fd.values.dtype)
+        if total:
+            src0 = fd.offsets[:-1][idx]
+            sel = lens > 0
+            reps = np.repeat(offsets[:-1][sel] - src0[sel], lens[sel])
+            src_idx = _ragged_arange(src0[sel], lens[sel])
+            values[src_idx + reps] = fd.values[src_idx]
+        out.fields[name] = FieldData(name, fd.kind, fd.dtype, valid,
+                                     values, offsets)
+    return out
+
+
+def _ragged_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    idx = np.arange(total, dtype=np.int64)
+    seg = np.searchsorted(ends, idx, side="right")
+    within = idx - (ends - lens)[seg]
+    return starts[seg] + within
+
+
 def build_store(cells: List[dict], attribute_order: List[str],
                 field_specs: Dict[str, tuple], num_rows: int,
                 lb_row: int = 0) -> ColumnarStore:
@@ -109,17 +186,7 @@ def build_store(cells: List[dict], attribute_order: List[str],
     store.col = np.array([c["col"] for c in cells], dtype=np.int64)
     store.end = np.array([c["end"] for c in cells], dtype=np.int64)
     # effective END: truncated at next same-row begin
-    eff = store.end.copy()
-    last_seen: Dict[int, int] = {}
-    order = np.argsort(store.row, kind="stable")
-    # iterate per row in column order
-    for r in np.unique(store.row):
-        idxs = np.nonzero(store.row == r)[0]
-        for a, b in zip(idxs[:-1], idxs[1:]):
-            if eff[a] >= store.col[b]:
-                eff[a] = store.col[b] - 1
-    store.eff_end = eff
-    _ = (last_seen, order)
+    store.eff_end = compute_eff_end(store.row, store.col, store.end)
     for name in attribute_order:
         kind, dtype, fixed_len = field_specs[name]
         valid = np.zeros(n, dtype=bool)

@@ -441,6 +441,12 @@ def import_callsets(vid: VidMapper, base_dir: str = "",
     for cs in vid.callsets.values():
         files.setdefault(cs.filename, []).append((cs.idx_in_file,
                                                   cs.row_idx))
+    # native columnar-direct fast path (falls back per file)
+    if os.environ.get("GENOMICSDB_TPU_NO_NATIVE", "") in ("", "0"):
+        fast = _try_fast_import(files, vid, base_dir, column_partition,
+                                treat_deletions_as_intervals)
+        if fast is not None:
+            return fast
     all_cells: List[dict] = []
     for filename, samples in files.items():
         path = _resolve_input(filename, base_dir, vid)
@@ -455,6 +461,49 @@ def import_callsets(vid: VidMapper, base_dir: str = "",
     return cells_to_store(all_cells, vid,
                           import_id="ID" in vid.fields,
                           column_partition=column_partition)
+
+
+def _try_fast_import(files, vid: VidMapper, base_dir: str,
+                     column_partition, treat_deletions):
+    """Native columnar-direct import of all files; None on fallback."""
+    from .fast_import import fast_import_file
+    from .columnar import store_take
+    from . import workspace as ws
+    stores = []
+    for filename, samples in files.items():
+        path = _resolve_input(filename, base_dir, vid)
+        if path.endswith(".csv"):
+            return None
+        st = fast_import_file(path, vid, dict(samples), treat_deletions)
+        if st is None:
+            return None
+        stores.append(st)
+    if not stores:
+        return None
+    merged = ws.merge_stores(stores) if len(stores) > 1 else \
+        ws.merge_stores([stores[0]])
+    merged.num_rows = vid.max_callset_row_idx() + 1
+    begin, part_end = column_partition
+    if part_end is None:
+        part_end = 2**63 - 2
+    if begin == 0 and part_end >= 2**63 - 2:
+        return merged
+    # partition filtering + spanning replay (load_operators.cc:33-79)
+    inside = np.nonzero((merged.col >= begin)
+                        & (merged.col <= part_end))[0]
+    before = np.nonzero(merged.col < begin)[0]
+    spanning = []
+    if len(before):
+        rows_before = merged.row[before]
+        for r in np.unique(rows_before):
+            ridx = before[rows_before == r]
+            last = ridx[-1]  # (col,row)-sorted => last is latest interval
+            if merged.end[last] >= begin:
+                spanning.append(last)
+    spanning.sort(key=lambda i: (merged.col[i], merged.row[i]))
+    take = np.concatenate([np.asarray(spanning, dtype=np.int64),
+                           inside]).astype(np.int64)
+    return store_take(merged, take)
 
 
 def cells_to_store(all_cells: List[dict], vid: VidMapper,

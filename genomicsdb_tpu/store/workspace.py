@@ -150,13 +150,8 @@ def merge_stores(stores: List[ColumnarStore]) -> ColumnarStore:
     order = np.lexsort((rows, cols))
     out.row, out.col, out.end = rows[order], cols[order], ends[order]
     # recompute effective ENDs across the merged cell set
-    eff = out.end.copy()
-    for r in np.unique(out.row):
-        idxs = np.nonzero(out.row == r)[0]
-        for a, b in zip(idxs[:-1], idxs[1:]):
-            if eff[a] >= out.col[b]:
-                eff[a] = out.col[b] - 1
-    out.eff_end = eff
+    from .columnar import compute_eff_end
+    out.eff_end = compute_eff_end(out.row, out.col, out.end)
     for name in out.attribute_order:
         fds = [s.fields[name] for s in stores]
         kind, dtype = fds[0].kind, fds[0].dtype

@@ -1,0 +1,97 @@
+"""Native columnar-direct import == Python reference import."""
+
+import os
+
+import numpy as np
+import pytest
+
+from golden_utils import (REF_TESTS, VCF_ATTRIBUTES_ORDER, diff_strings,
+                          golden, make_query_params)
+
+from genomicsdb_tpu.core.vid import VidMapper
+from genomicsdb_tpu.query import driver
+from genomicsdb_tpu.runtime import native_loader as nl
+from genomicsdb_tpu.store import workspace as ws
+from genomicsdb_tpu.store.fast_import import fast_import_file
+from genomicsdb_tpu.store.import_pipeline import import_callsets
+
+
+def _stores_equal(a, b):
+    np.testing.assert_array_equal(a.row, b.row)
+    np.testing.assert_array_equal(a.col, b.col)
+    np.testing.assert_array_equal(a.end, b.end)
+    np.testing.assert_array_equal(a.eff_end, b.eff_end)
+    assert a.attribute_order == b.attribute_order
+    for name in a.attribute_order:
+        fa, fb = a.fields[name], b.fields[name]
+        assert fa.kind == fb.kind, name
+        np.testing.assert_array_equal(fa.valid, fb.valid, err_msg=name)
+        for i in range(a.num_cells):
+            va = fa.cell_value(i) if fa.valid[i] else None
+            vb = fb.cell_value(i) if fb.valid[i] else None
+            if va is None:
+                assert vb is None, (name, i)
+            elif isinstance(va, str):
+                assert va == vb, (name, i)
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(va), np.asarray(vb), err_msg=f"{name}@{i}")
+
+
+@pytest.mark.parametrize("callset,vid_file", [
+    ("inputs/callsets/t0_1_2.json", "inputs/vid.json"),
+    ("inputs/callsets/t0_1_2.json", "inputs/vid_phased_GT.json"),
+    ("inputs/callsets/t6_7_8.json", "inputs/vid.json"),
+    ("inputs/callsets/min_PL_spanning_deletion.json",
+     "inputs/vid_phased_GT.json"),
+    ("inputs/callsets/t0_haploid_triploid_1_2_3_triploid_deletion.json",
+     "inputs/vid_DS_ID_phased_GT.json"),
+    ("inputs/callsets/t0_overlapping.json", "inputs/vid.json"),
+    ("inputs/callsets/t0_1_2_combined.json", "inputs/vid.json"),
+])
+def test_fast_import_matches_python(callset, vid_file):
+    if nl.get_lib() is None:
+        pytest.skip("no native toolchain")
+    vid = VidMapper.from_files(os.path.join(REF_TESTS, vid_file),
+                               os.path.join(REF_TESTS, callset))
+    python_store = import_callsets(vid, base_dir=REF_TESTS)
+    # per-file fast import + merge
+    files = {}
+    for cs in vid.callsets.values():
+        files.setdefault(cs.filename, {})[cs.idx_in_file] = cs.row_idx
+    stores = []
+    for fname, idx_to_row in files.items():
+        path = os.path.join(REF_TESTS, fname)
+        st = fast_import_file(path, vid, idx_to_row)
+        assert st is not None, fname
+        stores.append(st)
+    fast_store = ws.merge_stores(stores) if len(stores) > 1 else stores[0]
+    if len(stores) == 1:
+        # single fragment: sort + eff_end via merge path for parity
+        fast_store = ws.merge_stores([stores[0]])
+    fast_store.num_rows = python_store.num_rows
+    _stores_equal(python_store, fast_store)
+
+
+def test_fast_import_golden_end_to_end():
+    if nl.get_lib() is None:
+        pytest.skip("no native toolchain")
+    vid = VidMapper.from_files(
+        os.path.join(REF_TESTS, "inputs/vid.json"),
+        os.path.join(REF_TESTS, "inputs/callsets/t0_1_2.json"))
+    files = {}
+    for cs in vid.callsets.values():
+        files.setdefault(cs.filename, {})[cs.idx_in_file] = cs.row_idx
+    stores = [fast_import_file(os.path.join(REF_TESTS, f), vid, m)
+              for f, m in files.items()]
+    store = ws.merge_stores(stores)
+    store.num_rows = vid.max_callset_row_idx() + 1
+    qp = make_query_params(VCF_ATTRIBUTES_ORDER, [(0, 1000000000)])
+    qc = driver.make_query_config(qp, vid)
+    got = driver.run_vcf_query(
+        store, qc, qp, vid,
+        template_path=os.path.join(REF_TESTS,
+                                   "inputs/template_vcf_header.vcf"),
+        reference_path=os.path.join(REF_TESTS, "inputs/chr1_10MB.fasta.gz"))
+    want = golden("t0_1_2_vcf_at_0")
+    assert got == want, diff_strings(got, want)
