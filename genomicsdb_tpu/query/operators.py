@@ -162,6 +162,40 @@ class ColumnHistogramOperator:
         return "\n".join(out) + "\n\n"
 
 
+class MaxAllelesCountOperator:
+    """determine_sites_with_max_alleles: track the sites with the most
+    merged alleles (reference MaxAllelesCountOperator, used by the loader
+    when determine_sites_with_max_alleles > 0)."""
+
+    def __init__(self, qc: QueryConfig, top_n: int = 10):
+        self.qc = qc
+        self.top_n = top_n
+        self.sites: List[Tuple[int, int]] = []  # (num_alleles, column)
+
+    def operate(self, variant: Variant):
+        from ..ops import merge as M
+        refs = []
+        alts = []
+        for _, call in variant.valid_calls():
+            refs.append(call.field("REF"))
+            alts.append(call.alt_list)
+        if not refs:
+            return
+        merged_ref = M.merge_reference_allele(refs)
+        merged_alts, _, _ = M.merge_alt_alleles(refs, alts, merged_ref)
+        import heapq
+        item = (len(merged_alts) + 1, variant.start)
+        if len(self.sites) < self.top_n:
+            heapq.heappush(self.sites, item)
+        else:
+            heapq.heappushpop(self.sites, item)
+
+    def render(self) -> str:
+        out = [f"{col},{n}" for n, col in
+               sorted(self.sites, reverse=True)]
+        return "\n".join(out) + ("\n" if out else "")
+
+
 class InterestingLocationsPrinter:
     """--produce-interesting-positions: per aligned interval, counts of
     valid calls / reference blocks / calls beginning at the position

@@ -58,6 +58,37 @@ def gt_get_column_interval(store: ColumnarStore, qc: QueryConfig,
     return out
 
 
+def gt_get_column_interval_paged(store: ColumnarStore, qc: QueryConfig,
+                                 interval: Tuple[int, int],
+                                 max_variants_per_page: int):
+    """Paged variant production (GA4GHPagingInfo equivalent,
+    variant.h:595 / query_variants.cc:687 paging logic): yields pages of at
+    most `max_variants_per_page` variants; page boundaries never split the
+    variants of one column (forward progress per page is guaranteed by
+    finishing the trailing column).  Concatenated pages == unpaged result.
+    """
+    variants = gt_get_column_interval(store, qc, interval)
+    yield from gt_get_column_interval_paged_list(variants,
+                                                 max_variants_per_page)
+
+
+def gt_get_column_interval_paged_list(variants, max_variants_per_page):
+    page: List = []
+    i = 0
+    while i < len(variants):
+        page.append(variants[i])
+        if len(page) >= max_variants_per_page:
+            col = variants[i][0]
+            while i + 1 < len(variants) and variants[i + 1][0] == col:
+                i += 1
+                page.append(variants[i])
+            yield page
+            page = []
+        i += 1
+    if page:
+        yield page
+
+
 def _ga4gh_operate(group: List[CallView], qc: QueryConfig):
     """GA4GH merge + in-place remap of allele-dependent fields + GT.
 

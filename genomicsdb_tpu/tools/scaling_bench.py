@@ -1,0 +1,67 @@
+"""Scaling-efficiency harness for the sharded combine.
+
+Measures combine throughput on 1..N devices of a (pos, row) mesh and
+reports parallel efficiency (the reference's north-star: >=80% from 1 chip
+to N hosts, BASELINE.md).  On this container only one real TPU chip is
+reachable, so multi-device numbers come from the virtual CPU mesh
+(JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8) and
+validate the sharded program + collectives; wall-clock efficiency is only
+meaningful on real multi-chip hardware.
+
+Usage: python -m genomicsdb_tpu.tools.scaling_bench [--devices 1 2 4 8]
+Prints one JSON line per device count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def bench_n_devices(n_devices: int, num_samples=64, cells_per_sample=512,
+                    region_len=16384, reps=3) -> dict:
+    import jax
+
+    from ..ops.combine_step import synthesize_cohort
+    from ..parallel.sharded import (make_mesh, pad_block_for_mesh,
+                                    shard_block, sharded_combine_step)
+    n_row = 2 if n_devices % 2 == 0 else 1
+    n_pos = n_devices // n_row
+    mesh = make_mesh(n_pos, n_row, jax.devices()[:n_devices])
+    blk = synthesize_cohort(num_samples, cells_per_sample, region_len,
+                            seed=0)
+    blk = pad_block_for_mesh(blk, n_pos, n_row)
+    args = shard_block(mesh, blk)
+    step = sharded_combine_step(mesh, max_merged=4, ploidy=2)
+    out = step(*args)
+    jax.block_until_ready(out)
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = step(*args)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return {"devices": n_devices, "seconds": best,
+            "records": int(len(blk.starts)),
+            "records_per_sec": len(blk.starts) / best}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    args = p.parse_args(argv)
+    base = None
+    for n in args.devices:
+        r = bench_n_devices(n)
+        if base is None:
+            base = r["records_per_sec"]
+        r["efficiency"] = round(r["records_per_sec"] / (base * n), 3)
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

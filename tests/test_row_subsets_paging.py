@@ -1,0 +1,67 @@
+"""Row-range subsetting, variants paging, max-alleles operator."""
+
+from golden_utils import (QUERY_ATTRIBUTES_DEFAULT, VCF_ATTRIBUTES_ORDER,
+                          load_setup, make_query_params)
+
+from genomicsdb_tpu.query import driver, json_output
+from genomicsdb_tpu.query.variants_path import (
+    gt_get_column_interval, gt_get_column_interval_paged)
+
+
+def test_query_row_ranges_subset():
+    """query_row_ranges restricts rows (row partitioning,
+    genomicsdb_config_base.h:163)."""
+    vid, store = load_setup("inputs/callsets/t0_1_2.json")
+    qp = make_query_params(
+        QUERY_ATTRIBUTES_DEFAULT, [(0, 1000000000)],
+        query_row_ranges=[{"range_list": [{"low": 0, "high": 1}]}])
+    qc = driver.make_query_config(qp, vid)
+    assert qc.rows_to_query == [0, 1]
+    out = driver.run_calls_query(store, qc)
+    assert '"row": 2' not in out
+    assert '"row": 0' in out and '"row": 1' in out
+    # combined VCF over the subset: only 2 sample columns
+    qp2 = make_query_params(
+        VCF_ATTRIBUTES_ORDER, [(0, 1000000000)],
+        query_row_ranges=[{"range_list": [{"low": 1, "high": 2}]}])
+    qc2 = driver.make_query_config(qp2, vid)
+    import os
+    from golden_utils import REF_TESTS
+    vcf = driver.run_vcf_query(
+        store, qc2, qp2, vid,
+        template_path=os.path.join(REF_TESTS,
+                                   "inputs/template_vcf_header.vcf"),
+        reference_path=os.path.join(REF_TESTS, "inputs/chr1_10MB.fasta.gz"))
+    chrom = [l for l in vcf.splitlines() if l.startswith("#CHROM")][0]
+    assert chrom.split("\t")[9:] == ["HG01958", "HG01530"]
+    # record at 12145 now shows only the two samples
+    rec = [l for l in vcf.splitlines() if l.startswith("1\t12145")][0]
+    assert len(rec.split("\t")) == 11
+
+
+def test_variants_paging_concatenation():
+    vid, store = load_setup("inputs/callsets/t0_1_2.json")
+    qp = make_query_params(QUERY_ATTRIBUTES_DEFAULT, [(0, 1000000000)])
+    qc = driver.make_query_config(qp, vid)
+    full = gt_get_column_interval(store, qc, (0, 1000000000))
+    vid2, store2 = load_setup("inputs/callsets/t0_1_2.json")
+    qc2 = driver.make_query_config(qp, vid2)
+    pages = list(gt_get_column_interval_paged(store2, qc2,
+                                              (0, 1000000000), 1))
+    assert len(pages) >= 3
+    cat = [v for page in pages for v in page]
+    assert json_output.print_variants_json(cat, qc2) == \
+        json_output.print_variants_json(full, qc)
+
+
+def test_max_alleles_operator():
+    from genomicsdb_tpu.query.operators import MaxAllelesCountOperator
+    from genomicsdb_tpu.query.scan import scan_and_operate
+    vid, store = load_setup("inputs/callsets/t6_7_8.json")
+    qp = make_query_params(QUERY_ATTRIBUTES_DEFAULT, [(0, 1000000000)])
+    qc = driver.make_query_config(qp, vid)
+    op = MaxAllelesCountOperator(qc, top_n=3)
+    scan_and_operate(store, qc, op.operate, (0, 1000000000))
+    out = op.render()
+    # the t6_7_8 multi-allelic site at column 8029499 has 4 alleles
+    assert "8029499,4" in out
