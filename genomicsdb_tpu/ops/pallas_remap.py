@@ -15,9 +15,15 @@ to 128.  Validated against the XLA path in tests/test_pallas_remap.py
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 
 import jax
+
+# Mosaic lowering of the gather kernel recurses deeply during tracing;
+# the default 1000-frame limit aborts the compile.
+if sys.getrecursionlimit() < 100000:
+    sys.setrecursionlimit(100000)
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
