@@ -149,6 +149,10 @@ class ImportParams:
     segment_size: int = 10 * 1024 * 1024
     num_cells_per_tile: int = 1000
     row_based_partitioning: bool = False
+    fail_if_updating: bool = False
+    lb_callset_row_idx: int = 0
+    ub_callset_row_idx: int = INT64_MAX - 1
+    consolidate_after_load: bool = False
     base_dir: str = ""
 
     @classmethod
@@ -174,6 +178,12 @@ class ImportParams:
         ip.num_cells_per_tile = int(doc.get("num_cells_per_tile", 1000))
         ip.row_based_partitioning = bool(
             doc.get("row_based_partitioning", False))
+        ip.fail_if_updating = bool(doc.get("fail_if_updating", False))
+        ip.lb_callset_row_idx = int(doc.get("lb_callset_row_idx", 0))
+        ip.ub_callset_row_idx = int(
+            doc.get("ub_callset_row_idx", INT64_MAX - 1))
+        ip.consolidate_after_load = bool(
+            doc.get("consolidate_tiledb_array_after_load", False))
         return ip
 
     def resolve(self, path: str) -> str:

@@ -38,9 +38,13 @@ BLK = 256
 
 def _remap_kernel(values_ref, idx_ref, ok_ref, out_ref):
     vals = values_ref[:]
-    idx = jnp.clip(idx_ref[:], 0, LANE - 1)
+    # NOTE: jnp.clip with Python-int bounds loops in ufunc dispatch under
+    # x64 inside Mosaic tracing; use typed min/max instead.
+    idx = jnp.minimum(jnp.maximum(idx_ref[:], jnp.int32(0)),
+                      jnp.int32(LANE - 1))
     gathered = jnp.take_along_axis(vals, idx, axis=-1)
-    out_ref[:] = jnp.where(ok_ref[:] != 0, gathered, INT_MISSING)
+    out_ref[:] = jnp.where(ok_ref[:] != 0, gathered,
+                           jnp.int32(INT_MISSING))
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -67,16 +71,20 @@ def remap_gather_pallas(values: jnp.ndarray, in_gt: jnp.ndarray,
     i2 = jnp.pad(in_gt.reshape(rows, Ko), ((0, pad_rows), (0, LANE - Ko)))
     o2 = jnp.pad(ok.reshape(rows, Ko), ((0, pad_rows), (0, LANE - Ko)))
     n_rows = rows + pad_rows
-    out = pl.pallas_call(
-        _remap_kernel,
-        out_shape=jax.ShapeDtypeStruct((n_rows, LANE), jnp.int32),
-        grid=(n_rows // BLK,),
-        in_specs=[pl.BlockSpec((BLK, LANE), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)] * 3,
-        out_specs=pl.BlockSpec((BLK, LANE), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(v2, i2, o2)
+    # Mosaic rejects the 64-bit index iota jax_enable_x64 injects into
+    # take_along_axis lowering; trace the kernel in 32-bit scope.
+    from jax.experimental import enable_x64
+    with enable_x64(False):
+        out = pl.pallas_call(
+            _remap_kernel,
+            out_shape=jax.ShapeDtypeStruct((n_rows, LANE), jnp.int32),
+            grid=(n_rows // BLK,),
+            in_specs=[pl.BlockSpec((BLK, LANE), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec((BLK, LANE), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(v2, i2, o2)
     return out[:rows, :Ko].reshape(R, S, Ko)
 
 

@@ -24,6 +24,15 @@ def run_import(loader_json: str, rank: int = 0, out=sys.stdout) -> None:
     ip = ImportParams.from_file(loader_json, rank)
     vid = VidMapper.from_files(ip.resolve(ip.vid_mapping_file),
                                ip.resolve(ip.callset_mapping_file))
+    # incremental-import row bounds (lb/ub_callset_row_idx,
+    # genomicsdb_config_base.h:60-61)
+    if ip.lb_callset_row_idx > 0 or ip.ub_callset_row_idx < 2**63 - 2:
+        vid.callsets = {k: v for k, v in vid.callsets.items()
+                        if ip.lb_callset_row_idx <= v.row_idx
+                        <= ip.ub_callset_row_idx}
+        vid.rows = {r: v for r, v in vid.rows.items()
+                    if ip.lb_callset_row_idx <= r
+                    <= ip.ub_callset_row_idx}
     begin, end = (ip.partition_bounds(rank) if ip.column_partitions
                   else (0, None))
     store = import_callsets(
@@ -38,9 +47,17 @@ def run_import(loader_json: str, rank: int = 0, out=sys.stdout) -> None:
         if workspace and array_name:
             if not ws.is_workspace(workspace):
                 ws.create_workspace(workspace)
+            import os as _os
+            exists = _os.path.isdir(_os.path.join(workspace, array_name))
+            if exists and ip.fail_if_updating:
+                raise RuntimeError(
+                    f"Array {workspace}/{array_name} exists and "
+                    "fail_if_updating is set (load_operators.cc:151-153)")
             if ip.delete_and_create_tiledb_array:
                 ws.delete_array(workspace, array_name)
             ws.write_fragment(workspace, array_name, store)
+            if ip.consolidate_after_load:
+                ws.consolidate_array(workspace, array_name)
     if ip.produce_combined_vcf:
         from ..core.config import INT64_MAX
         qp = QueryParams()

@@ -33,7 +33,8 @@ def _number_for(info) -> str:
 
 
 def load_template(path: str) -> VCFHeader:
-    with open(path) as f:
+    from .reader import open_text
+    with open_text(path) as f:
         return read_header(f)
 
 
