@@ -73,8 +73,7 @@ def remap_gather_pallas(values: jnp.ndarray, in_gt: jnp.ndarray,
     n_rows = rows + pad_rows
     # Mosaic rejects the 64-bit index iota jax_enable_x64 injects into
     # take_along_axis lowering; trace the kernel in 32-bit scope.
-    from jax.experimental import enable_x64
-    with enable_x64(False):
+    with jax.enable_x64(False):
         out = pl.pallas_call(
             _remap_kernel,
             out_shape=jax.ShapeDtypeStruct((n_rows, LANE), jnp.int32),

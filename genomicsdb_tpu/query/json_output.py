@@ -205,6 +205,79 @@ def print_variant_call(call: CallView, qc: QueryConfig, indent_prefix: str
     return "".join(out)
 
 
+def _cotton_value(call, name: str, qc: QueryConfig) -> str:
+    """print_Cotton_JSON field rendering (variant_field_data.h:452-460):
+    lists for variable-length/multi-element fields, scalars otherwise,
+    'null' for invalid; std::fixed precision 6 floats."""
+    if hasattr(call, "_overrides") and name in call._overrides:
+        val = call._overrides[name]
+    else:
+        val = call.field(name)
+    if val is None:
+        return "null"
+    fd = call.store.fields.get(name)
+    if name == "ALT":
+        alts = val.split("|") if isinstance(val, str) else val
+        return "[ " + ",".join(
+            '"<NON_REF>"' if a in ("&", "<NON_REF>") else f'"{a}"'
+            for a in alts) + " ]"
+    if fd is None or fd.kind == "str" or isinstance(val, str):
+        return f'"{val}"'
+    is_float = fd.dtype == "float32"
+    fmt = (formats.format_float_variants_json if is_float
+           else (lambda x: str(int(x))))
+    arr = np.atleast_1d(np.asarray(val))
+    if fd.kind == "fixed" and arr.shape[-1] == 1 and fd.values.shape[1] == 1:
+        return fmt(arr[0])
+    return "[ " + ",".join(fmt(x) for x in arr) + " ]"
+
+
+def print_cotton_json(variants, qc: QueryConfig) -> str:
+    """--output-format Cotton-JSON (variant.cc:479-583): per-attribute
+    arrays across all calls of all variants."""
+    calls = [c for (_s, _e, _cm, group) in variants for c in group]
+    out = ["{\n"]
+    ind = INDENT
+    out.append(f'{ind}"indices" : [ '
+               + ",".join(str(c.row) for c in calls) + " ],\n")
+
+    def contig_pos(col):
+        loc = qc.vid.get_contig_location(col)
+        return str(loc[1] + 1) if loc else str(col)
+
+    out.append(f'{ind}"POSITION" : [ '
+               + ",".join(contig_pos(c.col) for c in calls) + " ],\n")
+    out.append(f'{ind}"END" : [ '
+               + ",".join(contig_pos(c.end) for c in calls) + " ],\n")
+    attrs = [a for a in qc.attributes if a != "END"]
+    for i, name in enumerate(attrs):
+        vals = ",".join(_cotton_value(c, name, qc) for c in calls)
+        sep = "\n" if i + 1 >= len(attrs) else ",\n"
+        out.append(f'{ind}"{name}" : [ {vals} ]{sep}')
+    out.append("}\n")
+    return "".join(out)
+
+
+def print_positions_json(per_interval, qc: QueryConfig) -> str:
+    """--output-format Positions-JSON split by column
+    (variant.cc:633-700): per queried interval, a "start[_end]" keyed
+    object of Cotton-style field arrays."""
+    out = ["{\n"]
+    blocks = []
+    for (begin, end), variants in per_interval:
+        loc = qc.vid.get_contig_location(begin)
+        loce = qc.vid.get_contig_location(end)
+        sp = loc[1] + 1 if loc else begin
+        ep = loce[1] + 1 if loce else end
+        key = f"{sp}" if sp == ep else f"{sp}_{ep}"
+        body = print_cotton_json(variants, qc)
+        body = body[2:-2]  # strip outer braces/newlines
+        blocks.append(f'"{key}" : {{\n{body}}}')
+    out.append(",\n".join(blocks))
+    out.append("\n}\n")
+    return "".join(out)
+
+
 def print_variants_json(variants, qc: QueryConfig) -> str:
     """Default ("GA4GH-like") output of run_range_query
     (variant.cc:984-999).  `variants` is a list of

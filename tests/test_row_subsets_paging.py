@@ -65,3 +65,22 @@ def test_max_alleles_operator():
     out = op.render()
     # the t6_7_8 multi-allelic site at column 8029499 has 4 alleles
     assert "8029499,4" in out
+
+
+def test_cotton_and_positions_json():
+    from genomicsdb_tpu.query.variants_path import gt_get_column_interval
+    import json as _json
+    vid, store = load_setup("inputs/callsets/t0_1_2.json")
+    qp = make_query_params(QUERY_ATTRIBUTES_DEFAULT, [(0, 1000000000)])
+    qc = driver.make_query_config(qp, vid)
+    variants = gt_get_column_interval(store, qc, (0, 1000000000))
+    cotton = json_output.print_cotton_json(variants, qc)
+    doc = _json.loads(cotton)
+    assert doc["indices"][:2] == [0, 1]
+    assert doc["POSITION"][:2] == [12141, 12145]
+    assert doc["END"][:2] == [12295, 12277]
+    assert doc["REF"][0] == "C"
+    pos = json_output.print_positions_json(
+        [((12140, 12294), variants[:1])], qc)
+    pdoc = _json.loads(pos)
+    assert "12141_12295" in pdoc
