@@ -1,0 +1,224 @@
+"""ColumnarStore -> device CellBlock conversion.
+
+Bridges the storage layer to the batched device combine: per-row dense cell
+layout, padded field tensors, and the per-(interval, cell) allele LUTs.
+
+Allele merging is query-invariant string work, done once here on the host
+(ops/merge.py semantics); intervals whose live cells are all reference
+blocks (the overwhelming majority in gVCF data) short-circuit to the
+identity LUT, so per-interval merge cost scales with the number of variant
+sites, not with genome length.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core import formats
+from ..core.config import QueryConfig
+from ..store.columnar import ColumnarStore
+from . import merge as M
+from .combine_step import CellBlock
+
+INT_MISSING = formats.INT_MISSING
+INT64_MAX = np.iinfo(np.int64).max
+
+
+def store_to_block(store: ColumnarStore, qc: QueryConfig,
+                   interval: Optional[Tuple[int, int]] = None,
+                   max_merged: int = 8, ploidy: int = 2,
+                   info_fields: Optional[List[str]] = None) -> CellBlock:
+    """Build a CellBlock for the queried rows over `interval`.
+
+    Field selection: PL, AD, GT, GQ, DP(_FORMAT), MIN_DP, DP(INFO), RAW_MQ
+    and the float INFO median fields (default: the GATK RankSum/MQ set).
+    """
+    rows = qc.rows_to_query
+    S = len(rows)
+    if info_fields is None:
+        info_fields = [f for f in ("BaseQRankSum", "ClippingRankSum",
+                                   "MQRankSum", "ReadPosRankSum", "MQ",
+                                   "MQ0")
+                       if f in store.fields]
+    # --- dense per-row cell layout ---
+    per_row_idx: List[np.ndarray] = []
+    for r in rows:
+        idx = np.nonzero(store.row == r)[0]
+        if interval is not None:
+            lo, hi = interval
+            keep = (store.col[idx] <= hi) & (store.eff_end[idx] >= lo)
+            idx = idx[keep]
+        per_row_idx.append(idx)
+    C = max((len(i) for i in per_row_idx), default=1)
+    C = max(C, 1)
+    col = np.full((S, C), INT64_MAX, dtype=np.int64)
+    end = np.full((S, C), 0, dtype=np.int64)
+    cell_of = np.full((S, C), -1, dtype=np.int64)
+    for s, idx in enumerate(per_row_idx):
+        col[s, :len(idx)] = store.col[idx]
+        end[s, :len(idx)] = store.eff_end[idx]
+        cell_of[s, :len(idx)] = idx
+
+    def ragged_matrix(name, width, dtype=np.int32,
+                      fill=INT_MISSING):
+        out = np.full((S, C, width), fill, dtype=dtype)
+        lens = np.zeros((S, C), dtype=np.int32)
+        fd = store.fields.get(name)
+        if fd is None:
+            return out, lens
+        for s in range(S):
+            for k, ci in enumerate(cell_of[s]):
+                if ci < 0 or not fd.valid[ci]:
+                    continue
+                v = fd.cell_value(int(ci))
+                if v is None:
+                    continue
+                arr = np.atleast_1d(np.asarray(v))
+                n = min(width, len(arr))
+                out[s, k, :n] = arr[:n]
+                lens[s, k] = len(arr)
+        return out, lens
+
+    def scalar_matrix(name, dtype=np.int32, fill=INT_MISSING):
+        out = np.full((S, C), fill, dtype=dtype)
+        fd = store.fields.get(name)
+        if fd is None:
+            return out
+        for s in range(S):
+            for k, ci in enumerate(cell_of[s]):
+                if ci < 0 or not fd.valid[ci]:
+                    continue
+                v = fd.cell_value(int(ci))
+                if v is None:
+                    continue
+                arr = np.atleast_1d(np.asarray(v))
+                if len(arr):
+                    out[s, k] = arr[0]
+        return out
+
+    G_in = M.genotype_combinations(max_merged, ploidy)
+    G_in = len(G_in)
+    pl, pl_len = ragged_matrix("PL", G_in)
+    ad, ad_len = ragged_matrix("AD", max_merged)
+    gt, _ = ragged_matrix("GT", ploidy, fill=-1)
+    gq = scalar_matrix("GQ")
+    dp = scalar_matrix("DP_FORMAT")
+    min_dp = scalar_matrix("MIN_DP")
+    dp_info = scalar_matrix("DP")
+    F = len(info_fields)
+    info_f = np.full((F, S, C), np.nan, dtype=np.float32)
+    for fi, name in enumerate(info_fields):
+        m = scalar_matrix(name, dtype=np.float32,
+                          fill=np.float32(np.nan))
+        bits = m.view(np.uint32)
+        m = np.where(bits == formats.FLOAT_MISSING_BITS, np.nan, m)
+        info_f[fi] = m
+    raw = scalar_matrix("RAW_MQ", dtype=np.float32,
+                        fill=np.float32(np.nan))
+    raw = np.where(raw.view(np.uint32) == formats.FLOAT_MISSING_BITS,
+                   np.nan, raw)
+    # --- sweep + per-interval allele merge ---
+    valid_cells = col < INT64_MAX
+    events = np.unique(np.concatenate(
+        [col[valid_cells].ravel(), end[valid_cells].ravel() + 1]))
+    if interval is not None:
+        lo, hi = interval
+        events = events[(events >= lo) & (events <= hi)]
+        if len(events) == 0 or events[0] != lo:
+            events = np.concatenate([[lo], events])
+    starts = events
+    B = len(starts)
+    # live cell per (interval, row) on host (same math as live_cells_at)
+    live = np.full((B, S), -1, dtype=np.int64)
+    for s in range(S):
+        idx = np.searchsorted(col[s], starts, side="right") - 1
+        ok = idx >= 0
+        idxc = np.clip(idx, 0, C - 1)
+        ok &= end[s, idxc] >= starts
+        live[:, s] = np.where(ok, idxc, -1)
+    # per-cell allele strings
+    refs: Dict[int, str] = {}
+    alts: Dict[int, List[str]] = {}
+    ref_fd = store.fields["REF"]
+    alt_fd = store.fields["ALT"]
+    for ci in np.unique(cell_of[cell_of >= 0]):
+        ci = int(ci)
+        refs[ci] = ref_fd.cell_value(ci) if ref_fd.valid[ci] else None
+        a = alt_fd.cell_value(ci) if alt_fd.valid[ci] else None
+        alts[ci] = a.split("|") if a is not None else None
+    # LUTs per (interval, row); cache by live-cell signature
+    inv_lut = np.full((S, C, max_merged), -1, dtype=np.int32)
+    input_nr = np.full((S, C), -1, dtype=np.int32)
+    rec_num_merged = np.ones(B, dtype=np.int32)
+    # fast path: cells that are pure ref blocks get identity LUT [0, NR]
+    cell_is_refblock: Dict[int, bool] = {}
+    for ci, r in refs.items():
+        a = alts[ci]
+        cell_is_refblock[ci] = (r is not None and a is not None
+                                and len(r) == 1 and len(a) == 1
+                                and a[0].startswith("&"))
+    # NOTE: per-interval LUTs differ when variant cells co-occur; this
+    # block-level representation assigns each CELL one LUT (valid when a
+    # cell's allele context is constant over its lifetime, which holds for
+    # whole-array combines of gVCF data at variant sites: variant cells are
+    # single-position).  Multi-variant co-location uses the per-record
+    # merge below.
+    sig_cache: Dict[Tuple, Tuple[List[str], np.ndarray]] = {}
+    for b in range(B):
+        cells = [int(cell_of[s, live[b, s]]) if live[b, s] >= 0 else -1
+                 for s in range(S)]
+        var_cells = [c for c in cells if c >= 0
+                     and not cell_is_refblock.get(c, True)]
+        if not var_cells:
+            rec_num_merged[b] = 1  # REF only (+NON_REF via cells)
+            for s in range(S):
+                c = cells[s]
+                if c >= 0:
+                    k = int(live[b, s])
+                    inv_lut[s, k, 0] = 0
+                    if alts[c]:
+                        inv_lut[s, k, 1] = 1
+                        input_nr[s, k] = 1
+            rec_num_merged[b] = 2
+            continue
+        sig = tuple(sorted(set(var_cells)))
+        got = sig_cache.get(sig)
+        if got is None:
+            call_refs = [refs[c] for c in var_cells]
+            call_alts = [alts[c] for c in var_cells]
+            merged_ref = M.merge_reference_allele(call_refs)
+            merged_alts, lut, non_ref = M.merge_alt_alleles(
+                call_refs, call_alts, merged_ref)
+            got = (merged_alts, lut, non_ref,
+                   {c: i for i, c in enumerate(var_cells)})
+            sig_cache[sig] = got
+        merged_alts, lut, non_ref, order = got
+        nm = len(merged_alts) + 1
+        rec_num_merged[b] = min(nm, max_merged)
+        for s in range(S):
+            c = cells[s]
+            if c < 0:
+                continue
+            k = int(live[b, s])
+            if c in order:
+                inv = M.inverse_lut(lut[order[c]], nm)[:max_merged]
+                inv_lut[s, k, :len(inv)] = inv
+                if non_ref:
+                    nr_in = inv[min(nm, max_merged) - 1]
+                    input_nr[s, k] = nr_in
+            else:
+                inv_lut[s, k, 0] = 0
+                if alts[c]:
+                    # ref block: its NON_REF maps to merged NON_REF (last)
+                    inv_lut[s, k, min(nm, max_merged) - 1] = 1
+                    input_nr[s, k] = 1
+    num_merged = np.maximum((inv_lut >= 0).sum(axis=-1), 1).astype(np.int32)
+    return CellBlock(col=col, end=end, pl=pl, pl_len=pl_len, ad=ad,
+                     ad_len=ad_len, gt=gt, gq=gq, dp=dp, min_dp=min_dp,
+                     dp_info=dp_info, info_f=info_f, raw_mq=raw,
+                     inv_lut=inv_lut, input_nr=input_nr,
+                     num_merged=num_merged, starts=starts,
+                     rec_num_merged=rec_num_merged)

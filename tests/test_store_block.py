@@ -1,0 +1,58 @@
+"""Real store -> device block -> combine step vs the sequential engine."""
+
+import numpy as np
+
+from golden_utils import (QUERY_ATTRIBUTES_DEFAULT, load_setup,
+                          make_query_params)
+
+from genomicsdb_tpu.core import formats
+from genomicsdb_tpu.ops.combine_step import block_to_args, combine_step
+from genomicsdb_tpu.ops.store_block import store_to_block
+from genomicsdb_tpu.query import driver
+from genomicsdb_tpu.query.scan import scan_variants
+
+INT_MISSING = formats.INT_MISSING
+
+
+def test_store_block_combine_matches_sequential():
+    vid, store = load_setup("inputs/callsets/t0_1_2.json")
+    qp = make_query_params(QUERY_ATTRIBUTES_DEFAULT, [(0, 1000000000)])
+    qc = driver.make_query_config(qp, vid)
+    blk = store_to_block(store, qc, interval=(12140, 20000),
+                         max_merged=4, ploidy=2)
+    out = combine_step(*block_to_args(blk), max_merged=4, ploidy=2)
+    starts = blk.starts
+    live = np.asarray(out["live"])
+    pl = np.asarray(out["pl"])
+    ad = np.asarray(out["ad"])
+    dp_sum = np.asarray(out["dp_info_sum"])
+    med = np.asarray(out["info_median"])
+    # sequential engine records for the same interval
+    seq = {}
+    for v in scan_variants(store, qc, (12140, 20000)):
+        seq[v.start] = v
+    b_by_start = {int(s): i for i, s in enumerate(starts)}
+    # the multi-allelic site at column 17384 (VCF 17385)
+    b = b_by_start[17384]
+    v = seq[17384]
+    # merged alleles G -> [A, T, NON_REF]: row0 PL remap must equal golden
+    expect_pl0 = [504, 0, 9807, 678, 1870, 2548, 678, 1870, 2548, 2548]
+    assert pl[b, 0, :10].tolist() == expect_pl0
+    expect_pl1 = [3336, 4536, 7349, 358, 958, 0, 4536, 7349, 958, 7349]
+    assert pl[b, 1, :10].tolist() == expect_pl1
+    assert ad[b, 0, :4].tolist() == [58, 22, 17, 17]
+    assert ad[b, 1, :4].tolist() == [0, 37, 120, 37]
+    assert ad[b, 2, :4].tolist() == [40, 36, 0, 0]
+    # INFO DP = 276 (golden)
+    assert dp_sum[b] == 276
+    # median of MQ over valid calls = 31.72 (golden); MQ is info field 4
+    mq_med = med[4, b]
+    assert abs(float(mq_med) - 31.72) < 1e-4
+    # ref-block intervals: live rows match the sequential engine
+    for start, v in seq.items():
+        if start not in b_by_start:
+            continue
+        bi = b_by_start[start]
+        seq_live_rows = {qidx for qidx, _ in v.valid_calls()}
+        blk_live_rows = {s for s in range(3) if live[bi, s] >= 0}
+        assert blk_live_rows == seq_live_rows, start
