@@ -16,6 +16,7 @@ from __future__ import annotations
 import heapq
 from typing import Callable, Iterator, List, Optional, Tuple
 
+from ..core import profile
 from ..core.config import QueryConfig, INT64_MAX
 from ..store.columnar import ColumnarStore
 from .cells import CallView
@@ -121,6 +122,8 @@ def scan_variants(store: ColumnarStore, qc: QueryConfig,
                 min_end = next_start - 1
             if num_calls_with_deletions:
                 min_end = current_start  # single-position stepping
+            if profile.ENABLED:
+                profile.GLOBAL_STATS.bump("operator_invocations")
             yield Variant(current_start, min_end, list(calls), list(valid))
             # pop all calls ending exactly at min_end
             while True:
@@ -154,6 +157,8 @@ def scan_variants(store: ColumnarStore, qc: QueryConfig,
         cell_idxs = store.cells_in_column_range(0, INT64_MAX - 1)
     ended = False
     for ci in cell_idxs:
+        if profile.ENABLED:
+            profile.GLOBAL_STATS.bump("cells_traversed")
         col = int(store.col[ci])
         if current_start < 0:
             current_start = col

@@ -96,6 +96,22 @@ def run_rank(args, rank: int) -> str:
         return fn(store, qc, qp, vid,
                   template_path=template if rank == args.rank else None,
                   reference_path=refg)
+    if args.output_format == "Cotton-JSON":
+        from ..query import json_output
+        from ..query.variants_path import gt_get_column_interval
+        from ..core.config import INT64_MAX
+        variants = []
+        for iv in (qc.column_intervals or [(0, INT64_MAX - 1)]):
+            variants.extend(gt_get_column_interval(store, qc, iv))
+        return json_output.print_cotton_json(variants, qc)
+    if args.output_format == "Positions-JSON":
+        from ..query import json_output
+        from ..query.variants_path import gt_get_column_interval
+        from ..core.config import INT64_MAX
+        per_interval = []
+        for iv in (qc.column_intervals or [(0, INT64_MAX - 1)]):
+            per_interval.append((iv, gt_get_column_interval(store, qc, iv)))
+        return json_output.print_positions_json(per_interval, qc)
     # default: variants JSON range query
     return qdriver.run_variants_query(store, qc)
 
@@ -125,6 +141,10 @@ def main(argv=None):
     p.add_argument("--end", type=int, default=None)
     p.add_argument("--java-vcf", dest="java_vcf", action="store_true",
                    help="htsjdk-style rendering for --produce-Broad-GVCF")
+    p.add_argument("-O", "--output-format", dest="output_format",
+                   default="", choices=["", "Cotton-JSON",
+                                        "Positions-JSON", "GA4GH"],
+                   help="range-query output format (default GA4GH-like)")
     args = p.parse_args(argv)
     # rank fan-out + ordered gather (combine output is partition-ordered by
     # construction, gt_mpi_gather.cc:322-366)
