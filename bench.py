@@ -158,10 +158,105 @@ def bench_import(n_records=20000, n_samples=8, tmpdir="/tmp"):
     }
 
 
+def bench_cohort_end_to_end(n_samples=100, n_records=4000,
+                            tmpdir="/tmp"):
+    """Full pipeline on a 100-sample cohort (BASELINE config 5 shape):
+    VCF text -> native import -> store->device block -> device combine.
+    Reports per-stage seconds + end-to-end positions/sec."""
+    import os
+    import random
+    random.seed(1)
+    path = os.path.join(tmpdir, "bench_cohort100.vcf")
+    samples = [f"S{i}" for i in range(n_samples)]
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.1\n")
+        for line in [
+            '##ALT=<ID=NON_REF,Description="n">',
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+            '##FORMAT=<ID=AD,Number=.,Type=Integer,Description="a">',
+            '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">',
+            '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="q">',
+            '##FORMAT=<ID=MIN_DP,Number=1,Type=Integer,Description="m">',
+            '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="p">',
+            '##INFO=<ID=END,Number=1,Type=Integer,Description="e">',
+            '##INFO=<ID=BaseQRankSum,Number=1,Type=Float,Description="b">',
+            '##contig=<ID=1,length=249250621>',
+        ]:
+            f.write(line + "\n")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                + "\t".join(samples) + "\n")
+        pos = 1
+        for i in range(n_records):
+            if i % 20 == 19:  # variant site
+                cells = "\t".join(
+                    f"0/1:{random.randint(1,40)},{random.randint(1,40)},0:"
+                    f"{random.randint(10,99)}:{random.randint(10,99)}:.:"
+                    f"{random.randint(0,500)},0,{random.randint(0,500)},"
+                    f"{random.randint(0,500)},{random.randint(0,500)},"
+                    f"{random.randint(0,500)}"
+                    for _ in range(n_samples))
+                f.write(f"1\t{pos}\t.\tC\tA,<NON_REF>\t50\t.\t"
+                        f"BaseQRankSum={random.random():.3f}\t"
+                        f"GT:AD:DP:GQ:MIN_DP:PL\t{cells}\n")
+                pos += 1
+            else:
+                end = pos + random.randint(50, 400)
+                cells = "\t".join(
+                    f"0/0:.:{random.randint(1,60)}:0:0:0,0,0"
+                    for _ in range(n_samples))
+                f.write(f"1\t{pos}\t.\tC\t<NON_REF>\t.\t.\tEND={end}\t"
+                        f"GT:AD:DP:GQ:MIN_DP:PL\t{cells}\n")
+                pos = end + 1
+    region_len = pos
+    import jax
+    from genomicsdb_tpu.core.config import QueryParams
+    from genomicsdb_tpu.core.vid import VidMapper
+    from genomicsdb_tpu.ops.combine_step import block_to_args, combine_step
+    from genomicsdb_tpu.ops.store_block import store_to_block
+    from genomicsdb_tpu.query import driver
+    from genomicsdb_tpu.store.import_pipeline import import_callsets
+    vid = VidMapper.from_files("/root/reference/tests/inputs/vid.json")
+    vid.parse_callsets({"callsets": {
+        s: {"row_idx": i, "idx_in_file": i, "filename": path}
+        for i, s in enumerate(samples)}})
+    t0 = time.perf_counter()
+    store = import_callsets(vid)
+    t_import = time.perf_counter() - t0
+    qp = QueryParams()
+    qp.scan_full = True
+    qp.attributes = []
+    qc = driver.make_query_config(qp, vid)
+    t0 = time.perf_counter()
+    blk = store_to_block(store, qc, interval=(0, region_len),
+                         max_merged=4, ploidy=2)
+    t_block = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = combine_step(*block_to_args(blk), max_merged=4, ploidy=2)
+    jax.block_until_ready(out)
+    t_compile_run = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = combine_step(*block_to_args(blk), max_merged=4, ploidy=2)
+    jax.block_until_ready(out)
+    t_device = time.perf_counter() - t0
+    os.unlink(path)
+    total = t_import + t_block + t_device
+    return {
+        "samples": n_samples,
+        "records": int(len(blk.starts)),
+        "positions": int(region_len),
+        "import_s": t_import,
+        "block_build_s": t_block,
+        "device_s": t_device,
+        "compile_s": t_compile_run - t_device,
+        "end_to_end_positions_per_sec": region_len / total,
+    }
+
+
 def main():
     dev = bench_device()
     oracle = bench_oracle()
     imp = bench_import()
+    e2e = bench_cohort_end_to_end()
     value = dev["positions_per_sec"]
     vs = value / oracle["positions_per_sec"]
     line = {
@@ -176,6 +271,9 @@ def main():
                 round(oracle["positions_per_sec"], 1),
             "import": {k: round(v, 1) if isinstance(v, float) else v
                        for k, v in imp.items()},
+            "cohort100_end_to_end": {
+                k: round(v, 2) if isinstance(v, float) else v
+                for k, v in e2e.items()},
         },
     }
     print(json.dumps(line))

@@ -62,42 +62,53 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         end[s, :len(idx)] = store.eff_end[idx]
         cell_of[s, :len(idx)] = idx
 
-    def ragged_matrix(name, width, dtype=np.int32,
-                      fill=INT_MISSING):
-        out = np.full((S, C, width), fill, dtype=dtype)
-        lens = np.zeros((S, C), dtype=np.int32)
+    flat_cells = cell_of.reshape(-1)
+    has_cell = flat_cells >= 0
+    safe_cells = np.clip(flat_cells, 0, max(store.num_cells - 1, 0))
+
+    def ragged_matrix(name, width, dtype=np.int32, fill=INT_MISSING):
+        """Vectorized: per-cell ragged/fixed values -> [S, C, width]."""
+        out = np.full((S * C, width), fill, dtype=dtype)
+        lens = np.zeros(S * C, dtype=np.int32)
         fd = store.fields.get(name)
-        if fd is None:
-            return out, lens
-        for s in range(S):
-            for k, ci in enumerate(cell_of[s]):
-                if ci < 0 or not fd.valid[ci]:
-                    continue
-                v = fd.cell_value(int(ci))
-                if v is None:
-                    continue
-                arr = np.atleast_1d(np.asarray(v))
-                n = min(width, len(arr))
-                out[s, k, :n] = arr[:n]
-                lens[s, k] = len(arr)
-        return out, lens
+        if fd is None or store.num_cells == 0:
+            return out.reshape(S, C, width), lens.reshape(S, C)
+        ok = has_cell & fd.valid[safe_cells]
+        if fd.kind == "fixed":
+            w = min(width, fd.values.shape[1])
+            sel = np.nonzero(ok)[0]
+            out[sel, :w] = fd.values[safe_cells[sel], :w]
+            lens[sel] = fd.values.shape[1]
+        else:
+            cell_lens = np.diff(fd.offsets)
+            sel = np.nonzero(ok)[0]
+            ln = np.minimum(cell_lens[safe_cells[sel]], width)
+            src0 = fd.offsets[:-1][safe_cells[sel]]
+            nz = ln > 0
+            from ..store.columnar import _ragged_arange
+            src_idx = _ragged_arange(src0[nz], ln[nz])
+            dst_rows = np.repeat(sel[nz], ln[nz])
+            dst_cols = _ragged_arange(np.zeros(int(nz.sum()),
+                                               dtype=np.int64), ln[nz])
+            out[dst_rows, dst_cols] = fd.values[src_idx]
+            lens[sel] = cell_lens[safe_cells[sel]]
+        return out.reshape(S, C, width), lens.reshape(S, C)
 
     def scalar_matrix(name, dtype=np.int32, fill=INT_MISSING):
-        out = np.full((S, C), fill, dtype=dtype)
+        out = np.full(S * C, fill, dtype=dtype)
         fd = store.fields.get(name)
-        if fd is None:
-            return out
-        for s in range(S):
-            for k, ci in enumerate(cell_of[s]):
-                if ci < 0 or not fd.valid[ci]:
-                    continue
-                v = fd.cell_value(int(ci))
-                if v is None:
-                    continue
-                arr = np.atleast_1d(np.asarray(v))
-                if len(arr):
-                    out[s, k] = arr[0]
-        return out
+        if fd is None or store.num_cells == 0:
+            return out.reshape(S, C)
+        ok = has_cell & fd.valid[safe_cells]
+        sel = np.nonzero(ok)[0]
+        if fd.kind == "fixed":
+            out[sel] = fd.values[safe_cells[sel], 0]
+        else:
+            cell_lens = np.diff(fd.offsets)
+            nz = cell_lens[safe_cells[sel]] > 0
+            sel = sel[nz]
+            out[sel] = fd.values[fd.offsets[:-1][safe_cells[sel]]]
+        return out.reshape(S, C)
 
     G_in = M.genotype_combinations(max_merged, ploidy)
     G_in = len(G_in)

@@ -154,21 +154,37 @@ def fast_import_file(path: str, vid: VidMapper,
 
     def ragged_from_per_record(values_list, dtype, as_str=False):
         """Per-record python values -> per-cell ragged (replicated to all
-        mapped samples)."""
-        chunks = []
-        lens = np.zeros(n_cells, dtype=np.int64)
+        mapped samples); vectorized over the sample axis."""
+        np_dtype = np.uint8 if as_str else dtype
+        rec_arrays = []
+        rec_lens = np.zeros(n, dtype=np.int64)
         for i, v in enumerate(values_list):
             if v is None:
                 continue
             arr = (np.frombuffer(v.encode(), dtype=np.uint8) if as_str
                    else np.asarray(v, dtype=dtype))
-            for k in range(K_s):
-                lens[i * K_s + k] = len(arr)
-            chunks.append(np.tile(arr, K_s))
+            rec_arrays.append(arr)
+            rec_lens[i] = len(arr)
+        lens = np.repeat(rec_lens, K_s)
         offsets = np.zeros(n_cells + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
-        values = (np.concatenate(chunks) if chunks
-                  else np.zeros(0, dtype=np.uint8 if as_str else dtype))
+        if rec_arrays:
+            rec_values = np.concatenate(rec_arrays)
+            rec_offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(rec_lens, out=rec_offsets[1:])
+            # each record's payload repeated K_s times, in cell order
+            sel = rec_lens > 0
+            src0 = np.repeat(rec_offsets[:-1][sel], K_s)
+            sl = np.repeat(rec_lens[sel], K_s)
+            cell_ids = (np.repeat(np.nonzero(sel)[0], K_s) * K_s
+                        + np.tile(np.arange(K_s), int(sel.sum())))
+            dest0 = offsets[:-1][cell_ids]
+            src_idx = _ragged_arange(src0, sl)
+            dest_idx = _ragged_arange(dest0, sl)
+            values = np.empty(int(offsets[-1]), dtype=np_dtype)
+            values[dest_idx] = rec_values[src_idx]
+        else:
+            values = np.zeros(0, dtype=np_dtype)
         valid = np.repeat(
             np.array([v is not None for v in values_list]), K_s)
         return valid, values, offsets
