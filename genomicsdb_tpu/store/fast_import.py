@@ -59,7 +59,7 @@ def fast_import_file(path: str, vid: VidMapper,
     if not _supported(vid, len(samples)):
         return None
     records = data[nl_idx + 1:]
-    toks = nl.tokenize_records(records)
+    toks = nl.tokenize_records(records, max_cols=10 + len(samples))
     if toks is None:
         return None
     offs, ncols = toks
