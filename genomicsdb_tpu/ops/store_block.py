@@ -27,10 +27,21 @@ INT_MISSING = formats.INT_MISSING
 INT64_MAX = np.iinfo(np.int64).max
 
 
+@dataclass
+class BlockRecordMeta:
+    """Per-record host metadata for the block-based VCF writer."""
+    ends: np.ndarray               # [B] record end columns
+    refs: List[Optional[str]]      # merged REF per record (None -> fasta)
+    alts: List[List[str]]          # merged ALT lists ("&" = NON_REF)
+    is_ref_block_only: np.ndarray  # [B] bool
+    has_deletion: np.ndarray       # [B] bool (sequential fallback needed)
+
+
 def store_to_block(store: ColumnarStore, qc: QueryConfig,
                    interval: Optional[Tuple[int, int]] = None,
                    max_merged: int = 8, ploidy: int = 2,
-                   info_fields: Optional[List[str]] = None) -> CellBlock:
+                   info_fields: Optional[List[str]] = None,
+                   return_meta: bool = False):
     """Build a CellBlock for the queried rows over `interval`.
 
     Field selection: PL, AD, GT, GQ, DP(_FORMAT), MIN_DP, DP(INFO), RAW_MQ
@@ -178,13 +189,34 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     # single-position).  Multi-variant co-location uses the per-record
     # merge below.
     sig_cache: Dict[Tuple, Tuple[List[str], np.ndarray]] = {}
+    cell_has_del: Dict[int, bool] = {}
+    for ci, r in refs.items():
+        a = alts[ci]
+        cell_has_del[ci] = bool(
+            r is not None and a is not None and len(r) > 1
+            and any((not M.is_symbolic_allele(x)) and len(x) < len(r)
+                    for x in a))
+    rec_ends = np.zeros(B, dtype=np.int64)
+    rec_refs: List[Optional[str]] = [None] * B
+    rec_alts: List[List[str]] = [["&"]] * B
+    rec_refonly = np.zeros(B, dtype=bool)
+    rec_hasdel = np.zeros(B, dtype=bool)
+    hi_bound = interval[1] if interval is not None else INT64_MAX - 1
     for b in range(B):
+        nxt = starts[b + 1] - 1 if b + 1 < B else INT64_MAX - 1
+        live_ends = [int(end[s, live[b, s]]) for s in range(S)
+                     if live[b, s] >= 0]
+        rec_ends[b] = min(nxt, min(live_ends) if live_ends else nxt,
+                          hi_bound)
         cells = [int(cell_of[s, live[b, s]]) if live[b, s] >= 0 else -1
                  for s in range(S)]
+        rec_hasdel[b] = any(cell_has_del.get(c, False)
+                            for c in cells if c >= 0)
         var_cells = [c for c in cells if c >= 0
                      and not cell_is_refblock.get(c, True)]
         if not var_cells:
             rec_num_merged[b] = 1  # REF only (+NON_REF via cells)
+            start_refs = []
             for s in range(S):
                 c = cells[s]
                 if c >= 0:
@@ -193,7 +225,11 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                     if alts[c]:
                         inv_lut[s, k, 1] = 1
                         input_nr[s, k] = 1
+                    if col[s, k] == starts[b] and refs.get(c):
+                        start_refs.append(refs[c])
             rec_num_merged[b] = 2
+            rec_refs[b] = start_refs[0] if start_refs else None
+            rec_refonly[b] = True
             continue
         sig = tuple(sorted(set(var_cells)))
         got = sig_cache.get(sig)
@@ -203,12 +239,14 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             merged_ref = M.merge_reference_allele(call_refs)
             merged_alts, lut, non_ref = M.merge_alt_alleles(
                 call_refs, call_alts, merged_ref)
-            got = (merged_alts, lut, non_ref,
+            got = (merged_ref, merged_alts, lut, non_ref,
                    {c: i for i, c in enumerate(var_cells)})
             sig_cache[sig] = got
-        merged_alts, lut, non_ref, order = got
+        merged_ref, merged_alts, lut, non_ref, order = got
         nm = len(merged_alts) + 1
         rec_num_merged[b] = min(nm, max_merged)
+        rec_refs[b] = merged_ref
+        rec_alts[b] = list(merged_alts)
         for s in range(S):
             c = cells[s]
             if c < 0:
@@ -227,9 +265,16 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                     inv_lut[s, k, min(nm, max_merged) - 1] = 1
                     input_nr[s, k] = 1
     num_merged = np.maximum((inv_lut >= 0).sum(axis=-1), 1).astype(np.int32)
-    return CellBlock(col=col, end=end, pl=pl, pl_len=pl_len, ad=ad,
-                     ad_len=ad_len, gt=gt, gq=gq, dp=dp, min_dp=min_dp,
-                     dp_info=dp_info, info_f=info_f, raw_mq=raw,
-                     inv_lut=inv_lut, input_nr=input_nr,
-                     num_merged=num_merged, starts=starts,
-                     rec_num_merged=rec_num_merged)
+    blk = CellBlock(col=col, end=end, pl=pl, pl_len=pl_len, ad=ad,
+                    ad_len=ad_len, gt=gt, gq=gq, dp=dp, min_dp=min_dp,
+                    dp_info=dp_info, info_f=info_f, raw_mq=raw,
+                    inv_lut=inv_lut, input_nr=input_nr,
+                    num_merged=num_merged, starts=starts,
+                    rec_num_merged=rec_num_merged)
+    if return_meta:
+        meta = BlockRecordMeta(ends=rec_ends, refs=rec_refs,
+                               alts=rec_alts,
+                               is_ref_block_only=rec_refonly,
+                               has_deletion=rec_hasdel)
+        return blk, meta
+    return blk

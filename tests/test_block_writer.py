@@ -1,0 +1,87 @@
+"""Block-based VCF production == sequential engine on deletion-free data."""
+
+import os
+import random
+
+from golden_utils import REF_TESTS
+
+from genomicsdb_tpu.core.config import QueryParams
+from genomicsdb_tpu.core.vid import VidMapper
+from genomicsdb_tpu.query import driver
+from genomicsdb_tpu.query.block_writer import render_block_vcf
+from genomicsdb_tpu.store.import_pipeline import import_callsets
+from genomicsdb_tpu.vcf.fasta import ReferenceGenome
+
+
+def _make_cohort(tmp_path, n_samples=12, n_records=120):
+    random.seed(3)
+    path = str(tmp_path / "cohort.vcf")
+    samples = [f"S{i}" for i in range(n_samples)]
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.1\n")
+        for line in [
+            '##ALT=<ID=NON_REF,Description="n">',
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+            '##FORMAT=<ID=AD,Number=.,Type=Integer,Description="a">',
+            '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">',
+            '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="q">',
+            '##FORMAT=<ID=MIN_DP,Number=1,Type=Integer,Description="m">',
+            '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="p">',
+            '##INFO=<ID=END,Number=1,Type=Integer,Description="e">',
+            '##INFO=<ID=BaseQRankSum,Number=1,Type=Float,Description="b">',
+            '##INFO=<ID=MQ0,Number=1,Type=Integer,Description="z">',
+            '##contig=<ID=1,length=249250621>',
+        ]:
+            f.write(line + "\n")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                + "\t".join(samples) + "\n")
+        pos = 1
+        for i in range(n_records):
+            if i % 7 == 6:
+                cells = "\t".join(
+                    f"0/1:{random.randint(1, 40)},{random.randint(1, 40)},"
+                    f"0:{random.randint(10, 99)}:{random.randint(10, 99)}"
+                    f":.:{random.randint(0, 500)},0,{random.randint(0, 500)},"
+                    f"{random.randint(0, 500)},{random.randint(0, 500)},"
+                    f"{random.randint(0, 500)}"
+                    for _ in range(n_samples))
+                f.write(f"1\t{pos}\t.\tC\tA,<NON_REF>\t.\t.\t"
+                        f"BaseQRankSum={random.random():.3f};"
+                        f"MQ0={random.randint(0, 9)}\t"
+                        f"GT:AD:DP:GQ:MIN_DP:PL\t{cells}\n")
+                pos += 1
+            else:
+                end = pos + random.randint(20, 200)
+                cells = "\t".join(
+                    f"0/0:.:{random.randint(1, 60)}:0:0:0,0,0"
+                    for _ in range(n_samples))
+                f.write(f"1\t{pos}\t.\tC\t<NON_REF>\t.\t.\tEND={end}\t"
+                        f"GT:AD:DP:GQ:MIN_DP:PL\t{cells}\n")
+                pos = end + 1
+    return path, samples, pos
+
+
+def test_block_writer_matches_sequential(tmp_path):
+    path, samples, region = _make_cohort(tmp_path)
+    vid = VidMapper.from_files(
+        os.path.join(REF_TESTS, "inputs/vid.json"))
+    vid.parse_callsets({"callsets": {
+        s: {"row_idx": i, "idx_in_file": i, "filename": path}
+        for i, s in enumerate(samples)}})
+    store = import_callsets(vid)
+    qp = QueryParams()
+    qp.scan_full = True
+    qp.attributes = []
+    qc = driver.make_query_config(qp, vid)
+    refg = ReferenceGenome(os.path.join(REF_TESTS,
+                                        "inputs/chr1_10MB.fasta.gz"))
+    sequential = driver.run_vcf_query(store, qc, qp, vid,
+                                      template_path=None,
+                                      reference_path=None)
+    seq_lines = [l for l in sequential.splitlines() if l]
+    qc2 = driver.make_query_config(qp, vid)
+    block_lines = render_block_vcf(store, qc2, vid, (0, region + 10),
+                                   ref_genome=refg)
+    assert len(block_lines) == len(seq_lines)
+    for a, b in zip(seq_lines, block_lines):
+        assert a == b, f"\nseq : {a}\nblk : {b}"
