@@ -22,6 +22,7 @@ from ..core.config import QueryConfig
 from ..core.vid import VidMapper
 from ..ops.combine_step import block_to_args, combine_step
 from ..ops.store_block import store_to_block
+from ..runtime import native_loader
 from ..store.columnar import ColumnarStore
 from ..vcf.fasta import ReferenceGenome
 
@@ -66,6 +67,8 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
             return formats.format_float_vcf(v)
         return str(int(v))
     lines: List[str] = []
+    groups: dict = {}
+    order: list = []
     starts = blk.starts
     for b in range(B):
         if not np.any(live[b] >= 0):
@@ -81,9 +84,6 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
         alts = meta.alts[b]
         alt_txt = ",".join("<NON_REF>" if a.startswith("&") else a
                            for a in alts) or "."
-        nm = int(blk.rec_num_merged[b])
-        n_alt = nm - 1
-        n_gt = n_alt * (n_alt + 3) // 2 + 1 if ploidy == 2 else n_alt + 1
         info_parts = []
         if rec_end > start:
             info_parts.append(f"END={cpos + 1 + (rec_end - start)}")
@@ -122,35 +122,124 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
             fmt.append("MIN_DP")
         if have_dp:
             fmt.append("DP")
-        cols = [contig, str(cpos + 1), ".", ref, alt_txt, ".", ".",
-                ";".join(info_parts) if info_parts else ".",
-                ":".join(fmt)]
-        for s in range(S):
-            if live[b, s] < 0:
-                cols.append(":".join("." for _ in fmt))
-                continue
-            parts = []
-            g = gt[b, s]
-            parts.append("/".join("." for _ in range(len(g))))
-            if have_gq:
-                parts.append(str(int(gq[b, s]))
-                             if gq[b, s] != INT_MISSING else ".")
-            if have_ad:
-                vals = ad[b, s, :nm]
-                parts.append(",".join(
-                    "." if v == INT_MISSING else str(int(v))
-                    for v in vals) if vals[0] != INT_MISSING else ".")
-            if have_pl:
-                vals = pl[b, s, :n_gt]
-                parts.append(",".join(
-                    "." if v == INT_MISSING else str(int(v))
-                    for v in vals) if vals[0] != INT_MISSING else ".")
-            if have_mindp:
-                parts.append(str(int(mindp[b, s]))
-                             if mindp[b, s] != INT_MISSING else ".")
-            if have_dp:
-                parts.append(str(int(dpf[b, s]))
-                             if dpf[b, s] != INT_MISSING else ".")
-            cols.append(":".join(parts))
-        lines.append("\t".join(cols))
+        prefix = "\t".join(
+            [contig, str(cpos + 1), ".", ref, alt_txt, ".", ".",
+             ";".join(info_parts) if info_parts else ".",
+             ":".join(fmt)])
+        sig = (have_gq, have_ad, have_pl, have_mindp, have_dp)
+        groups.setdefault(sig, []).append(len(order))
+        order.append((b, prefix, sig))
+    # Batched sample-column rendering: per FORMAT signature group, render
+    # each field's [R, S] values as ragged text natively, join fields with
+    # ':' and samples with '\t' (runtime/native/vcf_kernels.cpp render
+    # kernels).  Falls back to a Python loop without the native lib.
+    rec_text: List[Optional[str]] = [None] * len(order)
+    if native_loader.get_lib() is None:
+        for oi, (b, _, sig) in enumerate(order):
+            rec_text[oi] = _render_samples_py(
+                sig, live[b], gt[b], gq[b], ad[b], pl[b], mindp[b],
+                dpf[b], int(blk.rec_num_merged[b]), ploidy)
+    else:
+        for sig, ois in groups.items():
+            bs = np.array([order[oi][0] for oi in ois])
+            texts = _render_samples_native(
+                sig, bs, live, gt, gq, ad, pl, mindp, dpf,
+                np.asarray(blk.rec_num_merged), ploidy)
+            for oi, t in zip(ois, texts):
+                rec_text[oi] = t
+    for oi, (b, prefix, _) in enumerate(order):
+        lines.append(prefix + "\t" + rec_text[oi])
     return lines
+
+
+def _num_genotypes(nm: np.ndarray, ploidy: int) -> np.ndarray:
+    n_alt = nm - 1
+    if ploidy == 2:
+        return n_alt * (n_alt + 3) // 2 + 1
+    return n_alt + 1
+
+
+def _ragged_offsets(lengths: np.ndarray) -> np.ndarray:
+    out = np.zeros(lengths.size + 1, dtype=np.int64)
+    np.cumsum(lengths.ravel(), out=out[1:])
+    return out
+
+
+def _render_samples_native(sig, bs, live, gt, gq, ad, pl, mindp, dpf,
+                           rec_num_merged, ploidy) -> List[str]:
+    """Render sample columns for records `bs` (all sharing FORMAT `sig`)."""
+    have_gq, have_ad, have_pl, have_mindp, have_dp = sig
+    mask = live[bs] >= 0                      # [R, S]
+    R, S = mask.shape
+    columns = []
+    # GT: live -> './.' (ploidy '.'s), dead -> '.'
+    gt_len = np.where(mask, ploidy, 0)
+    gt_vals = np.full(int(gt_len.sum()), INT_MISSING, dtype=np.int32)
+    columns.append(native_loader.render_int_lists(
+        gt_vals, _ragged_offsets(gt_len), b"/"))
+
+    def scalar_col(arr):
+        vals = np.where(mask, arr[bs], INT_MISSING).astype(np.int32)
+        lens = np.ones((R, S), dtype=np.int64)
+        return native_loader.render_int_lists(
+            vals.ravel(), _ragged_offsets(lens), b",")
+
+    if have_gq:
+        columns.append(scalar_col(gq))
+    if have_ad:
+        nm = rec_num_merged[bs]
+        valid = mask & (ad[bs, :, 0] != INT_MISSING)
+        sel = (np.arange(ad.shape[2]) < nm[:, None, None]) & valid[:, :, None]
+        columns.append(native_loader.render_int_lists(
+            ad[bs][sel].astype(np.int32),
+            _ragged_offsets(np.where(valid, nm[:, None], 0)), b","))
+    if have_pl:
+        ng = _num_genotypes(rec_num_merged[bs], ploidy)
+        valid = mask & (pl[bs, :, 0] != INT_MISSING)
+        sel = (np.arange(pl.shape[2]) < ng[:, None, None]) & valid[:, :, None]
+        columns.append(native_loader.render_int_lists(
+            pl[bs][sel].astype(np.int32),
+            _ragged_offsets(np.where(valid, ng[:, None], 0)), b","))
+    if have_mindp:
+        columns.append(scalar_col(mindp))
+    if have_dp:
+        columns.append(scalar_col(dpf))
+    entries, entry_offs = native_loader.join_columns(columns, b":")
+    recs, rec_offs = native_loader.join_rows(entries, entry_offs, S, b"\t")
+    return [recs[rec_offs[r]:rec_offs[r + 1]].decode("ascii")
+            for r in range(R)]
+
+
+def _render_samples_py(sig, live_b, gt_b, gq_b, ad_b, pl_b, mindp_b,
+                       dpf_b, nm, ploidy) -> str:
+    """Pure-Python fallback, field-for-field identical to the native path."""
+    have_gq, have_ad, have_pl, have_mindp, have_dp = sig
+    n_fields = 1 + sum(sig)
+    n_gt_w = int(_num_genotypes(np.asarray(nm), ploidy))
+    out = []
+    for s in range(len(live_b)):
+        if live_b[s] < 0:
+            out.append(":".join("." for _ in range(n_fields)))
+            continue
+        parts = ["/".join("." for _ in range(len(gt_b[s])))]
+        if have_gq:
+            parts.append(str(int(gq_b[s]))
+                         if gq_b[s] != INT_MISSING else ".")
+        if have_ad:
+            vals = ad_b[s, :nm]
+            parts.append(",".join(
+                "." if v == INT_MISSING else str(int(v))
+                for v in vals) if vals[0] != INT_MISSING else ".")
+        if have_pl:
+            vals = pl_b[s, :n_gt_w]
+            parts.append(",".join(
+                "." if v == INT_MISSING else str(int(v))
+                for v in vals) if vals[0] != INT_MISSING else ".")
+        if have_mindp:
+            parts.append(str(int(mindp_b[s]))
+                         if mindp_b[s] != INT_MISSING else ".")
+        if have_dp:
+            parts.append(str(int(dpf_b[s]))
+                         if dpf_b[s] != INT_MISSING else ".")
+        out.append(":".join(parts))
+    return "\t".join(out)

@@ -236,3 +236,106 @@ void gdb_split_field(const char* text, const int64_t* starts,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Output rendering kernels (the combined-VCF text edge).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Render n ragged int32 vectors as delimited decimal text.
+// offsets: [n+1]; INT32_MIN renders '.'; a row of length 0 renders '.'.
+// Returns bytes written or -1 on overflow.
+int64_t gdb_render_int_lists(const int32_t* values, const int64_t* offsets,
+                             int64_t n, char delim, char* out,
+                             int64_t out_cap, int64_t* out_offsets) {
+  int64_t w = 0;
+  out_offsets[0] = 0;
+  char buf[16];
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t lo = offsets[i], hi = offsets[i + 1];
+    if (hi <= lo) {
+      if (w + 1 > out_cap) return -1;
+      out[w++] = '.';
+      out_offsets[i + 1] = w;
+      continue;
+    }
+    for (int64_t j = lo; j < hi; ++j) {
+      if (j > lo) {
+        if (w + 1 > out_cap) return -1;
+        out[w++] = delim;
+      }
+      int32_t v = values[j];
+      if (v == INT32_MIN) {
+        if (w + 1 > out_cap) return -1;
+        out[w++] = '.';
+        continue;
+      }
+      // int -> decimal
+      char* p = buf + sizeof(buf);
+      bool neg = v < 0;
+      uint32_t u = neg ? static_cast<uint32_t>(-(int64_t)v)
+                       : static_cast<uint32_t>(v);
+      do { *--p = '0' + (u % 10); u /= 10; } while (u);
+      if (neg) *--p = '-';
+      int64_t len = buf + sizeof(buf) - p;
+      if (w + len > out_cap) return -1;
+      std::memcpy(out + w, p, len);
+      w += len;
+    }
+    out_offsets[i + 1] = w;
+  }
+  return w;
+}
+
+// Join consecutive groups of `group` rows with `delim`:
+// n input rows -> n/group output rows.  Returns bytes written or -1.
+int64_t gdb_join_rows(const char* values, const int64_t* offsets, int64_t n,
+                      int64_t group, char delim, char* out, int64_t out_cap,
+                      int64_t* out_offsets) {
+  int64_t w = 0;
+  out_offsets[0] = 0;
+  int64_t n_out = n / group;
+  for (int64_t r = 0; r < n_out; ++r) {
+    for (int64_t g = 0; g < group; ++g) {
+      if (g > 0) {
+        if (w + 1 > out_cap) return -1;
+        out[w++] = delim;
+      }
+      int64_t i = r * group + g;
+      int64_t lo = offsets[i], hi = offsets[i + 1];
+      if (w + (hi - lo) > out_cap) return -1;
+      std::memcpy(out + w, values + lo, hi - lo);
+      w += hi - lo;
+    }
+    out_offsets[r + 1] = w;
+  }
+  return w;
+}
+
+// Join k rendered ragged text columns row-wise with `delim`:
+// cols_values[c] / cols_offsets[c] describe column c's n rows.
+// Returns bytes written or -1 on overflow.
+int64_t gdb_join_columns(const char** cols_values,
+                         const int64_t** cols_offsets, int32_t k,
+                         int64_t n, char delim, char* out,
+                         int64_t out_cap, int64_t* out_offsets) {
+  int64_t w = 0;
+  out_offsets[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    for (int32_t c = 0; c < k; ++c) {
+      if (c > 0) {
+        if (w + 1 > out_cap) return -1;
+        out[w++] = delim;
+      }
+      int64_t lo = cols_offsets[c][i], hi = cols_offsets[c][i + 1];
+      if (w + (hi - lo) > out_cap) return -1;
+      std::memcpy(out + w, cols_values[c] + lo, hi - lo);
+      w += hi - lo;
+    }
+    out_offsets[i + 1] = w;
+  }
+  return w;
+}
+
+}  // extern "C"

@@ -70,6 +70,94 @@ def get_lib() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+def _bind_render(lib):
+    i64 = ctypes.c_int64
+    lib.gdb_render_int_lists.restype = i64
+    lib.gdb_render_int_lists.argtypes = [
+        np.ctypeslib.ndpointer(np.int32),
+        np.ctypeslib.ndpointer(np.int64), i64, ctypes.c_char,
+        ctypes.c_char_p, i64, np.ctypeslib.ndpointer(np.int64)]
+    lib.gdb_join_columns.restype = i64
+    lib.gdb_join_columns.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32, i64, ctypes.c_char, ctypes.c_char_p, i64,
+        np.ctypeslib.ndpointer(np.int64)]
+    lib.gdb_join_rows.restype = i64
+    lib.gdb_join_rows.argtypes = [
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64), i64, i64,
+        ctypes.c_char, ctypes.c_char_p, i64,
+        np.ctypeslib.ndpointer(np.int64)]
+
+
+def render_int_lists(values: np.ndarray, offsets: np.ndarray,
+                     delim: bytes = b","):
+    """Ragged int32 rows -> delimited decimal text (missing -> '.')."""
+    lib = get_lib()
+    if not hasattr(lib, "_render_bound"):
+        _bind_render(lib)
+        lib._render_bound = True
+    n = len(offsets) - 1
+    cap = max(16, int(len(values)) * 12 + n * 2)
+    out = ctypes.create_string_buffer(cap)
+    out_offsets = np.empty(n + 1, dtype=np.int64)
+    w = lib.gdb_render_int_lists(
+        np.ascontiguousarray(values, dtype=np.int32),
+        np.ascontiguousarray(offsets, dtype=np.int64), n, delim, out,
+        cap, out_offsets)
+    if w < 0:
+        raise RuntimeError("render overflow")
+    return out.raw[:w], out_offsets
+
+
+def join_columns(columns, delim: bytes = b":"):
+    """columns: list of (bytes, offsets[n+1]); returns row-joined
+    (bytes, offsets)."""
+    lib = get_lib()
+    if not hasattr(lib, "_render_bound"):
+        _bind_render(lib)
+        lib._render_bound = True
+    k = len(columns)
+    n = len(columns[0][1]) - 1
+    total = sum(len(v) for v, _ in columns) + n * k + 16
+    out = ctypes.create_string_buffer(int(total))
+    out_offsets = np.empty(n + 1, dtype=np.int64)
+    bufs = [ctypes.create_string_buffer(v, len(v)) if v else
+            ctypes.create_string_buffer(1) for v, _ in columns]
+    vals_arr = (ctypes.c_char_p * k)(
+        *[ctypes.cast(b, ctypes.c_char_p) for b in bufs])
+    off_arrays = [np.ascontiguousarray(o, dtype=np.int64)
+                  for _, o in columns]
+    offs_arr = (ctypes.POINTER(ctypes.c_int64) * k)(
+        *[o.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+          for o in off_arrays])
+    w = lib.gdb_join_columns(vals_arr, offs_arr, k, n, delim, out,
+                             int(total), out_offsets)
+    if w < 0:
+        raise RuntimeError("join overflow")
+    return out.raw[:w], out_offsets
+
+
+def join_rows(values: bytes, offsets: np.ndarray, group: int,
+              delim: bytes = b"\t"):
+    """Join consecutive groups of `group` ragged text rows with delim."""
+    lib = get_lib()
+    if not hasattr(lib, "_render_bound"):
+        _bind_render(lib)
+        lib._render_bound = True
+    n = len(offsets) - 1
+    n_out = n // group
+    total = len(values) + n + 16
+    out = ctypes.create_string_buffer(int(total))
+    out_offsets = np.empty(n_out + 1, dtype=np.int64)
+    w = lib.gdb_join_rows(values, np.ascontiguousarray(offsets,
+                                                       dtype=np.int64),
+                          n, group, delim, out, int(total), out_offsets)
+    if w < 0:
+        raise RuntimeError("join_rows overflow")
+    return out.raw[:w], out_offsets
+
+
 def tokenize_records(text: bytes, max_cols: int = 64):
     """(col_offsets [n, max_cols+1], num_cols [n]) for a VCF record blob."""
     lib = get_lib()

@@ -85,3 +85,10 @@ def test_block_writer_matches_sequential(tmp_path):
     assert len(block_lines) == len(seq_lines)
     for a, b in zip(seq_lines, block_lines):
         assert a == b, f"\nseq : {a}\nblk : {b}"
+    # pure-Python fallback renders identically to the native kernels
+    from genomicsdb_tpu.runtime import native_loader
+    import unittest.mock as mock
+    with mock.patch.object(native_loader, "get_lib", lambda: None):
+        py_lines = render_block_vcf(store, qc2, vid, (0, region + 10),
+                                    ref_genome=refg)
+    assert py_lines == block_lines
