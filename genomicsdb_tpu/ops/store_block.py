@@ -161,81 +161,131 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         idxc = np.clip(idx, 0, C - 1)
         ok &= end[s, idxc] >= starts
         live[:, s] = np.where(ok, idxc, -1)
-    # per-cell allele strings
-    refs: Dict[int, str] = {}
-    alts: Dict[int, List[str]] = {}
+    # --- per-cell allele metadata, vectorized over the str-field bytes ---
+    # (avoids 2 * num_cells Python-level cell_value decodes; full string
+    # decode happens lazily, only for the rare variant cells)
     ref_fd = store.fields["REF"]
     alt_fd = store.fields["ALT"]
-    for ci in np.unique(cell_of[cell_of >= 0]):
+    N = store.num_cells
+    ref_len = np.diff(ref_fd.offsets) if N else np.zeros(0, np.int64)
+    alt_len = np.diff(alt_fd.offsets) if N else np.zeros(0, np.int64)
+    ref_ok = ref_fd.valid & (ref_len > 0)
+    alt_ok = alt_fd.valid
+    ref_bytes = np.asarray(ref_fd.values, dtype=np.uint8) \
+        if N and ref_fd.values is not None else np.zeros(0, np.uint8)
+    alt_bytes = np.asarray(alt_fd.values, dtype=np.uint8) \
+        if N and alt_fd.values is not None else np.zeros(0, np.uint8)
+
+    def _first_chars(ok, bytes_arr, offsets):
+        if not len(bytes_arr):
+            return np.zeros(N, np.uint8)
+        idx = np.minimum(offsets[:-1], len(bytes_arr) - 1)
+        return np.where(ok, bytes_arr[idx], 0).astype(np.uint8)
+
+    ref_first = _first_chars(ref_ok, ref_bytes, ref_fd.offsets)
+    alt_first = _first_chars(alt_ok & (alt_len > 0), alt_bytes,
+                             alt_fd.offsets)
+    if N and len(alt_bytes):
+        pipe_cum = np.concatenate(
+            [[0], np.cumsum(alt_bytes == ord("|"))])
+        alt_npipe = (pipe_cum[alt_fd.offsets[1:]]
+                     - pipe_cum[alt_fd.offsets[:-1]])
+    else:
+        alt_npipe = np.zeros(N, np.int64)
+    # pure ref block: 1-base REF, single ALT == <NON_REF> ('&' encoding)
+    cell_refblock = (ref_ok & alt_ok & (ref_len == 1) & (alt_npipe == 0)
+                     & (alt_first == ord("&")))
+    # deletions require multi-base REF: decode just those cells
+    cell_hasdel = np.zeros(N, dtype=bool)
+    _ref_cache: Dict[int, Optional[str]] = {}
+    _alt_cache: Dict[int, Optional[List[str]]] = {}
+
+    def get_ref(ci: int) -> Optional[str]:
+        r = _ref_cache.get(ci)
+        if r is None and ci not in _ref_cache:
+            r = ref_fd.cell_value(ci) if ref_fd.valid[ci] else None
+            _ref_cache[ci] = r
+        return r
+
+    def get_alts(ci: int) -> Optional[List[str]]:
+        a = _alt_cache.get(ci)
+        if a is None and ci not in _alt_cache:
+            v = alt_fd.cell_value(ci) if alt_fd.valid[ci] else None
+            a = v.split("|") if v is not None else None
+            _alt_cache[ci] = a
+        return a
+
+    present = np.zeros(N, dtype=bool)
+    if N:
+        present[cell_of[cell_of >= 0]] = True
+    for ci in np.nonzero(present & ref_ok & alt_ok & (ref_len > 1))[0]:
         ci = int(ci)
-        refs[ci] = ref_fd.cell_value(ci) if ref_fd.valid[ci] else None
-        a = alt_fd.cell_value(ci) if alt_fd.valid[ci] else None
-        alts[ci] = a.split("|") if a is not None else None
-    # LUTs per (interval, row); cache by live-cell signature
+        r, a = get_ref(ci), get_alts(ci)
+        cell_hasdel[ci] = bool(
+            r is not None and a is not None
+            and any((not M.is_symbolic_allele(x)) and len(x) < len(r)
+                    for x in a))
+    # --- [B, S] live-cell views ---
+    live_ok = live >= 0
+    live_k = np.clip(live, 0, C - 1)
+    s_grid = np.arange(S)[None, :]
+    cells_mat = np.where(live_ok, cell_of[s_grid, live_k], -1)
+    safe_cm = np.clip(cells_mat, 0, max(N - 1, 0))
+    end_mat = np.where(live_ok, end[s_grid, live_k], INT64_MAX)
+    col_mat = np.where(live_ok, col[s_grid, live_k], INT64_MAX)
+    hi_bound = interval[1] if interval is not None else INT64_MAX - 1
+    nxt = np.empty(B, dtype=np.int64)
+    nxt[:-1] = starts[1:] - 1
+    if B:
+        nxt[-1] = INT64_MAX - 1
+    rec_ends = np.minimum(np.minimum(nxt, end_mat.min(axis=1)
+                                     if S else nxt), hi_bound)
+    rec_hasdel = (live_ok & cell_hasdel[safe_cm]).any(axis=1) \
+        if N else np.zeros(B, dtype=bool)
+    var_mat = live_ok & ~cell_refblock[safe_cm] if N \
+        else np.zeros((B, S), dtype=bool)
+    rec_is_var = var_mat.any(axis=1)
+    rec_refonly = ~rec_is_var
+    rec_num_merged = np.where(rec_refonly, 2, 1).astype(np.int32)
+    # LUTs per (row, cell slot)
     inv_lut = np.full((S, C, max_merged), -1, dtype=np.int32)
     input_nr = np.full((S, C), -1, dtype=np.int32)
-    rec_num_merged = np.ones(B, dtype=np.int32)
-    # fast path: cells that are pure ref blocks get identity LUT [0, NR]
-    cell_is_refblock: Dict[int, bool] = {}
-    for ci, r in refs.items():
-        a = alts[ci]
-        cell_is_refblock[ci] = (r is not None and a is not None
-                                and len(r) == 1 and len(a) == 1
-                                and a[0].startswith("&"))
+    # identity LUT for every slot that appears live in a ref-only record
+    # (all such cells are pure ref blocks, so [0, NON_REF] is exact)
+    touch_b, touch_s = np.nonzero(live_ok & rec_refonly[:, None])
+    tk = live_k[touch_b, touch_s]
+    inv_lut[touch_s, tk, 0] = 0
+    inv_lut[touch_s, tk, 1] = 1
+    input_nr[touch_s, tk] = 1
+    # merged REF of ref-only records: first row whose live cell STARTS here
+    rec_refs: List[Optional[str]] = [None] * B
+    rec_alts: List[List[str]] = [["&"]] * B
+    start_here = live_ok & (col_mat == starts[:, None]) \
+        & ref_ok[safe_cm] if N else np.zeros((B, S), dtype=bool)
+    ref_rows = np.nonzero(rec_refonly & start_here.any(axis=1))[0]
+    if len(ref_rows):
+        s0 = np.argmax(start_here[ref_rows], axis=1)
+        chars = ref_first[cells_mat[ref_rows, s0]]
+        for b, ch, srow in zip(ref_rows, chars, s0):
+            c0 = int(cells_mat[b, srow])
+            rec_refs[b] = chr(ch) if ref_len[c0] == 1 else get_ref(c0)
+    # --- variant records: per-record allele merge (host strings) ---
     # NOTE: per-interval LUTs differ when variant cells co-occur; this
     # block-level representation assigns each CELL one LUT (valid when a
     # cell's allele context is constant over its lifetime, which holds for
     # whole-array combines of gVCF data at variant sites: variant cells are
-    # single-position).  Multi-variant co-location uses the per-record
-    # merge below.
-    sig_cache: Dict[Tuple, Tuple[List[str], np.ndarray]] = {}
-    cell_has_del: Dict[int, bool] = {}
-    for ci, r in refs.items():
-        a = alts[ci]
-        cell_has_del[ci] = bool(
-            r is not None and a is not None and len(r) > 1
-            and any((not M.is_symbolic_allele(x)) and len(x) < len(r)
-                    for x in a))
-    rec_ends = np.zeros(B, dtype=np.int64)
-    rec_refs: List[Optional[str]] = [None] * B
-    rec_alts: List[List[str]] = [["&"]] * B
-    rec_refonly = np.zeros(B, dtype=bool)
-    rec_hasdel = np.zeros(B, dtype=bool)
-    hi_bound = interval[1] if interval is not None else INT64_MAX - 1
-    for b in range(B):
-        nxt = starts[b + 1] - 1 if b + 1 < B else INT64_MAX - 1
-        live_ends = [int(end[s, live[b, s]]) for s in range(S)
-                     if live[b, s] >= 0]
-        rec_ends[b] = min(nxt, min(live_ends) if live_ends else nxt,
-                          hi_bound)
-        cells = [int(cell_of[s, live[b, s]]) if live[b, s] >= 0 else -1
-                 for s in range(S)]
-        rec_hasdel[b] = any(cell_has_del.get(c, False)
-                            for c in cells if c >= 0)
-        var_cells = [c for c in cells if c >= 0
-                     and not cell_is_refblock.get(c, True)]
-        if not var_cells:
-            rec_num_merged[b] = 1  # REF only (+NON_REF via cells)
-            start_refs = []
-            for s in range(S):
-                c = cells[s]
-                if c >= 0:
-                    k = int(live[b, s])
-                    inv_lut[s, k, 0] = 0
-                    if alts[c]:
-                        inv_lut[s, k, 1] = 1
-                        input_nr[s, k] = 1
-                    if col[s, k] == starts[b] and refs.get(c):
-                        start_refs.append(refs[c])
-            rec_num_merged[b] = 2
-            rec_refs[b] = start_refs[0] if start_refs else None
-            rec_refonly[b] = True
-            continue
+    # single-position).
+    sig_cache: Dict[Tuple, Tuple] = {}
+    for b in np.nonzero(rec_is_var)[0]:
+        b = int(b)
+        srows = np.nonzero(live_ok[b])[0]
+        var_cells = [int(cells_mat[b, s]) for s in srows
+                     if var_mat[b, s]]
         sig = tuple(sorted(set(var_cells)))
         got = sig_cache.get(sig)
         if got is None:
-            call_refs = [refs[c] for c in var_cells]
-            call_alts = [alts[c] for c in var_cells]
+            call_refs = [get_ref(c) for c in var_cells]
+            call_alts = [get_alts(c) for c in var_cells]
             merged_ref = M.merge_reference_allele(call_refs)
             merged_alts, lut, non_ref = M.merge_alt_alleles(
                 call_refs, call_alts, merged_ref)
@@ -247,10 +297,9 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         rec_num_merged[b] = min(nm, max_merged)
         rec_refs[b] = merged_ref
         rec_alts[b] = list(merged_alts)
-        for s in range(S):
-            c = cells[s]
-            if c < 0:
-                continue
+        for s in srows:
+            s = int(s)
+            c = int(cells_mat[b, s])
             k = int(live[b, s])
             if c in order:
                 inv = M.inverse_lut(lut[order[c]], nm)[:max_merged]
@@ -260,7 +309,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                     input_nr[s, k] = nr_in
             else:
                 inv_lut[s, k, 0] = 0
-                if alts[c]:
+                if get_alts(c):
                     # ref block: its NON_REF maps to merged NON_REF (last)
                     inv_lut[s, k, min(nm, max_merged) - 1] = 1
                     input_nr[s, k] = 1
