@@ -34,7 +34,9 @@ class BlockRecordMeta:
     refs: List[Optional[str]]      # merged REF per record (None -> fasta)
     alts: List[List[str]]          # merged ALT lists ("&" = NON_REF)
     is_ref_block_only: np.ndarray  # [B] bool
-    has_deletion: np.ndarray       # [B] bool (sequential fallback needed)
+    has_deletion: np.ndarray       # [B] bool
+    needs_fallback: np.ndarray = None  # [B] bool: deletion OR a valid
+    # field outside the block-rendered set lives here (sequential splice)
 
 
 def store_to_block(store: ColumnarStore, qc: QueryConfig,
@@ -314,6 +316,18 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                     inv_lut[s, k, min(nm, max_merged) - 1] = 1
                     input_nr[s, k] = 1
     num_merged = np.maximum((inv_lut >= 0).sum(axis=-1), 1).astype(np.int32)
+    # records carrying a valid queried field the block writer does not
+    # render (SB, PGT, PID, PS, ...) need the sequential splice
+    handled = {"END", "REF", "ALT", "QUAL", "FILTER", "ID", "GT", "GQ",
+               "AD", "PL", "MIN_DP", "DP", "DP_FORMAT", "RAW_MQ",
+               "BaseQRankSum", "ClippingRankSum", "MQRankSum",
+               "ReadPosRankSum", "MQ", "MQ0"}
+    rec_hasother = np.zeros(B, dtype=bool)
+    for name, fd in store.fields.items():
+        if name in handled or fd.valid is None or not fd.valid.any():
+            continue
+        if N:
+            rec_hasother |= (live_ok & fd.valid[safe_cm]).any(axis=1)
     blk = CellBlock(col=col, end=end, pl=pl, pl_len=pl_len, ad=ad,
                     ad_len=ad_len, gt=gt, gq=gq, dp=dp, min_dp=min_dp,
                     dp_info=dp_info, info_f=info_f, raw_mq=raw,
@@ -324,6 +338,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         meta = BlockRecordMeta(ends=rec_ends, refs=rec_refs,
                                alts=rec_alts,
                                is_ref_block_only=rec_refonly,
-                               has_deletion=rec_hasdel)
+                               has_deletion=rec_hasdel,
+                               needs_fallback=rec_hasdel | rec_hasother)
         return blk, meta
     return blk

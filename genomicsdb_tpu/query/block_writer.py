@@ -38,8 +38,16 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                      vid: VidMapper,
                      interval,
                      ref_genome: Optional[ReferenceGenome] = None,
-                     max_merged: int = 4, ploidy: int = 2) -> List[str]:
-    """Combined records for `interval` via the device pipeline."""
+                     max_merged: int = 4, ploidy: int = 2,
+                     sequential_fn=None) -> List[str]:
+    """Combined records for `interval` via the device pipeline.
+
+    `sequential_fn(lo, hi) -> List[str]`: when given, maximal runs of
+    records whose live cells contain a deletion are rendered by the
+    sequential engine over [lo, hi] and spliced in (spanning-deletion
+    rewrites are control-flow-heavy and rare); without it, deletion
+    records render from the batched arrays (deletion-free semantics).
+    """
     blk, meta = store_to_block(store, qc, interval=interval,
                                max_merged=max_merged, ploidy=ploidy,
                                return_meta=True)
@@ -70,9 +78,26 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
     groups: dict = {}
     order: list = []
     starts = blk.starts
-    for b in range(B):
-        if not np.any(live[b] >= 0):
+    emitted = [b for b in range(B) if np.any(live[b] >= 0)]
+    # plan: ("block", order_idx) | ("seq", lo, hi) splice points
+    plan: list = []
+    e = 0
+    block_bs = []
+    while e < len(emitted):
+        b = emitted[e]
+        if sequential_fn is not None and meta.needs_fallback[b]:
+            j = e
+            while j < len(emitted) and meta.needs_fallback[emitted[j]]:
+                j += 1
+            hi = int(starts[emitted[j]]) - 1 if j < len(emitted) \
+                else int(interval[1])
+            plan.append(("seq", int(starts[b]), hi))
+            e = j
             continue
+        plan.append(("block", b))
+        block_bs.append(b)
+        e += 1
+    for b in block_bs:
         start = int(starts[b])
         rec_end = int(meta.ends[b])
         loc = vid.get_contig_location(start)
@@ -147,8 +172,13 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                 np.asarray(blk.rec_num_merged), ploidy)
             for oi, t in zip(ois, texts):
                 rec_text[oi] = t
-    for oi, (b, prefix, _) in enumerate(order):
-        lines.append(prefix + "\t" + rec_text[oi])
+    block_lines = {order[oi][0]: order[oi][1] + "\t" + rec_text[oi]
+                   for oi in range(len(order))}
+    for item in plan:
+        if item[0] == "block":
+            lines.append(block_lines[item[1]])
+        else:
+            lines.extend(sequential_fn(item[1], item[2]))
     return lines
 
 

@@ -84,6 +84,53 @@ def run_vcf_query(store: ColumnarStore, qc: QueryConfig, qp: QueryParams,
     return "\n".join(out_lines) + "\n"
 
 
+def run_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
+                        qp: QueryParams, vid: VidMapper,
+                        template_path: Optional[str] = None,
+                        reference_path: Optional[str] = None,
+                        max_merged: int = 4) -> str:
+    """--produce-Broad-GVCF via the batched device pipeline.
+
+    Deletion-free spans render from device combine outputs
+    (query/block_writer.py); runs of deletion-affected records splice in
+    the sequential engine.  Byte-identical to run_vcf_query."""
+    from .block_writer import render_block_vcf
+    ref_genome = ReferenceGenome(reference_path) if reference_path else None
+    sample_names = [vid.callset_name(r) for r in qc.rows_to_query]
+    out_lines: List[str] = []
+    if template_path:
+        template = load_template(template_path)
+        out_lines.extend(build_header_lines(template, vid, qc))
+        out_lines.append(chrom_line(sample_names, qc.sites_only_query))
+    intervals = qc.column_intervals if qc.column_intervals \
+        else [(0, INT64_MAX - 2)]
+
+    def make_seq_fn():
+        def seq(lo, hi):
+            sub_qp = QueryParams()
+            sub_qp.__dict__.update(qp.__dict__)
+            sub_qp.scan_full = False
+            sub_qp.column_ranges = [[(lo, hi)]]
+            sub_qc = make_query_config(sub_qp, vid)
+            sub_qc.rows_to_query = list(qc.rows_to_query)
+            text = run_vcf_query(store, sub_qc, sub_qp, vid,
+                                 template_path=None,
+                                 reference_path=reference_path)
+            return [ln for ln in text.splitlines() if ln]
+        return seq
+
+    n_rec = 0
+    for iv in intervals:
+        rec = render_block_vcf(store, qc, vid, iv, ref_genome=ref_genome,
+                               max_merged=max_merged,
+                               sequential_fn=make_seq_fn())
+        out_lines.extend(rec)
+        n_rec += len(rec)
+    if not out_lines:
+        return ""
+    return "\n".join(out_lines) + "\n"
+
+
 def run_vcf_query_paged(store: ColumnarStore, qc: QueryConfig,
                         qp: QueryParams, vid: VidMapper,
                         page_size: int,

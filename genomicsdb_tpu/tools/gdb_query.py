@@ -91,8 +91,12 @@ def run_rank(args, rank: int) -> str:
         refg = qp.resolve(qp.reference_genome) if qp.reference_genome \
             else (ip.resolve(ip.reference_genome) if ip else None)
         # header only on rank 0 (partition outputs are concatenated)
-        fn = qdriver.run_java_vcf_query if args.java_vcf \
-            else qdriver.run_vcf_query
+        if args.java_vcf:
+            fn = qdriver.run_java_vcf_query
+        elif args.engine == "block":
+            fn = qdriver.run_vcf_query_block
+        else:
+            fn = qdriver.run_vcf_query
         return fn(store, qc, qp, vid,
                   template_path=template if rank == args.rank else None,
                   reference_path=refg)
@@ -141,6 +145,11 @@ def main(argv=None):
     p.add_argument("--end", type=int, default=None)
     p.add_argument("--java-vcf", dest="java_vcf", action="store_true",
                    help="htsjdk-style rendering for --produce-Broad-GVCF")
+    p.add_argument("--engine", choices=["sequential", "block"],
+                   default="sequential",
+                   help="combined-VCF engine: 'block' renders "
+                        "deletion-free spans from batched device combine "
+                        "outputs (faster at scale), byte-identical output")
     p.add_argument("-O", "--output-format", dest="output_format",
                    default="", choices=["", "Cotton-JSON",
                                         "Positions-JSON", "GA4GH"],

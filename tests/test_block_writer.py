@@ -13,7 +13,8 @@ from genomicsdb_tpu.store.import_pipeline import import_callsets
 from genomicsdb_tpu.vcf.fasta import ReferenceGenome
 
 
-def _make_cohort(tmp_path, n_samples=12, n_records=120):
+def _make_cohort(tmp_path, n_samples=12, n_records=120,
+                 with_deletions=False):
     random.seed(3)
     path = str(tmp_path / "cohort.vcf")
     samples = [f"S{i}" for i in range(n_samples)]
@@ -37,6 +38,20 @@ def _make_cohort(tmp_path, n_samples=12, n_records=120):
                 + "\t".join(samples) + "\n")
         pos = 1
         for i in range(n_records):
+            if with_deletions and i % 11 == 10:
+                # multi-base REF deletion record -> spanning-deletion path
+                cells = "\t".join(
+                    f"0/1:{random.randint(1, 40)},{random.randint(1, 40)},"
+                    f"0:{random.randint(10, 99)}:{random.randint(10, 99)}"
+                    f":.:{random.randint(0, 500)},0,{random.randint(0, 500)},"
+                    f"{random.randint(0, 500)},{random.randint(0, 500)},"
+                    f"{random.randint(0, 500)}"
+                    for _ in range(n_samples))
+                f.write(f"1\t{pos}\t.\tCAT\tC,<NON_REF>\t.\t.\t"
+                        f"MQ0={random.randint(0, 9)}\t"
+                        f"GT:AD:DP:GQ:MIN_DP:PL\t{cells}\n")
+                pos += 1
+                continue
             if i % 7 == 6:
                 cells = "\t".join(
                     f"0/1:{random.randint(1, 40)},{random.randint(1, 40)},"
@@ -92,3 +107,31 @@ def test_block_writer_matches_sequential(tmp_path):
         py_lines = render_block_vcf(store, qc2, vid, (0, region + 10),
                                     ref_genome=refg)
     assert py_lines == block_lines
+
+
+def test_block_driver_hybrid_with_deletions(tmp_path):
+    """run_vcf_query_block splices the sequential engine for deletion
+    spans and is byte-identical to run_vcf_query on a mixed cohort."""
+    path, samples, region = _make_cohort(tmp_path, n_samples=6,
+                                         n_records=110,
+                                         with_deletions=True)
+    vid = VidMapper.from_files(
+        os.path.join(REF_TESTS, "inputs/vid.json"))
+    vid.parse_callsets({"callsets": {
+        s: {"row_idx": i, "idx_in_file": i, "filename": path}
+        for i, s in enumerate(samples)}})
+    store = import_callsets(vid)
+    qp = QueryParams()
+    qp.scan_full = True
+    qp.attributes = []
+    qp.reference_genome = os.path.join(REF_TESTS,
+                                       "inputs/chr1_10MB.fasta.gz")
+    qc = driver.make_query_config(qp, vid)
+    sequential = driver.run_vcf_query(
+        store, qc, qp, vid, template_path=None,
+        reference_path=qp.reference_genome)
+    qc2 = driver.make_query_config(qp, vid)
+    hybrid = driver.run_vcf_query_block(
+        store, qc2, qp, vid, template_path=None,
+        reference_path=qp.reference_genome)
+    assert hybrid.splitlines() == sequential.splitlines()

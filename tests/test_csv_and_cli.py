@@ -102,6 +102,11 @@ def test_vcf2gdb_and_gdb_query(tmp_path, capsys):
     gdb_query.main(["-j", qjson2, "--produce-Broad-GVCF"])
     out = capsys.readouterr().out
     check(out, "t0_1_2_vcf_at_0")
+    # block engine produces identical bytes through the CLI
+    gdb_query.main(["-j", qjson2, "--produce-Broad-GVCF",
+                    "--engine", "block"])
+    out = capsys.readouterr().out
+    check(out, "t0_1_2_vcf_at_0")
 
 
 def test_workspace_fragments_and_consolidation(tmp_path):
