@@ -10,8 +10,15 @@ workload.
 """
 
 import json
+import os
 import sys
 import time
+
+# make the cpu backend available alongside the TPU platform (the text-edge
+# stage pins host-side combine to cpu; see bench_cohort_end_to_end)
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat.split(","):
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
 
 import numpy as np
 
@@ -238,6 +245,27 @@ def bench_cohort_end_to_end(n_samples=100, n_records=4000,
     out = combine_step(*block_to_args(blk), max_merged=4, ploidy=2)
     jax.block_until_ready(out)
     t_device = time.perf_counter() - t0
+    # full combined-VCF text through the hybrid block engine.  The text
+    # edge is host work; pin its combine to the CPU backend so the
+    # number reflects the pipeline, not the debug-tunnel's device->host
+    # transfer bandwidth (the device stage is measured above on TPU).
+    qc2 = driver.make_query_config(qp, vid)
+    t0 = time.perf_counter()
+    try:
+        cpu_dev = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu_dev = None
+    if cpu_dev is not None:
+        with jax.default_device(cpu_dev):
+            text = driver.run_vcf_query_block(store, qc2, qp, vid,
+                                              template_path=None,
+                                              reference_path=None)
+    else:
+        text = driver.run_vcf_query_block(store, qc2, qp, vid,
+                                          template_path=None,
+                                          reference_path=None)
+    t_text = time.perf_counter() - t0
+    n_lines = text.count("\n")
     os.unlink(path)
     total = t_import + t_block + t_device
     return {
@@ -249,6 +277,9 @@ def bench_cohort_end_to_end(n_samples=100, n_records=4000,
         "device_s": t_device,
         "compile_s": t_compile_run - t_device,
         "end_to_end_positions_per_sec": region_len / total,
+        "vcf_text_records": n_lines,
+        "vcf_text_s": t_text,
+        "vcf_text_positions_per_sec": region_len / t_text,
     }
 
 

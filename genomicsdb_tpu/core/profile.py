@@ -81,6 +81,23 @@ class ProfileStats:
 GLOBAL_STATS = ProfileStats()
 
 
+def memory_measure() -> dict:
+    """Resident/virtual memory of this process in bytes (the reference's
+    utils memory_measure, which reads /proc/self/statm)."""
+    try:
+        with open("/proc/self/statm") as f:
+            parts = f.read().split()
+        page = os.sysconf("SC_PAGE_SIZE")
+        return {"vm_bytes": int(parts[0]) * page,
+                "resident_bytes": int(parts[1]) * page}
+    except (OSError, IndexError, ValueError):
+        return {"vm_bytes": 0, "resident_bytes": 0}
+
+
 def maybe_report():
     if ENABLED:
         GLOBAL_STATS.report()
+        mem = memory_measure()
+        sys.stderr.write(
+            f"memory,resident={mem['resident_bytes']}b,"
+            f"vm={mem['vm_bytes']}b\n")

@@ -77,12 +77,75 @@ def run_import(loader_json: str, rank: int = 0, out=sys.stdout) -> None:
         out.write(text)
 
 
+def split_files(loader_json: str, output_dir: str) -> None:
+    """--split-files: pre-split each input VCF into per-partition files
+    (reference vcf2tiledb.cc:118-151) so each rank reads only its slice.
+
+    Records intersecting a partition's column range (including spanning
+    records, which the importer replays at partition begin) are written
+    with the full header to <output_dir>/partition_<i>/<basename>."""
+    from ..vcf.reader import open_text
+    ip = ImportParams.from_file(loader_json, 0)
+    vid = VidMapper.from_files(ip.resolve(ip.vid_mapping_file),
+                               ip.resolve(ip.callset_mapping_file))
+    parts = []
+    for r in range(len(ip.column_partitions)):
+        b, e = ip.partition_bounds(r)
+        parts.append((b, e if e is not None else 2**63 - 2))
+    from ..store.import_pipeline import _resolve_input
+    files = sorted({cs.filename for cs in vid.callsets.values()})
+    for fname in files:
+        path = _resolve_input(fname, ip.base_dir, vid)
+        outs = []
+        for i, _ in enumerate(parts):
+            d = os.path.join(output_dir, f"partition_{i}")
+            os.makedirs(d, exist_ok=True)
+            base = os.path.basename(fname)
+            if base.endswith(".gz"):
+                base = base[:-3]
+            outs.append(open(os.path.join(d, base), "w"))
+        fobj = open_text(path)
+        try:
+            for line in fobj:
+                if line.startswith("#"):
+                    for o in outs:
+                        o.write(line if line.endswith("\n")
+                                else line + "\n")
+                    continue
+                cols = line.split("\t", 8)
+                contig, pos = cols[0], int(cols[1])
+                col = vid.contig_offset(contig) + pos - 1
+                end = col
+                info = cols[7] if len(cols) > 7 else ""
+                for kv in info.split(";"):
+                    if kv.startswith("END="):
+                        end = vid.contig_offset(contig) + int(kv[4:]) - 1
+                        break
+                ref = cols[3] if len(cols) > 3 else ""
+                end = max(end, col + max(len(ref) - 1, 0))
+                for (b, e), o in zip(parts, outs):
+                    if col <= e and end >= b:
+                        o.write(line if line.endswith("\n")
+                                else line + "\n")
+        finally:
+            fobj.close()
+            for o in outs:
+                o.close()
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="vcf2gdb")
     p.add_argument("loader_json")
     p.add_argument("--rank", "-r", type=int, default=0,
                    help="column partition index (MPI-rank equivalent)")
+    p.add_argument("--split-files", dest="split_output_dir", default=None,
+                   metavar="DIR",
+                   help="split input VCFs per column partition into DIR "
+                        "instead of importing (vcf2tiledb.cc:118-151)")
     args = p.parse_args(argv)
+    if args.split_output_dir:
+        split_files(args.loader_json, args.split_output_dir)
+        return
     run_import(args.loader_json, args.rank)
 
 

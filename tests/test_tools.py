@@ -104,3 +104,64 @@ def test_native_kernels_match_python():
                                     pos_ends.copy())
     expect = [parse_record(l).pos for l in lines]
     assert vals.tolist() == expect
+
+
+def test_split_files_and_histogram(tmp_path, capsys):
+    """--split-files pre-splits inputs per partition; importing each split
+    partition equals importing the original with partition bounds.
+    vcf_histogram equi-partitions columns by cell count."""
+    import json
+    import numpy as np
+    from genomicsdb_tpu.core.vid import VidMapper
+    from genomicsdb_tpu.store.import_pipeline import import_callsets
+    from genomicsdb_tpu.tools import vcf2gdb, vcf_histogram
+
+    loader = {
+        "column_partitions": [
+            {"begin": 0, "workspace": str(tmp_path / "ws"),
+             "array_name": "p0"},
+            {"begin": 12202, "workspace": str(tmp_path / "ws"),
+             "array_name": "p1"},
+        ],
+        "callset_mapping_file": os.path.join(
+            REF_TESTS, "inputs/callsets/t0_1_2.json"),
+        "vid_mapping_file": os.path.join(REF_TESTS, "inputs/vid.json"),
+    }
+    lp = tmp_path / "loader.json"
+    lp.write_text(json.dumps(loader))
+    out_dir = str(tmp_path / "splits")
+    vcf2gdb.main([str(lp), "--split-files", out_dir])
+    # every original record lands in >=1 partition; partition files parse
+    for i in (0, 1):
+        d = os.path.join(out_dir, f"partition_{i}")
+        files = os.listdir(d)
+        assert files, f"partition_{i} empty"
+        for f in files:
+            with open(os.path.join(d, f)) as fh:
+                text = fh.read()
+            assert text.startswith("##fileformat")
+    # partition 1 file only contains records intersecting [12202, inf)
+    vid = VidMapper.from_files(
+        os.path.join(REF_TESTS, "inputs/vid.json"),
+        os.path.join(REF_TESTS, "inputs/callsets/t0_1_2.json"))
+    split_vid = VidMapper.from_files(
+        os.path.join(REF_TESTS, "inputs/vid.json"),
+        os.path.join(REF_TESTS, "inputs/callsets/t0_1_2.json"))
+    split_vid.callsets_dir = os.path.join(out_dir, "partition_1")
+    for cs in split_vid.callsets.values():
+        cs.filename = os.path.basename(cs.filename)
+        if cs.filename.endswith(".gz"):
+            cs.filename = cs.filename[:-3]
+    ref_store = import_callsets(vid, column_partition=(12202, None))
+    split_store = import_callsets(split_vid,
+                                  column_partition=(12202, None))
+    assert np.array_equal(ref_store.col, split_store.col)
+    assert np.array_equal(ref_store.row, split_store.row)
+    # histogram tool: bins + equi-partition JSON
+    vcf_histogram.main([str(lp), "--bin-size", "1000",
+                        "--num-partitions", "3"])
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l]
+    assert any("column_partitions" in l for l in lines)
+    parts = json.loads(lines[-1])["column_partitions"]
+    assert parts[0]["begin"] == 0 and len(parts) >= 2
