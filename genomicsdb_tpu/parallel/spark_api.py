@@ -1,0 +1,113 @@
+"""Spark-style input-format layer (pure Python, pyspark optional).
+
+The reference's Spark integration (SURVEY.md 2.7:
+spark/GenomicsDBInputFormat.java:65 getSplits — one split per
+(column partition x query block); GenomicsDBRecordReader wrapping
+GenomicsDBFeatureReader; Scala GenomicsDBRDD/GenomicsDBContext).
+
+Here the same decomposition is plain Python so any distributed runner
+(pyspark, multiprocessing, ray, jax multi-host) can map over the splits;
+`build_rdd` wires it to a real SparkContext when pyspark is installed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+from ..core.config import ImportParams, QueryParams, INT64_MAX
+
+
+@dataclass(frozen=True)
+class InputSplit:
+    """One unit of distributed query work (GenomicsDBInputSplit)."""
+    rank: int                      # column-partition index
+    partition_begin: int
+    partition_end: int             # inclusive; INT64_MAX-2 = unbounded
+    query_begin: int               # query block clamped to the partition
+    query_end: int
+
+    @property
+    def interval(self) -> Tuple[int, int]:
+        return (self.query_begin, self.query_end)
+
+
+def get_splits(ip: Optional[ImportParams], qp: QueryParams,
+               query_block_size: int = 0) -> List[InputSplit]:
+    """One split per (column partition x query block)
+    (GenomicsDBInputFormat.getSplits).
+
+    query blocks come from qp.column_ranges (all ranks' ranges); with
+    query_block_size > 0 each range is further chopped into fixed-size
+    blocks for finer parallelism."""
+    if ip is not None and ip.column_partitions:
+        parts = []
+        for r in range(len(ip.column_partitions)):
+            b, e = ip.partition_bounds(r)
+            parts.append((r, b, e if e is not None else INT64_MAX - 2))
+    else:
+        parts = [(0, 0, INT64_MAX - 2)]
+    ranges: List[Tuple[int, int]] = []
+    for rank_ranges in (qp.column_ranges or [[(0, INT64_MAX - 2)]]):
+        ranges.extend(rank_ranges)
+    if not ranges:
+        ranges = [(0, INT64_MAX - 2)]
+    blocks: List[Tuple[int, int]] = []
+    for lo, hi in ranges:
+        if query_block_size and query_block_size > 0:
+            b = lo
+            while b <= hi:
+                blocks.append((b, min(b + query_block_size - 1, hi)))
+                b += query_block_size
+        else:
+            blocks.append((lo, hi))
+    splits: List[InputSplit] = []
+    for rank, pb, pe in parts:
+        for lo, hi in blocks:
+            qlo, qhi = max(lo, pb), min(hi, pe)
+            if qlo <= qhi:
+                splits.append(InputSplit(rank, pb, pe, qlo, qhi))
+    return splits
+
+
+class RecordReader:
+    """Iterates one split's records (GenomicsDBRecordReader): opens the
+    split's partition store and yields (contig, pos_1based, Variant)."""
+
+    def __init__(self, split: InputSplit, qp: QueryParams, vid,
+                 store=None, ip: Optional[ImportParams] = None):
+        from ..query import driver
+        from ..query.stream import FeatureReader
+        self.split = split
+        if store is None:
+            store = driver.build_store_from_loader(ip, vid, split.rank) \
+                if ip is not None else None
+        if store is None:
+            raise ValueError("RecordReader needs a store or ImportParams")
+        qc = driver.make_query_config(qp, vid)
+        self._reader = FeatureReader(store, qc, vid)
+        self._vid = vid
+
+    def __iter__(self) -> Iterator:
+        from ..query.scan import scan_variants
+        for variant in scan_variants(self._reader.store, self._reader.qc,
+                                     self.split.interval):
+            loc = self._vid.get_contig_location(variant.start)
+            yield (loc[0], loc[1] + 1, variant)
+
+
+def read_split(split: InputSplit, qp: QueryParams, vid,
+               ip: Optional[ImportParams] = None, store=None) -> list:
+    """Materialize one split (the map function shipped to executors)."""
+    return list(RecordReader(split, qp, vid, store=store, ip=ip))
+
+
+def build_rdd(sc, ip: ImportParams, qp: QueryParams, vid,
+              query_block_size: int = 0):
+    """GenomicsDBRDD: parallelize splits over a live SparkContext.
+
+    Requires pyspark (not bundled); each executor re-opens its split's
+    partition via the loader config."""
+    splits = get_splits(ip, qp, query_block_size)
+    return sc.parallelize(splits, len(splits)).flatMap(
+        lambda s: read_split(s, qp, vid, ip=ip))
