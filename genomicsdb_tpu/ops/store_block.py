@@ -328,6 +328,17 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             continue
         if N:
             rec_hasother |= (live_ok & fd.valid[safe_cm]).any(axis=1)
+    # a VARIANT cell spanning multiple records (multi-position variant,
+    # e.g. an MNP) carries one block-level LUT but can co-occur with a
+    # different variant set in each record -> per-record merge required.
+    # Flag every record the cell is live in, including its start (the
+    # last record's LUT write would otherwise leak into earlier ones).
+    if B and S and N:
+        span_var = np.zeros(N, dtype=bool)
+        pc = cell_of[cell_of >= 0]
+        span_var[pc] = ~cell_refblock[pc] & \
+            (store.eff_end[pc] > store.col[pc]) & ref_ok[pc] & alt_ok[pc]
+        rec_hasother |= (live_ok & span_var[safe_cm]).any(axis=1)
     blk = CellBlock(col=col, end=end, pl=pl, pl_len=pl_len, ad=ad,
                     ad_len=ad_len, gt=gt, gq=gq, dp=dp, min_dp=min_dp,
                     dp_info=dp_info, info_f=info_f, raw_mq=raw,

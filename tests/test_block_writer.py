@@ -109,6 +109,56 @@ def test_block_writer_matches_sequential(tmp_path):
     assert py_lines == block_lines
 
 
+def test_block_driver_hybrid_mnp_overlap(tmp_path):
+    """A multi-position variant (MNP) overlapping another sample's SNP
+    needs per-record merge: the hybrid engine must splice sequential."""
+    header = "\n".join([
+        "##fileformat=VCFv4.1",
+        '##ALT=<ID=NON_REF,Description="n">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">',
+        '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="q">',
+        '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="p">',
+        '##INFO=<ID=END,Number=1,Type=Integer,Description="e">',
+        '##contig=<ID=1,length=249250621>',
+    ])
+    pa = str(tmp_path / "sa.vcf")
+    with open(pa, "w") as f:
+        f.write(header + "\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\t"
+                "INFO\tFORMAT\tSA\n")
+        f.write("1\t100\t.\tCA\tTG,<NON_REF>\t.\t.\t.\t"
+                "GT:DP:GQ:PL\t0/1:30:50:100,0,200,40,60,80\n")
+        f.write("1\t102\t.\tC\t<NON_REF>\t.\t.\tEND=150\t"
+                "GT:DP:GQ:PL\t0/0:20:0:0,0,0\n")
+    pb = str(tmp_path / "sb.vcf")
+    with open(pb, "w") as f:
+        f.write(header + "\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\t"
+                "INFO\tFORMAT\tSB\n")
+        f.write("1\t101\t.\tA\tT,<NON_REF>\t.\t.\t.\t"
+                "GT:DP:GQ:PL\t0/1:25:40:90,0,180,30,50,70\n")
+        f.write("1\t102\t.\tC\t<NON_REF>\t.\t.\tEND=150\t"
+                "GT:DP:GQ:PL\t0/0:22:0:0,0,0\n")
+    vid = VidMapper.from_files(
+        os.path.join(REF_TESTS, "inputs/vid.json"))
+    vid.parse_callsets({"callsets": {
+        "SA": {"row_idx": 0, "idx_in_file": 0, "filename": pa},
+        "SB": {"row_idx": 1, "idx_in_file": 0, "filename": pb}}})
+    store = import_callsets(vid)
+    qp = QueryParams()
+    qp.scan_full = True
+    qp.attributes = []
+    qc = driver.make_query_config(qp, vid)
+    sequential = driver.run_vcf_query(store, qc, qp, vid,
+                                      template_path=None,
+                                      reference_path=None)
+    qc2 = driver.make_query_config(qp, vid)
+    hybrid = driver.run_vcf_query_block(store, qc2, qp, vid,
+                                        template_path=None,
+                                        reference_path=None)
+    assert hybrid.splitlines() == sequential.splitlines()
+    assert len(hybrid.splitlines()) >= 3
+
+
 def test_block_driver_hybrid_with_deletions(tmp_path):
     """run_vcf_query_block splices the sequential engine for deletion
     spans and is byte-identical to run_vcf_query on a mixed cohort."""
