@@ -190,21 +190,19 @@ def merge_stores(stores: List[ColumnarStore]) -> ColumnarStore:
                 values=values, offsets=np.asarray(inner, dtype=np.int64),
                 outer_offsets=outer)
             continue
-        starts_all = np.concatenate([fd.offsets[:-1] for fd in fds])
         base_off = np.cumsum([0] + [len(fd.values) for fd in fds[:-1]])
         value_cat = np.concatenate([fd.values for fd in fds])
         abs_starts = np.concatenate(
             [fd.offsets[:-1] + b for fd, b in zip(fds, base_off)])
-        _ = starts_all
+        # vectorized gather in merged order (one segment copy per field)
+        new_lens = lens[order]
         new_offsets = np.zeros(n_total + 1, dtype=np.int64)
-        chunks = []
-        for oi, src in enumerate(order):
-            ln = lens[src]
-            st = abs_starts[src]
-            chunks.append(value_cat[st:st + ln])
-            new_offsets[oi + 1] = new_offsets[oi] + ln
-        values = (np.concatenate(chunks) if chunks
-                  else np.zeros(0, dtype=value_cat.dtype))
+        np.cumsum(new_lens, out=new_offsets[1:])
+        from .columnar import _ragged_arange
+        nz = new_lens > 0
+        src_idx = _ragged_arange(abs_starts[order][nz],
+                                 new_lens[nz].astype(np.int64))
+        values = value_cat[src_idx]
         out.fields[name] = FieldData(name=name, kind=kind, dtype=dtype,
                                      valid=valid, values=values,
                                      offsets=new_offsets)
