@@ -45,9 +45,15 @@ def is_reference_block(ref: str, alts: List[str]) -> bool:
 
 def _is_all_missing(arr: np.ndarray) -> bool:
     if arr.dtype == np.int32:
+        # fast path: almost every valid vector has a non-missing head
+        if arr.size and arr[0] != formats.INT_MISSING:
+            return False
         return bool(np.all(arr == formats.INT_MISSING))
     if arr.dtype == np.float32:
-        return bool(np.all(arr.view(np.uint32) == formats.FLOAT_MISSING_BITS))
+        bits = arr.view(np.uint32)
+        if bits.size and bits[0] != formats.FLOAT_MISSING_BITS:
+            return False
+        return bool(np.all(bits == formats.FLOAT_MISSING_BITS))
     return len(arr) == 0
 
 
