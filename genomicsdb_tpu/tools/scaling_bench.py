@@ -22,7 +22,7 @@ import numpy as np
 
 
 def bench_n_devices(n_devices: int, num_samples=64, cells_per_sample=512,
-                    region_len=16384, reps=3) -> dict:
+                    region_len=16384, reps=3, weak: bool = False) -> dict:
     import jax
 
     from ..ops.combine_step import synthesize_cohort
@@ -31,6 +31,12 @@ def bench_n_devices(n_devices: int, num_samples=64, cells_per_sample=512,
     n_row = 2 if n_devices % 2 == 0 else 1
     n_pos = n_devices // n_row
     mesh = make_mesh(n_pos, n_row, jax.devices()[:n_devices])
+    if weak:
+        # fixed work PER DEVICE (position axis grows with the mesh) —
+        # the meaningful scaling mode for per-chip throughput claims
+        cells_per_sample *= n_pos
+        region_len *= n_pos
+        num_samples *= n_row
     blk = synthesize_cohort(num_samples, cells_per_sample, region_len,
                             seed=0)
     blk = pad_block_for_mesh(blk, n_pos, n_row)
@@ -53,13 +59,27 @@ def bench_n_devices(n_devices: int, num_samples=64, cells_per_sample=512,
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--weak", action="store_true",
+                   help="weak scaling: fixed work per device; efficiency "
+                        "= t(1)/t(N) (per-chip throughput held)")
     args = p.parse_args(argv)
+    import jax
+    shared_host = jax.devices()[0].platform == "cpu"
     base = None
     for n in args.devices:
-        r = bench_n_devices(n)
-        if base is None:
-            base = r["records_per_sec"]
-        r["efficiency"] = round(r["records_per_sec"] / (base * n), 3)
+        r = bench_n_devices(n, weak=args.weak)
+        if shared_host:
+            # virtual devices share physical cores: numbers validate the
+            # sharded program + collectives, not hardware scaling
+            r["virtual_devices"] = True
+        if args.weak:
+            if base is None:
+                base = r["seconds"]
+            r["efficiency"] = round(base / r["seconds"], 3)
+        else:
+            if base is None:
+                base = r["records_per_sec"]
+            r["efficiency"] = round(r["records_per_sec"] / (base * n), 3)
         print(json.dumps(r))
 
 
