@@ -69,11 +69,11 @@ def _gather_cells(x: jnp.ndarray, live: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("max_merged", "ploidy"))
+@partial(jax.jit, static_argnames=("max_merged", "ploidy", "use_pallas"))
 def combine_step(col, end, pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                  dp_info, info_f, raw_mq, inv_lut, input_nr, num_merged,
-                 starts, rec_num_merged, *, max_merged: int, ploidy: int
-                 ) -> Dict[str, jnp.ndarray]:
+                 starts, rec_num_merged, *, max_merged: int, ploidy: int,
+                 use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
     live = K.live_cells_at(starts, col, end)            # [B, S]
     valid = live >= 0
     fv = valid.astype(jnp.float32)
@@ -88,10 +88,18 @@ def combine_step(col, end, pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
     pll = jnp.where(valid, g(pl_len), 0)
     adg = jnp.where(valid[..., None], g(ad), INT_MISSING)
     adl = jnp.where(valid, g(ad_len), 0)
-    # remaps
-    pl_out = K.remap_genotype_fields(plg, inv, pll, nr, rec_num_merged,
-                                     num_merged_alleles=max_merged,
-                                     ploidy=ploidy)
+    # remaps (pallas: fused VMEM lane-gather for the PL reorder,
+    # ops/pallas_remap.py; opt-in via GENOMICSDB_TPU_PALLAS=1 at call
+    # sites — TPU-only, XLA path is the default and the CPU fallback)
+    if use_pallas:
+        from .pallas_remap import remap_genotype_fields_pallas
+        pl_out = remap_genotype_fields_pallas(
+            plg, inv, pll, nr, rec_num_merged,
+            num_merged_alleles=max_merged, ploidy=ploidy)
+    else:
+        pl_out = K.remap_genotype_fields(plg, inv, pll, nr, rec_num_merged,
+                                         num_merged_alleles=max_merged,
+                                         ploidy=ploidy)
     ad_out = K.remap_allele_fields(adg, inv, adl, nr, rec_num_merged,
                                    alt_only=False)
     # GT remap: input allele -> merged allele (invert inv_lut).  Ploidy and

@@ -29,6 +29,14 @@ from ..vcf.fasta import ReferenceGenome
 INT_MISSING = formats.INT_MISSING
 LEGAL = {"A", "T", "G", "C"}
 
+
+def jnp_backend_is_tpu() -> bool:
+    import jax
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
 # default INFO median field order matches store_to_block's default
 INFO_FIELD_VCF_ORDER = ["BaseQRankSum", "ClippingRankSum", "MQRankSum",
                         "ReadPosRankSum", "MQ", "MQ0"]
@@ -51,8 +59,11 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
     blk, meta = store_to_block(store, qc, interval=interval,
                                max_merged=max_merged, ploidy=ploidy,
                                return_meta=True)
+    import os as _os
+    use_pallas = (_os.environ.get("GENOMICSDB_TPU_PALLAS") == "1"
+                  and jnp_backend_is_tpu())
     out = combine_step(*block_to_args(blk), max_merged=max_merged,
-                       ploidy=ploidy)
+                       ploidy=ploidy, use_pallas=use_pallas)
     live = np.asarray(out["live"])
     pl = np.asarray(out["pl"])
     ad = np.asarray(out["ad"])

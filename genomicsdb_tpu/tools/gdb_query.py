@@ -159,7 +159,16 @@ def main(argv=None):
     # construction, gt_mpi_gather.cc:322-366)
     pieces = [run_rank(args, r)
               for r in range(args.rank, args.rank + args.num_ranks)]
-    sys.stdout.write("".join(pieces))
+    text = "".join(pieces)
+    # vcf_output_filename / vcf_output_format knobs (VCFAdapter "z" mode)
+    qp0 = QueryParams.from_file(args.query_json, args.rank)
+    if qp0.vcf_output_filename and qp0.vcf_output_filename != "-":
+        from ..vcf.bgzf import open_output
+        with open_output(qp0.resolve(qp0.vcf_output_filename),
+                         qp0.vcf_output_format) as f:
+            f.write(text)
+    else:
+        sys.stdout.write(text)
 
 
 if __name__ == "__main__":

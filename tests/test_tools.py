@@ -165,3 +165,50 @@ def test_split_files_and_histogram(tmp_path, capsys):
     assert any("column_partitions" in l for l in lines)
     parts = json.loads(lines[-1])["column_partitions"]
     assert parts[0]["begin"] == 0 and len(parts) >= 2
+
+
+def test_bgzf_output(tmp_path, capsys):
+    """vcf_output_filename + vcf_output_format='z' writes BGZF
+    (gzip-readable, htslib EOF marker) with identical text."""
+    import gzip
+    import json
+    from genomicsdb_tpu.vcf.bgzf import BGZF_EOF, compress
+    from genomicsdb_tpu.tools import gdb_query
+
+    # unit: round-trip + EOF marker + block framing
+    data = b"x" * 200000 + b"tail"
+    blob = compress(data)
+    assert blob.endswith(BGZF_EOF)
+    assert gzip.decompress(blob) == data
+
+    # CLI: same records as stdout mode, but BGZF into a file
+    qdoc = {
+        "workspace": "",
+        "array_name": "",
+        "query_column_ranges": [
+            {"range_list": [{"low": 0, "high": 1000000000}]}],
+        "vid_mapping_file": os.path.join(REF_TESTS, "inputs/vid.json"),
+        "callset_mapping_file": os.path.join(
+            REF_TESTS, "inputs/callsets/t0_1_2.json"),
+        "attributes": ["REF", "ALT", "GT"],
+        "scan_full": True,
+    }
+    ldoc = {
+        "callset_mapping_file": qdoc["callset_mapping_file"],
+        "vid_mapping_file": qdoc["vid_mapping_file"],
+    }
+    lp = tmp_path / "l.json"
+    lp.write_text(json.dumps(ldoc))
+    qp = tmp_path / "q.json"
+    qp.write_text(json.dumps(qdoc))
+    gdb_query.main(["-j", str(qp), "-l", str(lp),
+                    "--produce-Broad-GVCF"])
+    stdout_text = capsys.readouterr().out
+    out_gz = str(tmp_path / "out.vcf.gz")
+    qdoc["vcf_output_filename"] = out_gz
+    qdoc["vcf_output_format"] = "z"
+    qp.write_text(json.dumps(qdoc))
+    gdb_query.main(["-j", str(qp), "-l", str(lp),
+                    "--produce-Broad-GVCF"])
+    with gzip.open(out_gz, "rt") as f:
+        assert f.read() == stdout_text
