@@ -150,10 +150,13 @@ def run_java_vcf_query(store: ColumnarStore, qc: QueryConfig,
                        qp: QueryParams, vid: VidMapper,
                        template_path: Optional[str] = None,
                        reference_path: Optional[str] = None,
-                       sort_samples: bool = False) -> str:
+                       sort_samples: bool = False,
+                       transform_header: bool = True) -> str:
     """java_vcf query type: htsjdk-rendered combined VCF
     (TestGenomicsDB --query path).  sort_samples reorders sample columns
-    alphabetically (the Spark reader's behavior, spark_* goldens)."""
+    alphabetically (the Spark reader's behavior, spark_* goldens);
+    transform_header=False keeps the htslib-style header (the spark
+    harness pairs the C header with htsjdk records for some configs)."""
     from ..vcf.header import build_header_lines, chrom_line, load_template
     from .java_writer import JavaCombineToVCF, transform_header_lines
     from .scan import scan_and_operate
@@ -171,8 +174,10 @@ def run_java_vcf_query(store: ColumnarStore, qc: QueryConfig,
     out_lines: List[str] = []
     if template_path:
         template = load_template(template_path)
-        out_lines.extend(transform_header_lines(
-            build_header_lines(template, vid, qc)))
+        hdr = build_header_lines(template, vid, qc)
+        if transform_header:
+            hdr = transform_header_lines(hdr)
+        out_lines.extend(hdr)
         out_lines.append(chrom_line(sample_names, qc.sites_only_query))
     intervals = qc.column_intervals if qc.column_intervals else [None]
     for iv in intervals:

@@ -129,6 +129,9 @@ class JavaCombineToVCF(CombineToVCF):
                     if all(v == "." for v in vals):
                         cols.append(".")
                     else:
+                        # htsjdk VCFEncoder drops trailing missing fields
+                        while len(vals) > 1 and vals[-1] == ".":
+                            vals.pop()
                         cols.append(":".join(vals))
             else:
                 cols.append(".")

@@ -121,7 +121,8 @@ def diff_strings(got: str, want: str, n=40):
 
 
 def run_java_vcf(callset_file, attributes=None, column_ranges=None,
-                 vid_file="inputs/vid.json", **kw) -> str:
+                 vid_file="inputs/vid.json", sort_samples=False,
+                 transform_header=True, **kw) -> str:
     vid, store = load_setup(callset_file, vid_file)
     qp = make_query_params(attributes or VCF_ATTRIBUTES_ORDER,
                            column_ranges, **kw)
@@ -130,4 +131,5 @@ def run_java_vcf(callset_file, attributes=None, column_ranges=None,
         store, qc, qp, vid,
         template_path=os.path.join(REF_TESTS,
                                    "inputs/template_vcf_header.vcf"),
-        reference_path=os.path.join(REF_TESTS, "inputs/chr1_10MB.fasta.gz"))
+        reference_path=os.path.join(REF_TESTS, "inputs/chr1_10MB.fasta.gz"),
+        sort_samples=sort_samples, transform_header=transform_header)
