@@ -114,6 +114,19 @@ def inverse_lut(lut_row: np.ndarray, num_merged: int) -> np.ndarray:
     return inv
 
 
+def inverse_lut_matrix(lut: np.ndarray, num_merged: int) -> np.ndarray:
+    """inverse_lut for every row of `lut` at once ([n, num_merged])."""
+    n, k = lut.shape
+    inv = np.full((n, num_merged), LUT_MISSING, dtype=np.int32)
+    m = np.asarray(lut).ravel()
+    ok = (m >= 0) & (m < num_merged)
+    rows = np.repeat(np.arange(n), k)
+    in_idx = np.tile(np.arange(k, dtype=np.int32), n)
+    # duplicate merged indices: last input index wins (matches the loop)
+    inv[rows[ok], m[ok]] = in_idx[ok]
+    return inv
+
+
 def remap_gt_field(input_gt: np.ndarray, lut_row: np.ndarray,
                    num_merged: int, non_ref_exists: bool,
                    contains_phase: bool) -> np.ndarray:

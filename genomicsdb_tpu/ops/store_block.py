@@ -56,10 +56,15 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                                    "MQRankSum", "ReadPosRankSum", "MQ",
                                    "MQ0")
                        if f in store.fields]
-    # --- dense per-row cell layout ---
+    # --- dense per-row cell layout (one stable row-sort, not S scans) ---
+    row_sorted = np.argsort(store.row, kind="stable") \
+        if store.num_cells else np.zeros(0, dtype=np.int64)
+    sorted_rows = store.row[row_sorted] if store.num_cells else row_sorted
     per_row_idx: List[np.ndarray] = []
     for r in rows:
-        idx = np.nonzero(store.row == r)[0]
+        lo_i = np.searchsorted(sorted_rows, r, side="left")
+        hi_i = np.searchsorted(sorted_rows, r, side="right")
+        idx = row_sorted[lo_i:hi_i]
         if interval is not None:
             lo, hi = interval
             keep = (store.col[idx] <= hi) & (store.eff_end[idx] >= lo)
@@ -291,10 +296,12 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             merged_ref = M.merge_reference_allele(call_refs)
             merged_alts, lut, non_ref = M.merge_alt_alleles(
                 call_refs, call_alts, merged_ref)
+            inv_rows = M.inverse_lut_matrix(
+                np.asarray(lut), len(merged_alts) + 1)
             got = (merged_ref, merged_alts, lut, non_ref,
-                   {c: i for i, c in enumerate(var_cells)})
+                   {c: i for i, c in enumerate(var_cells)}, inv_rows)
             sig_cache[sig] = got
-        merged_ref, merged_alts, lut, non_ref, order = got
+        merged_ref, merged_alts, lut, non_ref, order, inv_rows = got
         nm = len(merged_alts) + 1
         rec_num_merged[b] = min(nm, max_merged)
         rec_refs[b] = merged_ref
@@ -304,7 +311,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             c = int(cells_mat[b, s])
             k = int(live[b, s])
             if c in order:
-                inv = M.inverse_lut(lut[order[c]], nm)[:max_merged]
+                inv = inv_rows[order[c]][:max_merged]
                 inv_lut[s, k, :len(inv)] = inv
                 if non_ref:
                     nr_in = inv[min(nm, max_merged) - 1]

@@ -160,14 +160,20 @@ def store_take(store: ColumnarStore, idx: np.ndarray) -> ColumnarStore:
 
 
 def _ragged_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenation of arange(start, start+len) per segment, O(total):
+    diff-encode the sequence and integrate with one cumsum."""
     total = int(lens.sum())
     if total == 0:
         return np.zeros(0, dtype=np.int64)
-    ends = np.cumsum(lens)
-    idx = np.arange(total, dtype=np.int64)
-    seg = np.searchsorted(ends, idx, side="right")
-    within = idx - (ends - lens)[seg]
-    return starts[seg] + within
+    nz = lens > 0
+    starts = np.asarray(starts, dtype=np.int64)[nz]
+    lens = np.asarray(lens, dtype=np.int64)[nz]
+    incr = np.ones(total, dtype=np.int64)
+    incr[0] = starts[0]
+    if len(starts) > 1:
+        pos = np.cumsum(lens)[:-1]
+        incr[pos] = starts[1:] - starts[:-1] - lens[:-1] + 1
+    return np.cumsum(incr)
 
 
 def build_store(cells: List[dict], attribute_order: List[str],
