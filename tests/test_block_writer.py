@@ -109,6 +109,53 @@ def test_block_writer_matches_sequential(tmp_path):
     assert py_lines == block_lines
 
 
+def test_block_multi_contig(tmp_path):
+    """Records on two contigs: the block engine switches contig names at
+    the vid offset boundary exactly like the sequential engine."""
+    path = str(tmp_path / "mc.vcf")
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.1\n")
+        for line in [
+            '##ALT=<ID=NON_REF,Description="n">',
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+            '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">',
+            '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="q">',
+            '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="p">',
+            '##INFO=<ID=END,Number=1,Type=Integer,Description="e">',
+            '##contig=<ID=1,length=249250621>',
+            '##contig=<ID=2,length=243199373>',
+        ]:
+            f.write(line + "\n")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                "\tSA\tSB\n")
+        for contig in ("1", "2"):
+            f.write(f"{contig}\t5\t.\tC\t<NON_REF>\t.\t.\tEND=60\t"
+                    "GT:DP:GQ:PL\t0/0:11:0:0,0,0\t0/0:12:0:0,0,0\n")
+            f.write(f"{contig}\t100\t.\tG\tA,<NON_REF>\t.\t.\t.\t"
+                    "GT:DP:GQ:PL\t0/1:30:50:100,0,200,40,60,80\t"
+                    "0/0:25:40:0,40,90,50,60,70\n")
+    vid = VidMapper.from_files(
+        os.path.join(REF_TESTS, "inputs/vid.json"))
+    vid.parse_callsets({"callsets": {
+        s: {"row_idx": i, "idx_in_file": i, "filename": path}
+        for i, s in enumerate(["SA", "SB"])}})
+    store = import_callsets(vid)
+    qp = QueryParams()
+    qp.scan_full = True
+    qp.attributes = []
+    qc = driver.make_query_config(qp, vid)
+    sequential = driver.run_vcf_query(store, qc, qp, vid,
+                                      template_path=None,
+                                      reference_path=None)
+    qc2 = driver.make_query_config(qp, vid)
+    hybrid = driver.run_vcf_query_block(store, qc2, qp, vid,
+                                        template_path=None,
+                                        reference_path=None)
+    assert hybrid.splitlines() == sequential.splitlines()
+    contigs = {l.split("\t", 1)[0] for l in hybrid.splitlines()}
+    assert contigs == {"1", "2"}
+
+
 def test_block_driver_hybrid_mnp_overlap(tmp_path):
     """A multi-position variant (MNP) overlapping another sample's SNP
     needs per-record merge: the hybrid engine must splice sequential."""
