@@ -286,8 +286,8 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     for b in np.nonzero(rec_is_var)[0]:
         b = int(b)
         srows = np.nonzero(live_ok[b])[0]
-        var_cells = [int(cells_mat[b, s]) for s in srows
-                     if var_mat[b, s]]
+        var_sel = var_mat[b, srows]
+        var_cells = [int(c) for c in cells_mat[b, srows[var_sel]]]
         sig = tuple(sorted(set(var_cells)))
         got = sig_cache.get(sig)
         if got is None:
@@ -306,22 +306,24 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         rec_num_merged[b] = min(nm, max_merged)
         rec_refs[b] = merged_ref
         rec_alts[b] = list(merged_alts)
-        for s in srows:
-            s = int(s)
-            c = int(cells_mat[b, s])
-            k = int(live[b, s])
-            if c in order:
-                inv = inv_rows[order[c]][:max_merged]
-                inv_lut[s, k, :len(inv)] = inv
-                if non_ref:
-                    nr_in = inv[min(nm, max_merged) - 1]
-                    input_nr[s, k] = nr_in
-            else:
-                inv_lut[s, k, 0] = 0
-                if get_alts(c):
-                    # ref block: its NON_REF maps to merged NON_REF (last)
-                    inv_lut[s, k, min(nm, max_merged) - 1] = 1
-                    input_nr[s, k] = 1
+        W = min(nm, max_merged)
+        # variant samples: their index in var_cells IS their position
+        # among var-selected srows (one cell belongs to one row)
+        s_var = srows[var_sel]
+        k_var = live_k[b, s_var]
+        inv_w = inv_rows[:, :max_merged]
+        inv_lut[s_var[:, None], k_var[:, None],
+                np.arange(inv_w.shape[1])[None, :]] = inv_w
+        if non_ref:
+            input_nr[s_var, k_var] = inv_w[:, W - 1]
+        # ref-block samples: identity REF + NON_REF -> merged last slot
+        s_rb = srows[~var_sel]
+        if len(s_rb):
+            k_rb = live_k[b, s_rb]
+            inv_lut[s_rb, k_rb, 0] = 0
+            has_alt = alt_ok[cells_mat[b, s_rb]]
+            inv_lut[s_rb[has_alt], k_rb[has_alt], W - 1] = 1
+            input_nr[s_rb[has_alt], k_rb[has_alt]] = 1
     num_merged = np.maximum((inv_lut >= 0).sum(axis=-1), 1).astype(np.int32)
     # records carrying a valid queried field the block writer does not
     # render (SB, PGT, PID, PS, ...) need the sequential splice
