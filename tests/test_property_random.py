@@ -132,3 +132,85 @@ def test_vcf_output_invariants(seed):
                 if len(parts) > dpi and parts[dpi] not in (".", ""):
                     s += int(parts[dpi])
             assert info_dp == s, line
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_hybrid_block_engine_fuzz(seed, tmp_path):
+    """Random gVCF cohorts (ref blocks + SNVs + deletions + gaps):
+    the hybrid block engine must byte-match the sequential engine."""
+    import os
+    import random as _random
+
+    from golden_utils import REF_TESTS
+
+    from genomicsdb_tpu.core.config import QueryParams
+    from genomicsdb_tpu.core.vid import VidMapper
+    from genomicsdb_tpu.query import driver
+    from genomicsdb_tpu.store.import_pipeline import import_callsets
+
+    r = _random.Random(seed)
+    n_samples = r.randint(2, 6)
+    paths = []
+    for s in range(n_samples):
+        path = str(tmp_path / f"s{s}.vcf")
+        paths.append(path)
+        with open(path, "w") as f:
+            f.write("##fileformat=VCFv4.1\n")
+            for line in [
+                '##ALT=<ID=NON_REF,Description="n">',
+                '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+                '##FORMAT=<ID=AD,Number=.,Type=Integer,Description="a">',
+                '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">',
+                '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="q">',
+                '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="p">',
+                '##INFO=<ID=END,Number=1,Type=Integer,Description="e">',
+                '##contig=<ID=1,length=249250621>',
+            ]:
+                f.write(line + "\n")
+            f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\t"
+                    f"FORMAT\tS{s}\n")
+            pos = 1
+            for _ in range(r.randint(10, 40)):
+                kind = r.random()
+                if kind < 0.15:          # gap
+                    pos += r.randint(1, 50)
+                    continue
+                if kind < 0.35:          # SNV
+                    pl = ",".join(str(r.randint(0, 600))
+                                  for _ in range(6))
+                    f.write(f"1\t{pos}\t.\tC\tT,<NON_REF>\t.\t.\t.\t"
+                            f"GT:AD:DP:GQ:PL\t0/1:{r.randint(0, 50)},"
+                            f"{r.randint(0, 50)},0:{r.randint(1, 90)}:"
+                            f"{r.randint(0, 99)}:{pl}\n")
+                    pos += 1
+                elif kind < 0.5:         # deletion
+                    pl = ",".join(str(r.randint(0, 600))
+                                  for _ in range(6))
+                    f.write(f"1\t{pos}\t.\tCAA\tC,<NON_REF>\t.\t.\t.\t"
+                            f"GT:AD:DP:GQ:PL\t0/1:{r.randint(0, 50)},"
+                            f"{r.randint(0, 50)},0:{r.randint(1, 90)}:"
+                            f"{r.randint(0, 99)}:{pl}\n")
+                    pos += 3
+                else:                    # ref block
+                    end = pos + r.randint(0, 120)
+                    f.write(f"1\t{pos}\t.\tC\t<NON_REF>\t.\t.\t"
+                            f"END={end}\tGT:DP:GQ:PL\t0/0:"
+                            f"{r.randint(1, 60)}:0:0,0,0\n")
+                    pos = end + 1
+    vid = VidMapper.from_files(
+        os.path.join(REF_TESTS, "inputs/vid.json"))
+    vid.parse_callsets({"callsets": {
+        f"S{s}": {"row_idx": s, "idx_in_file": 0, "filename": paths[s]}
+        for s in range(n_samples)}})
+    store = import_callsets(vid)
+    qp = QueryParams()
+    qp.scan_full = True
+    qp.attributes = []
+    qc = driver.make_query_config(qp, vid)
+    seq = driver.run_vcf_query(store, qc, qp, vid,
+                               template_path=None, reference_path=None)
+    qc2 = driver.make_query_config(qp, vid)
+    hyb = driver.run_vcf_query_block(store, qc2, qp, vid,
+                                     template_path=None,
+                                     reference_path=None)
+    assert hyb.splitlines() == seq.splitlines()
