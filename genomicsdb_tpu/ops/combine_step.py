@@ -60,6 +60,8 @@ class CellBlock:
     # per-interval (precomputed by the sweep):
     starts: np.ndarray     # [B] int64 interval starts
     rec_num_merged: np.ndarray  # [B] int32 merged alleles per record
+    live: np.ndarray = None  # [B, S] int32 live cell idx (-1 none); host-
+    # precomputed (device derivation is a slow scalar-core gather)
 
 
 def _gather_cells(x: jnp.ndarray, live: jnp.ndarray) -> jnp.ndarray:
@@ -72,9 +74,15 @@ def _gather_cells(x: jnp.ndarray, live: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("max_merged", "ploidy", "use_pallas"))
 def combine_step(col, end, pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                  dp_info, info_f, raw_mq, inv_lut, input_nr, num_merged,
-                 starts, rec_num_merged, *, max_merged: int, ploidy: int,
+                 starts, rec_num_merged, live=None, *, max_merged: int,
+                 ploidy: int,
                  use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
-    live = K.live_cells_at(starts, col, end)            # [B, S]
+    if live is None:
+        # fallback: derive the live matrix on device.  The production
+        # path (store_to_block) already has it from the host sweep and
+        # passes it in — a [B,S]-indexed gather over [S,C] lowers to a
+        # slow scalar-core loop on TPU (~45% of the step).
+        live = K.live_cells_at(starts, col, end)        # [B, S]
     valid = live >= 0
     fv = valid.astype(jnp.float32)
 
@@ -150,7 +158,21 @@ def block_to_args(blk: CellBlock):
     return (blk.col, blk.end, blk.pl, blk.pl_len, blk.ad, blk.ad_len,
             blk.gt, blk.gq, blk.dp, blk.min_dp, blk.dp_info, blk.info_f,
             blk.raw_mq, blk.inv_lut, blk.input_nr, blk.num_merged,
-            blk.starts, blk.rec_num_merged)
+            blk.starts, blk.rec_num_merged, blk.live)
+
+
+def live_cells_at_host(starts: np.ndarray, col: np.ndarray,
+                       end: np.ndarray) -> np.ndarray:
+    """numpy twin of jax_kernels.live_cells_at ([B, S] int32)."""
+    B, (S, C) = len(starts), col.shape
+    live = np.full((B, S), -1, dtype=np.int32)
+    for s in range(S):
+        idx = np.searchsorted(col[s], starts, side="right") - 1
+        ok = idx >= 0
+        idxc = np.clip(idx, 0, C - 1)
+        ok &= end[s, idxc] >= starts
+        live[:, s] = np.where(ok, idxc, -1)
+    return live
 
 
 def synthesize_cohort(num_samples: int, cells_per_sample: int,

@@ -353,7 +353,8 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                     dp_info=dp_info, info_f=info_f, raw_mq=raw,
                     inv_lut=inv_lut, input_nr=input_nr,
                     num_merged=num_merged, starts=starts,
-                    rec_num_merged=rec_num_merged)
+                    rec_num_merged=rec_num_merged,
+                    live=live.astype(np.int32))
     if return_meta:
         meta = BlockRecordMeta(ends=rec_ends, refs=rec_refs,
                                alts=rec_alts,

@@ -152,12 +152,16 @@ def pad_block_for_mesh(blk: CellBlock, n_pos: int, n_row: int) -> CellBlock:
                             constant_values=np.iinfo(np.int64).max - 1)
         out.rec_num_merged = np.pad(out.rec_num_merged, (0, B_pad),
                                     constant_values=1)
+    out.live = None   # sharded step derives live per shard
     return out
 
 
 def shard_block(mesh: Mesh, blk: CellBlock):
-    """Device-put block arrays with the step's input shardings."""
-    args = block_to_args(blk)
+    """Device-put block arrays with the step's input shardings.
+
+    The sharded step derives `live` on device (each (pos, row) shard
+    needs only its local [B_loc, S_loc] slab), so blk.live is dropped."""
+    args = block_to_args(blk)[:18]
     cell_sc = NamedSharding(mesh, P("row", None))
     cell_sc3 = NamedSharding(mesh, P("row", None, None))
     info_s = NamedSharding(mesh, P(None, "row", None))
