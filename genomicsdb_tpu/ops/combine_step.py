@@ -84,7 +84,6 @@ def combine_step(col, end, pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
         # slow scalar-core loop on TPU (~45% of the step).
         live = K.live_cells_at(starts, col, end)        # [B, S]
     valid = live >= 0
-    fv = valid.astype(jnp.float32)
 
     def g(x):
         out = _gather_cells(x, live)
@@ -92,9 +91,12 @@ def combine_step(col, end, pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
 
     inv = jnp.where(valid[..., None], g(inv_lut), -1)   # [B, S, M]
     nr = jnp.where(valid, g(input_nr), -1)
-    plg = jnp.where(valid[..., None], g(pl), INT_MISSING)
+    # plg/adg are NOT masked here: invalid slots gather garbage, but the
+    # remap kernels mask their outputs via inv==-1 (combo_missing /
+    # in_allele) — masking them anyway costs a full padded-lane pass each
+    plg = g(pl)
     pll = jnp.where(valid, g(pl_len), 0)
-    adg = jnp.where(valid[..., None], g(ad), INT_MISSING)
+    adg = g(ad)
     adl = jnp.where(valid, g(ad_len), 0)
     # remaps (pallas: fused VMEM lane-gather for the PL reorder,
     # ops/pallas_remap.py; opt-in via GENOMICSDB_TPU_PALLAS=1 at call
@@ -127,7 +129,6 @@ def combine_step(col, end, pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
         out_p = jnp.where(ok, jnp.where(merged >= 0, merged, nr_merged), a)
         gt_cols.append(out_p)
     gt_out = jnp.stack(gt_cols, axis=-1)
-    _ = fv
     # INFO medians over samples (valid float = payload-checked on host;
     # here invalid encoded as NaN -> excluded via isfinite)
     infog = jax.vmap(lambda f: _gather_cells(f, live))(info_f)  # [F,B,S]
