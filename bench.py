@@ -315,7 +315,35 @@ def bench_cohort_end_to_end(n_samples=100, n_records=4000,
     }
 
 
+def _probe_device(retries=3, wait_s=120) -> bool:
+    """The remote TPU tunnel occasionally wedges (hangs on any dispatch,
+    recovers after minutes).  Probe it in a SUBPROCESS with a timeout —
+    an in-process hang cannot be interrupted — and retry with backoff.
+    Returns False when the device stays unreachable."""
+    import subprocess
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat.split(",")[0] in ("cpu", ""):
+        return True
+    code = "import jax, jax.numpy as jnp; print(int(jnp.arange(4).sum()))"
+    for i in range(retries):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, timeout=150)
+            if r.returncode == 0 and b"6" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < retries:
+            time.sleep(wait_s)
+    return False
+
+
 def main():
+    platform_note = None
+    if not _probe_device():
+        # dead tunnel: fall back to CPU so the round still records a line
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        platform_note = "tpu-unreachable-cpu-fallback"
     dev = bench_device()
     oracle = bench_oracle()
     imp = bench_import()
@@ -339,6 +367,8 @@ def main():
                 for k, v in e2e.items()},
         },
     }
+    if platform_note:
+        line["detail"]["platform_note"] = platform_note
     print(json.dumps(line))
 
 
