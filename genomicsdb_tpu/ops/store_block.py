@@ -326,8 +326,12 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             input_nr[s_rb[has_alt], k_rb[has_alt]] = 1
     num_merged = np.maximum((inv_lut >= 0).sum(axis=-1), 1).astype(np.int32)
     # records carrying a valid queried field the block writer does not
-    # render (SB, PGT, PID, PS, ...) need the sequential splice
-    handled = {"END", "REF", "ALT", "QUAL", "FILTER", "ID", "GT", "GQ",
+    # render (SB, PGT, PID, PS, ...) need the sequential splice.  QUAL,
+    # FILTER and ID are combined by the sequential operator when present
+    # (broad_combined_gvcf.cc:730-874); the block writer prints '.' for
+    # them, which is only correct when they are absent — so they are NOT
+    # in the handled set.
+    handled = {"END", "REF", "ALT", "GT", "GQ",
                "AD", "PL", "MIN_DP", "DP", "DP_FORMAT", "RAW_MQ",
                "BaseQRankSum", "ClippingRankSum", "MQRankSum",
                "ReadPosRankSum", "MQ", "MQ0"}

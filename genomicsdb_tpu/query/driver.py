@@ -94,6 +94,14 @@ def run_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
     Deletion-free spans render from device combine outputs
     (query/block_writer.py); runs of deletion-affected records splice in
     the sequential engine.  Byte-identical to run_vcf_query."""
+    # modes the block writer does not render (GT encoding variants,
+    # sites-only, FILTER production): delegate wholly to the sequential
+    # engine rather than producing different bytes
+    if (qp.produce_GT_field or qp.sites_only_query
+            or qp.produce_FILTER_field):
+        return run_vcf_query(store, qc, qp, vid,
+                             template_path=template_path,
+                             reference_path=reference_path)
     from .block_writer import render_block_vcf
     ref_genome = ReferenceGenome(reference_path) if reference_path else None
     sample_names = [vid.callset_name(r) for r in qc.rows_to_query]

@@ -232,3 +232,17 @@ def test_block_driver_hybrid_with_deletions(tmp_path):
         store, qc2, qp, vid, template_path=None,
         reference_path=qp.reference_genome)
     assert hybrid.splitlines() == sequential.splitlines()
+    # produce_GT mode delegates wholly to the sequential engine
+    qp_gt = QueryParams()
+    qp_gt.__dict__.update(qp.__dict__)
+    qp_gt.produce_GT_field = True
+    qc3 = driver.make_query_config(qp_gt, vid)
+    seq_gt = driver.run_vcf_query(store, qc3, qp_gt, vid,
+                                  template_path=None,
+                                  reference_path=qp.reference_genome)
+    qc4 = driver.make_query_config(qp_gt, vid)
+    hyb_gt = driver.run_vcf_query_block(store, qc4, qp_gt, vid,
+                                        template_path=None,
+                                        reference_path=qp.reference_genome)
+    assert hyb_gt == seq_gt
+    assert "0/1" in hyb_gt or "1/0" in hyb_gt

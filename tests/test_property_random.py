@@ -175,10 +175,15 @@ def test_hybrid_block_engine_fuzz(seed, tmp_path):
                 if kind < 0.15:          # gap
                     pos += r.randint(1, 50)
                     continue
-                if kind < 0.35:          # SNV
+                if kind < 0.35:          # SNV (sometimes with QUAL / ID)
                     pl = ",".join(str(r.randint(0, 600))
                                   for _ in range(6))
-                    f.write(f"1\t{pos}\t.\tC\tT,<NON_REF>\t.\t.\t.\t"
+                    qual = str(r.randint(10, 99)) if r.random() < 0.3 \
+                        else "."
+                    rid = f"rs{r.randint(1, 999)}" if r.random() < 0.2 \
+                        else "."
+                    f.write(f"1\t{pos}\t{rid}\tC\tT,<NON_REF>\t{qual}\t"
+                            f".\t.\t"
                             f"GT:AD:DP:GQ:PL\t0/1:{r.randint(0, 50)},"
                             f"{r.randint(0, 50)},0:{r.randint(1, 90)}:"
                             f"{r.randint(0, 99)}:{pl}\n")
