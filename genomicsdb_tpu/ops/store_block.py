@@ -326,15 +326,23 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             input_nr[s_rb[has_alt], k_rb[has_alt]] = 1
     num_merged = np.maximum((inv_lut >= 0).sum(axis=-1), 1).astype(np.int32)
     # records carrying a valid queried field the block writer does not
-    # render (SB, PGT, PID, PS, ...) need the sequential splice.  QUAL,
-    # FILTER and ID are combined by the sequential operator when present
-    # (broad_combined_gvcf.cc:730-874); the block writer prints '.' for
-    # them, which is only correct when they are absent — so they are NOT
-    # in the handled set.
-    handled = {"END", "REF", "ALT", "GT", "GQ",
+    # render (SB, PGT, PID, PS, ...) need the sequential splice.  QUAL /
+    # ID are combined by the sequential operator ONLY when queried (and,
+    # for QUAL, when the vid defines a combine op —
+    # broad_combined_gvcf.cc:730-821); otherwise both print '.' exactly
+    # like the block writer, so they stay handled.
+    handled = {"END", "REF", "ALT", "FILTER", "GT", "GQ",
                "AD", "PL", "MIN_DP", "DP", "DP_FORMAT", "RAW_MQ",
                "BaseQRankSum", "ClippingRankSum", "MQRankSum",
                "ReadPosRankSum", "MQ", "MQ0"}
+    from ..core import known_fields as kf
+    qual_info = qc.vid.get_field_info("QUAL")
+    qual_op = (qual_info.combine_op if qual_info is not None
+               else kf.OP_NONE)
+    if not (qc.is_queried("QUAL") and qual_op is not kf.OP_NONE):
+        handled.add("QUAL")
+    if not qc.is_queried("ID"):
+        handled.add("ID")
     rec_hasother = np.zeros(B, dtype=bool)
     for name, fd in store.fields.items():
         if name in handled or fd.valid is None or not fd.valid.any():
