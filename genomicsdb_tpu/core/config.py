@@ -315,7 +315,15 @@ class QueryConfig:
             return None
 
     def field_info(self, name: str):
-        return self.vid.get_field_info(name)
+        # hot in the sequential engine: called per (call, field) access
+        cache = self.__dict__.get("_fi_cache")
+        if cache is None:
+            cache = self._fi_cache = {}
+        try:
+            return cache[name]
+        except KeyError:
+            info = cache[name] = self.vid.get_field_info(name)
+            return info
 
     def is_queried(self, name: str) -> bool:
         return name in self.attributes

@@ -323,13 +323,22 @@ class CombineOperator:
                   remapping_needed: bool, qidx: int):
         """Pick remapped vs original value (reference
         broad_combined_gvcf.cc:380-390 src_variant selection)."""
-        info = self.qc.field_info(name)
-        use_remap = (remapping_needed and info is not None
-                     and (info.length.is_allele_dependent()
-                          or name == "GT"))
-        if use_remap:
+        if remapping_needed and self._uses_remap(name):
             return remapped.get(qidx, {}).get(name)
         return call.field(name)
+
+    def _uses_remap(self, name: str) -> bool:
+        # allele-dependence is a static per-field property; cache it
+        # (field_src runs per (call, field) in the sequential engine)
+        cache = self.__dict__.setdefault("_remap_name_cache", {})
+        try:
+            return cache[name]
+        except KeyError:
+            info = self.qc.field_info(name)
+            v = cache[name] = (info is not None
+                               and (info.length.is_allele_dependent()
+                                    or name == "GT"))
+            return v
 
     # the operate() itself lives in vcf_writer.CombineToVCF to keep
     # text rendering concerns separate.

@@ -280,10 +280,13 @@ class CombineToVCF(CombineOperator):
             if v is not None:
                 if is_char:
                     arr = np.frombuffer(str(v).encode(), dtype=np.uint8)
+                elif type(v) is np.ndarray and v.ndim == 1:
+                    arr = v            # common case: ragged column slice
                 else:
                     arr = np.atleast_1d(np.asarray(v))
                 values.append(arr)
-                max_len = max(max_len, len(arr))
+                if len(arr) > max_len:
+                    max_len = len(arr)
                 num_valid += 1
             else:
                 values.append(None)
@@ -310,6 +313,10 @@ class CombineToVCF(CombineOperator):
                                       else formats.FLOAT_MISSING],
                                      dtype=np.float32)[0]
                 vals = [first]
+            elif (type(v) is np.ndarray and v.dtype == dtype
+                  and len(v) == max_len):
+                out.append(v)          # already full width, right dtype
+                continue
             else:
                 vals = list(v)
             pad_v = INT_VECTOR_END if dtype == np.int32 \
