@@ -91,14 +91,22 @@ def run_rank(args, rank: int) -> str:
         refg = qp.resolve(qp.reference_genome) if qp.reference_genome \
             else (ip.resolve(ip.reference_genome) if ip else None)
         # header only on rank 0 (partition outputs are concatenated)
+        tmpl = template if rank == args.rank else None
+        if args.page_size > 0 and not args.java_vcf:
+            # batched_vcf mode: resumable byte pages whose concatenation
+            # is byte-identical to the one-shot query (gt_mpi_gather.cc
+            # -p page_size / RWBuffer path)
+            pages = qdriver.run_vcf_query_paged(
+                store, qc, qp, vid, args.page_size,
+                template_path=tmpl, reference_path=refg)
+            return b"".join(pages).decode()
         if args.java_vcf:
             fn = qdriver.run_java_vcf_query
         elif args.engine == "block":
             fn = qdriver.run_vcf_query_block
         else:
             fn = qdriver.run_vcf_query
-        return fn(store, qc, qp, vid,
-                  template_path=template if rank == args.rank else None,
+        return fn(store, qc, qp, vid, template_path=tmpl,
                   reference_path=refg)
     if args.output_format == "Cotton-JSON":
         from ..query import json_output

@@ -159,3 +159,19 @@ def test_workspace_fragments_and_consolidation(tmp_path):
                                    "inputs/template_vcf_header.vcf"),
         reference_path=os.path.join(REF_TESTS, "inputs/chr1_10MB.fasta.gz"))
     check(got2, "t0_1_2_vcf_at_0")
+
+
+def test_gdb_query_paged_cli(tmp_path, capsys):
+    """-p page_size produces byte-identical output via the paged path."""
+    from genomicsdb_tpu.tools import gdb_query, vcf2gdb
+    ws_dir = tmp_path / "ws"
+    loader = _loader_json(tmp_path, ws_dir)
+    buf = io.StringIO()
+    vcf2gdb.run_import(loader, rank=0, out=buf)
+    qjson = _query_json(tmp_path, ws_dir, VCF_ATTRIBUTES_ORDER)
+    gdb_query.main(["-j", qjson, "--produce-Broad-GVCF"])
+    whole = capsys.readouterr().out
+    gdb_query.main(["-j", qjson, "--produce-Broad-GVCF", "-p", "128"])
+    paged = capsys.readouterr().out
+    assert paged == whole
+    check(whole, "t0_1_2_vcf_at_0")
