@@ -283,6 +283,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     # whole-array combines of gVCF data at variant sites: variant cells are
     # single-position).
     sig_cache: Dict[Tuple, Tuple] = {}
+    rec_overflow: List[int] = []
     for b in np.nonzero(rec_is_var)[0]:
         b = int(b)
         srows = np.nonzero(live_ok[b])[0]
@@ -306,6 +307,10 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         rec_num_merged[b] = min(nm, max_merged)
         rec_refs[b] = merged_ref
         rec_alts[b] = list(merged_alts)
+        if nm > max_merged:
+            # more merged alleles than the block arrays hold: the device
+            # remap would silently truncate -> sequential splice
+            rec_overflow.append(b)
         W = min(nm, max_merged)
         # variant samples: their index in var_cells IS their position
         # among var-selected srows (one cell belongs to one row)
@@ -344,6 +349,8 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     if not qc.is_queried("ID"):
         handled.add("ID")
     rec_hasother = np.zeros(B, dtype=bool)
+    if rec_overflow:
+        rec_hasother[rec_overflow] = True
     for name, fd in store.fields.items():
         if name in handled or fd.valid is None or not fd.valid.any():
             continue

@@ -109,6 +109,53 @@ def test_block_writer_matches_sequential(tmp_path):
     assert py_lines == block_lines
 
 
+def test_block_many_alleles_fallback(tmp_path):
+    """A site merging to more alleles than max_merged holds must splice
+    the sequential engine (device arrays would truncate)."""
+    header = "\n".join([
+        "##fileformat=VCFv4.1",
+        '##ALT=<ID=NON_REF,Description="n">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">',
+        '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="q">',
+        '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="p">',
+        '##INFO=<ID=END,Number=1,Type=Integer,Description="e">',
+        '##contig=<ID=1,length=249250621>',
+    ])
+    paths = []
+    # each sample contributes a DIFFERENT SNV at the same position ->
+    # merged site has 5 alleles (REF + 3 SNVs + NON_REF) > max_merged=4
+    for i, alt in enumerate(["A", "T", "G"]):
+        p = str(tmp_path / f"m{i}.vcf")
+        paths.append(p)
+        with open(p, "w") as f:
+            f.write(header + "\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER"
+                    f"\tINFO\tFORMAT\tM{i}\n")
+            f.write(f"1\t500\t.\tC\t{alt},<NON_REF>\t.\t.\t.\t"
+                    "GT:DP:GQ:PL\t0/1:30:50:100,0,200,40,60,80\n")
+            f.write("1\t501\t.\tC\t<NON_REF>\t.\t.\tEND=600\t"
+                    "GT:DP:GQ:PL\t0/0:20:0:0,0,0\n")
+    vid = VidMapper.from_files(
+        os.path.join(REF_TESTS, "inputs/vid.json"))
+    vid.parse_callsets({"callsets": {
+        f"M{i}": {"row_idx": i, "idx_in_file": 0, "filename": paths[i]}
+        for i in range(3)}})
+    store = import_callsets(vid)
+    qp = QueryParams()
+    qp.scan_full = True
+    qp.attributes = []
+    qc = driver.make_query_config(qp, vid)
+    seq = driver.run_vcf_query(store, qc, qp, vid,
+                               template_path=None, reference_path=None)
+    qc2 = driver.make_query_config(qp, vid)
+    hyb = driver.run_vcf_query_block(store, qc2, qp, vid,
+                                     template_path=None,
+                                     reference_path=None)
+    assert hyb.splitlines() == seq.splitlines()
+    assert any(ln.split("\t")[4].count(",") >= 3
+               for ln in seq.splitlines())  # >=4 ALT alleles present
+
+
 def test_block_multi_contig(tmp_path):
     """Records on two contigs: the block engine switches contig names at
     the vid offset boundary exactly like the sequential engine."""
