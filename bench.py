@@ -339,7 +339,38 @@ def _probe_device(retries=3, wait_s=120) -> bool:
 
 
 def main():
-    platform_note = None
+    """Supervisor: run the real bench in a child process with a hard
+    timeout.  The TPU tunnel can wedge MID-RUN (a dispatch hangs forever
+    and cannot be interrupted in-process); on timeout or failure, retry
+    the child on the CPU backend so a round always records a line."""
+    import subprocess
+    if os.environ.get("GENOMICSDB_TPU_BENCH_CHILD"):
+        return _bench_impl()
+    env = dict(os.environ)
+    env["GENOMICSDB_TPU_BENCH_CHILD"] = "1"
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, timeout=1200, env=env,
+                           text=True)
+        if r.returncode == 0 and r.stdout.strip():
+            print(r.stdout.strip().splitlines()[-1])
+            return
+    except subprocess.TimeoutExpired:
+        pass
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GENOMICSDB_TPU_BENCH_NOTE"] = "tpu-hung-cpu-fallback"
+    r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       capture_output=True, timeout=1800, env=env,
+                       text=True)
+    if r.returncode == 0 and r.stdout.strip():
+        print(r.stdout.strip().splitlines()[-1])
+    else:
+        sys.stderr.write(r.stderr[-2000:] + "\n")
+        raise SystemExit(1)
+
+
+def _bench_impl():
+    platform_note = os.environ.get("GENOMICSDB_TPU_BENCH_NOTE")
     if not _probe_device():
         # dead tunnel: fall back to CPU so the round still records a line
         os.environ["JAX_PLATFORMS"] = "cpu"
