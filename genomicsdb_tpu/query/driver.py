@@ -74,10 +74,12 @@ def run_vcf_query(store: ColumnarStore, qc: QueryConfig, qp: QueryParams,
         template = load_template(template_path)
         out_lines.extend(build_header_lines(template, vid, qc))
         out_lines.append(chrom_line(sample_names, qc.sites_only_query))
+    from ..core import profile
     intervals = qc.column_intervals if qc.column_intervals else [None]
-    for iv in intervals:
-        scan_and_operate(store, qc, op.operate, iv,
-                         handle_spanning_deletions=True)
+    with profile.GLOBAL_STATS.phase("Combined-gVCF-production"):
+        for iv in intervals:
+            scan_and_operate(store, qc, op.operate, iv,
+                             handle_spanning_deletions=True)
     out_lines.extend(op.lines)
     if not out_lines:
         return ""

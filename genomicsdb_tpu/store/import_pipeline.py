@@ -441,10 +441,12 @@ def import_callsets(vid: VidMapper, base_dir: str = "",
     for cs in vid.callsets.values():
         files.setdefault(cs.filename, []).append((cs.idx_in_file,
                                                   cs.row_idx))
+    from ..core import profile
     # native columnar-direct fast path (falls back per file)
     if os.environ.get("GENOMICSDB_TPU_NO_NATIVE", "") in ("", "0"):
-        fast = _try_fast_import(files, vid, base_dir, column_partition,
-                                treat_deletions_as_intervals)
+        with profile.GLOBAL_STATS.phase("Fetch-from-VCF"):
+            fast = _try_fast_import(files, vid, base_dir, column_partition,
+                                    treat_deletions_as_intervals)
         if fast is not None:
             return fast
     all_cells: List[dict] = []

@@ -177,6 +177,11 @@ def main(argv=None):
             f.write(text)
     else:
         sys.stdout.write(text)
+    # GENOMICSDB_TPU_PROFILE=1: scan counters + timers + memory to stderr
+    # (the reference's -DDO_PROFILING per-rank report, gt_mpi_gather.cc:
+    # 296-316)
+    from ..core import profile
+    profile.maybe_report()
 
 
 if __name__ == "__main__":

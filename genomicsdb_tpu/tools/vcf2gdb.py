@@ -147,6 +147,8 @@ def main(argv=None):
         split_files(args.loader_json, args.split_output_dir)
         return
     run_import(args.loader_json, args.rank)
+    from ..core import profile
+    profile.maybe_report()  # GENOMICSDB_TPU_PROFILE=1 timer report
 
 
 if __name__ == "__main__":
