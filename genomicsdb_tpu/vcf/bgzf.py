@@ -77,10 +77,43 @@ class BGZFWriter:
         self.close()
 
 
+class BCFFileWriter:
+    """Collects VCF text; on close writes BGZF-compressed BCF2.2
+    (htslib output mode "b")."""
+
+    def __init__(self, path: str):
+        self._path = path
+        self._chunks: list = []
+
+    def write(self, data) -> int:
+        if isinstance(data, bytes):
+            data = data.decode()
+        self._chunks.append(data)
+        return len(data)
+
+    def close(self) -> None:
+        if self._path is None:
+            return
+        from .bcf import text_to_bcf
+        body = text_to_bcf("".join(self._chunks))
+        with open(self._path, "wb") as f:
+            f.write(compress(body))
+        self._path = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def open_output(path: str, fmt: str = ""):
     """File object for VCF text output honoring the reference's
-    vcf_output_format knob ("z"/"bgzf" or a .gz/.bgz filename ->
-    BGZF; otherwise plain text)."""
+    vcf_output_format knob ("z"/"bgzf" or a .gz/.bgz filename -> BGZF
+    text; "b"/"bcf" or a .bcf filename -> BGZF-framed BCF2.2 binary;
+    otherwise plain text)."""
+    if fmt in ("b", "bcf") or path.endswith(".bcf"):
+        return BCFFileWriter(path)
     if fmt in ("z", "bgzf", "gz") or path.endswith((".gz", ".bgz")):
         return BGZFWriter(path)
     return open(path, "w")

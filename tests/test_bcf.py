@@ -1,0 +1,48 @@
+"""BCF2.2 encoding: text -> BCF -> text round trip on real query output."""
+
+import gzip
+import os
+import struct
+
+from golden_utils import (REF_TESTS, VCF_ATTRIBUTES_ORDER, golden,
+                          run_vcf, diff_strings)
+
+from genomicsdb_tpu.vcf.bcf import bcf_to_text, text_to_bcf
+from genomicsdb_tpu.vcf import bgzf
+
+
+def test_bcf_roundtrip_t0_1_2_golden():
+    """The full golden combined VCF survives text->BCF->text."""
+    text = run_vcf("inputs/callsets/t0_1_2.json", VCF_ATTRIBUTES_ORDER,
+                   [(0, 1000000000)])
+    blob = text_to_bcf(text)
+    assert blob[:5] == b"BCF\x02\x02"
+    back = bcf_to_text(blob)
+    assert back == text, diff_strings(back, text)
+
+
+def test_bcf_roundtrip_haploid_triploid():
+    """General-ploidy GT and spanning-deletion records round trip."""
+    text = run_vcf(
+        "inputs/callsets/t0_haploid_triploid_1_2_3_triploid_deletion.json",
+        VCF_ATTRIBUTES_ORDER, [(0, 1000000000)],
+        vid_file="inputs/vid_DS_ID_phased_GT.json")
+    back = bcf_to_text(text_to_bcf(text))
+    assert back == text, diff_strings(back, text)
+
+
+def test_bcf_file_writer(tmp_path):
+    """vcf_output_format 'b' writes a BGZF-framed BCF file."""
+    text = run_vcf("inputs/callsets/t0_1_2.json", VCF_ATTRIBUTES_ORDER,
+                   [(12150, 1000000000)])
+    path = str(tmp_path / "out.bcf")
+    with bgzf.open_output(path, "b") as f:
+        f.write(text)
+    raw = open(path, "rb").read()
+    assert raw[:2] == b"\x1f\x8b"          # BGZF = gzip framing
+    body = gzip.decompress(raw)
+    assert body[:5] == b"BCF\x02\x02"
+    assert bcf_to_text(body) == text
+    # header length field sane
+    (l_header,) = struct.unpack_from("<I", body, 5)
+    assert 0 < l_header < len(body)
