@@ -73,6 +73,47 @@ class CombinedRecordStream:
         if page:
             yield bytes(page)
 
+    def bcf_stream(self) -> Iterator[bytes]:
+        """BCF2 byte stream: header block first, then one encoded BCF2
+        record per combined record — the wire format the reference's
+        GenomicsDBQueryStream serves to htsjdk
+        (genomicsdb_bcf_generator.h:33-93, read_and_advance)."""
+        import struct
+
+        from ..vcf.bcf import (_HeaderDict, _encode_record,
+                               _synthesize_declarations)
+
+        def header_block(lines):
+            text = "\n".join(lines) + "\n\0"
+            return (b"BCF\x02\x02" + struct.pack("<I", len(text))
+                    + text.encode())
+
+        n_sample = len(self.qc.rows_to_query)
+        if self.header_lines:
+            # full template header: declarations complete, stream lazily
+            hd = _HeaderDict(self.header_lines)
+            yield header_block(self.header_lines)
+            for line in self:
+                if not line.startswith("#"):
+                    yield _encode_record(line.rstrip("\n"), hd, n_sample)
+            return
+        # headerless: scan first to synthesize typed declarations
+        records = [ln.rstrip("\n") for ln in self
+                   if not ln.startswith("#")]
+        header_lines = [
+            "##fileformat=VCFv4.1",
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+            + "\t".join(self.vid.callset_name(r)
+                        for r in self.qc.rows_to_query)]
+        hd = _HeaderDict(header_lines)
+        extra = _synthesize_declarations(records, hd)
+        if extra:
+            header_lines = header_lines[:-1] + extra + [header_lines[-1]]
+            hd = _HeaderDict(header_lines)
+        yield header_block(header_lines)
+        for rec in records:
+            yield _encode_record(rec, hd, n_sample)
+
 
 class FeatureReader:
     """Structured-record iteration per interval (htsjdk FeatureReader

@@ -46,3 +46,33 @@ def test_bcf_file_writer(tmp_path):
     # header length field sane
     (l_header,) = struct.unpack_from("<I", body, 5)
     assert 0 < l_header < len(body)
+
+
+def test_bcf_query_stream():
+    """CombinedRecordStream.bcf_stream serves a decodable BCF2 byte
+    stream identical in content to the text stream (the Java
+    GenomicsDBQueryStream wire format)."""
+    from genomicsdb_tpu.core.vid import VidMapper
+    from genomicsdb_tpu.query import driver
+    from genomicsdb_tpu.query.stream import CombinedRecordStream
+    from genomicsdb_tpu.store.import_pipeline import import_callsets
+    from golden_utils import make_query_params
+
+    vid = VidMapper.from_files(
+        os.path.join(REF_TESTS, "inputs/vid.json"),
+        os.path.join(REF_TESTS, "inputs/callsets/t0_1_2.json"))
+    store = import_callsets(vid)
+    qp = make_query_params(VCF_ATTRIBUTES_ORDER, [(0, 1000000000)])
+    qc = driver.make_query_config(qp, vid)
+    tmpl = os.path.join(REF_TESTS, "inputs/template_vcf_header.vcf")
+    stream = CombinedRecordStream(store, qc, qp, vid, tmpl,
+                                  os.path.join(REF_TESTS,
+                                               "inputs/chr1_10MB.fasta.gz"))
+    blob = b"".join(stream.bcf_stream())
+    text = bcf_to_text(blob)
+    qc2 = driver.make_query_config(qp, vid)
+    want = driver.run_vcf_query(
+        store, qc2, qp, vid, template_path=tmpl,
+        reference_path=os.path.join(REF_TESTS,
+                                    "inputs/chr1_10MB.fasta.gz"))
+    assert text == want, diff_strings(text, want)
