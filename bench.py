@@ -348,6 +348,8 @@ def main():
         return _bench_impl()
     env = dict(os.environ)
     env["GENOMICSDB_TPU_BENCH_CHILD"] = "1"
+    # persistent compile cache cuts repeated-run compile time
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            capture_output=True, timeout=1200, env=env,
