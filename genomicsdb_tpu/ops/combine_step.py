@@ -155,6 +155,78 @@ def combine_step(col, end, pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
     }
 
 
+def gather_block_host(blk: CellBlock, live: np.ndarray) -> Dict[str,
+                                                                np.ndarray]:
+    """Host-side live-cell gather: dense per-record inputs for
+    combine_step_dense.  On PCIe/OCS-attached hosts, gathering on the
+    host and uploading dense blocks beats on-device [B,S]-indexed
+    gathers (which run on the TPU scalar core) by ~10x; through the
+    debug tunnel the upload cost cancels the win (docs/performance.md)."""
+    valid = live >= 0
+    k = np.clip(live, 0, blk.col.shape[1] - 1)
+    s_i = np.arange(blk.col.shape[0])[None, :]
+
+    def g2(x, fill):
+        return np.where(valid, x[s_i, k], fill)
+
+    def g3(x, fill):
+        return np.where(valid[..., None], x[s_i, k], fill)
+
+    return {
+        "plg": g3(blk.pl, INT_MISSING), "invg": g3(blk.inv_lut, -1),
+        "pllg": g2(blk.pl_len, 0), "nrg": g2(blk.input_nr, -1),
+        "adg": g3(blk.ad, INT_MISSING), "adlg": g2(blk.ad_len, 0),
+        "gtg": g3(blk.gt, INT_MISSING), "gqg": g2(blk.gq, INT_MISSING),
+        "dpfg": g2(blk.dp, INT_MISSING), "mdpg": g2(blk.min_dp,
+                                                    INT_MISSING),
+        "dpig": g2(blk.dp_info, INT_MISSING),
+        "infog": np.where(valid[None], blk.info_f[:, s_i, k], np.nan),
+        "rmqg": g2(blk.raw_mq, np.nan),
+        "valid": valid,
+    }
+
+
+@partial(jax.jit, static_argnames=("max_merged", "ploidy"))
+def combine_step_dense(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg,
+                       mdpg, dpig, infog, rmqg, valid, rec_num_merged, *,
+                       max_merged: int, ploidy: int
+                       ) -> Dict[str, jnp.ndarray]:
+    """combine_step on HOST-pre-gathered dense inputs (gather_block_host):
+    the device runs only the dense remap + reduction math."""
+    pl_out = K.remap_genotype_fields(plg, invg, pllg, nrg, rec_num_merged,
+                                     num_merged_alleles=max_merged,
+                                     ploidy=ploidy)
+    ad_out = K.remap_allele_fields(adg, invg, adlg, nrg, rec_num_merged,
+                                   alt_only=False)
+    M_dim = invg.shape[-1]
+    P_dim = gtg.shape[-1]
+    nr_merged = rec_num_merged[:, None] - 1
+    gt_cols = []
+    for p in range(P_dim):
+        a = gtg[..., p]
+        merged = jnp.full_like(a, -1)
+        for m in range(M_dim):
+            merged = jnp.where(invg[..., m] == a, m, merged)
+        ok = (a >= 0) & (a != INT_MISSING)
+        gt_cols.append(jnp.where(ok, jnp.where(merged >= 0, merged,
+                                               nr_merged), a))
+    gt_out = jnp.stack(gt_cols, axis=-1)
+    finite = jnp.isfinite(infog) & valid[None]
+    med, med_ok = jax.vmap(K.masked_median_float)(
+        jnp.where(finite, infog, jnp.inf), finite)
+    rmq_ok = jnp.isfinite(rmqg) & valid
+    rmq_sum, rmq_any = K.masked_sum(jnp.where(rmq_ok, rmqg, 0), rmq_ok)
+    dp_sum = K.dp_combine(dpig, dpfg, mdpg, dpig != INT_MISSING,
+                          dpfg != INT_MISSING, mdpg != INT_MISSING)
+    return {
+        "pl": pl_out, "ad": ad_out, "gt": gt_out,
+        "info_median": med, "info_median_ok": med_ok,
+        "raw_mq_sum": rmq_sum, "raw_mq_ok": rmq_any,
+        "dp_info_sum": dp_sum, "gq": gqg, "dp_format": dpfg,
+        "min_dp": mdpg,
+    }
+
+
 def block_to_args(blk: CellBlock):
     return (blk.col, blk.end, blk.pl, blk.pl_len, blk.ad, blk.ad_len,
             blk.gt, blk.gq, blk.dp, blk.min_dp, blk.dp_info, blk.info_f,

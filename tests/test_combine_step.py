@@ -86,3 +86,29 @@ def test_combine_step_matches_oracle():
             else:
                 assert med_ok[f, b]
                 assert med[f, b] == sorted(vals)[len(vals) // 2]
+
+
+def test_combine_step_dense_matches():
+    """Host pre-gather + combine_step_dense == combine_step outputs."""
+    import numpy as np
+    from genomicsdb_tpu.ops.combine_step import (
+        block_to_args, combine_step, combine_step_dense,
+        gather_block_host, live_cells_at_host, synthesize_cohort)
+    blk = synthesize_cohort(num_samples=8, cells_per_sample=32,
+                            region_len=2048, seed=3)
+    live = live_cells_at_host(blk.starts, blk.col, blk.end)
+    blk.live = live
+    ref = combine_step(*block_to_args(blk), max_merged=4, ploidy=2)
+    g = gather_block_host(blk, live)
+    out = combine_step_dense(
+        g["plg"], g["invg"], g["pllg"], g["nrg"], g["adg"], g["adlg"],
+        g["gtg"], g["gqg"], g["dpfg"], g["mdpg"], g["dpig"], g["infog"],
+        g["rmqg"], g["valid"], blk.rec_num_merged,
+        max_merged=4, ploidy=2)
+    for key in ("pl", "ad", "gt", "dp_info_sum", "gq", "dp_format",
+                "min_dp", "raw_mq_sum", "info_median"):
+        a, b = np.asarray(ref[key]), np.asarray(out[key])
+        if a.dtype.kind == "f":
+            assert np.allclose(a, b, equal_nan=True), key
+        else:
+            assert np.array_equal(a, b), key
