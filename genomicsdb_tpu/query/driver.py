@@ -129,13 +129,10 @@ def run_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
             return [ln for ln in text.splitlines() if ln]
         return seq
 
-    n_rec = 0
     for iv in intervals:
-        rec = render_block_vcf(store, qc, vid, iv, ref_genome=ref_genome,
-                               max_merged=max_merged,
-                               sequential_fn=make_seq_fn())
-        out_lines.extend(rec)
-        n_rec += len(rec)
+        out_lines.extend(render_block_vcf(
+            store, qc, vid, iv, ref_genome=ref_genome,
+            max_merged=max_merged, sequential_fn=make_seq_fn()))
     if not out_lines:
         return ""
     return "\n".join(out_lines) + "\n"
