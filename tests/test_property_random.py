@@ -188,10 +188,18 @@ def test_hybrid_block_engine_fuzz(seed, tmp_path):
                             f"{r.randint(0, 50)},0:{r.randint(1, 90)}:"
                             f"{r.randint(0, 99)}:{pl}\n")
                     pos += 1
-                elif kind < 0.5:         # deletion
+                elif kind < 0.45:        # deletion
                     pl = ",".join(str(r.randint(0, 600))
                                   for _ in range(6))
                     f.write(f"1\t{pos}\t.\tCAA\tC,<NON_REF>\t.\t.\t.\t"
+                            f"GT:AD:DP:GQ:PL\t0/1:{r.randint(0, 50)},"
+                            f"{r.randint(0, 50)},0:{r.randint(1, 90)}:"
+                            f"{r.randint(0, 99)}:{pl}\n")
+                    pos += 3
+                elif kind < 0.5:         # MNP (multi-position variant)
+                    pl = ",".join(str(r.randint(0, 600))
+                                  for _ in range(6))
+                    f.write(f"1\t{pos}\t.\tCAT\tCGG,<NON_REF>\t.\t.\t.\t"
                             f"GT:AD:DP:GQ:PL\t0/1:{r.randint(0, 50)},"
                             f"{r.randint(0, 50)},0:{r.randint(1, 90)}:"
                             f"{r.randint(0, 99)}:{pl}\n")
