@@ -293,3 +293,55 @@ def test_block_driver_hybrid_with_deletions(tmp_path):
                                         reference_path=qp.reference_genome)
     assert hyb_gt == seq_gt
     assert "0/1" in hyb_gt or "1/0" in hyb_gt
+
+
+def test_block_engine_multipartition_cli(tmp_path, capsys):
+    """--num-ranks 3 --engine block == sequential through the CLI
+    (partition-begin spanning replay + ordered gather)."""
+    import json
+
+    from genomicsdb_tpu.tools import gdb_query
+    loader = {
+        "column_partitions": [
+            {"begin": 0, "workspace": "/tmp/nows", "array_name": "p0"},
+            {"begin": 12202, "workspace": "/tmp/nows",
+             "array_name": "p1"},
+            {"begin": 17000, "workspace": "/tmp/nows",
+             "array_name": "p2"},
+        ],
+        "callset_mapping_file": os.path.join(
+            REF_TESTS, "inputs/callsets/t0_1_2.json"),
+        "vid_mapping_file": os.path.join(REF_TESTS, "inputs/vid.json"),
+        "reference_genome": os.path.join(REF_TESTS,
+                                         "inputs/chr1_10MB.fasta.gz"),
+        "vcf_header_filename": os.path.join(
+            REF_TESTS, "inputs/template_vcf_header.vcf"),
+        "treat_deletions_as_intervals": True,
+    }
+    lp = tmp_path / "l.json"
+    lp.write_text(json.dumps(loader))
+    query = {
+        "workspace": "", "array_name": "",
+        "query_column_ranges": [
+            {"range_list": [{"low": 0, "high": 1000000000}]}],
+        "vid_mapping_file": loader["vid_mapping_file"],
+        "callset_mapping_file": loader["callset_mapping_file"],
+        "reference_genome": loader["reference_genome"],
+        "vcf_header_filename": [loader["vcf_header_filename"]],
+        "attributes": ["REF", "ALT", "BaseQRankSum", "MQ", "RAW_MQ",
+                       "MQ0", "ClippingRankSum", "MQRankSum",
+                       "ReadPosRankSum", "DP", "GT", "GQ", "SB", "AD",
+                       "PL", "PGT", "PID", "MIN_DP", "DP_FORMAT"],
+    }
+    qp = tmp_path / "q.json"
+    qp.write_text(json.dumps(query))
+
+    def run(engine):
+        gdb_query.main(["-j", str(qp), "-l", str(lp), "--num-ranks", "3",
+                        "--produce-Broad-GVCF", "--engine", engine])
+        return capsys.readouterr().out
+
+    seq = run("sequential")
+    blk = run("block")
+    assert blk == seq
+    assert len(seq.splitlines()) > 100
