@@ -104,6 +104,58 @@ def bench_device(num_samples=128, cells_per_sample=2048, region_len=262144,
     }
 
 
+def bench_device_dense(num_samples=128, cells_per_sample=2048,
+                       region_len=262144, chunk=8192, reps=5):
+    """Device throughput of the PRE-GATHERED path (combine_step_dense):
+    the host gathers live cells (gather_block_host) and the device runs
+    only the dense remap + reduction math — the PCIe-host production
+    configuration.  Measures pure device math; the per-chunk upload is
+    excluded (it overlaps compute in a pipelined deployment)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from genomicsdb_tpu.ops.combine_step import (combine_step_dense,
+                                                 gather_block_host,
+                                                 live_cells_at_host,
+                                                 synthesize_cohort)
+    blk = synthesize_cohort(num_samples, cells_per_sample, region_len,
+                            seed=0)
+    nb = len(blk.starts)
+    starts = blk.starts[:chunk]
+    recnm = blk.rec_num_merged[:chunk]
+    live = live_cells_at_host(starts, blk.col, blk.end)
+    g = gather_block_host(blk, live)
+    keys = ("plg", "invg", "pllg", "nrg", "adg", "adlg", "gtg", "gqg",
+            "dpfg", "mdpg", "dpig", "infog", "rmqg", "valid")
+    dev = [jax.device_put(g[k]) for k in keys]
+    recnm_d = jax.device_put(recnm)
+    fn = functools.partial(combine_step_dense, max_merged=4, ploidy=2)
+
+    @jax.jit
+    def run(recnm_d, *args):
+        out = fn(*args, recnm_d)
+        return (jnp.sum(out["pl"].astype(jnp.int32))
+                + jnp.sum(out["ad"].astype(jnp.int32))
+                + jnp.sum(out["dp_info_sum"].astype(jnp.int32)))
+
+    chk = int(np.asarray(run(recnm_d, *dev)))
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        chk2 = int(np.asarray(run(recnm_d, *dev)))
+        dt = time.perf_counter() - t0
+        assert chk2 == chk
+        best = dt if best is None else min(best, dt)
+    scale = chunk / nb
+    return {
+        "records_per_sec": chunk / best,
+        "positions_per_sec": region_len * scale / best,
+        "records": chunk,
+        "seconds": best,
+    }
+
+
 def bench_oracle(num_samples=128, cells_per_sample=32, region_len=4096):
     """Sequential semantics oracle (reference-equivalent scan) on a smaller
     slice; returns positions/sec."""
@@ -378,6 +430,7 @@ def _bench_impl():
         os.environ["JAX_PLATFORMS"] = "cpu"
         platform_note = "tpu-unreachable-cpu-fallback"
     dev = bench_device()
+    dense = bench_device_dense()
     oracle = bench_oracle()
     imp = bench_import()
     e2e = bench_cohort_end_to_end()
@@ -391,6 +444,9 @@ def _bench_impl():
         "detail": {
             "device": {k: round(v, 2) if isinstance(v, float) else v
                        for k, v in dev.items()},
+            "device_dense_pregathered": {
+                k: round(v, 2) if isinstance(v, float) else v
+                for k, v in dense.items()},
             "oracle_positions_per_sec":
                 round(oracle["positions_per_sec"], 1),
             "import": {k: round(v, 1) if isinstance(v, float) else v
