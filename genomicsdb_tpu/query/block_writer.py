@@ -60,11 +60,24 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                                max_merged=max_merged, ploidy=ploidy,
                                return_meta=True)
     import os as _os
-    use_pallas = (_os.environ.get("GENOMICSDB_TPU_PALLAS") == "1"
-                  and jnp_backend_is_tpu())
-    out = combine_step(*block_to_args(blk), max_merged=max_merged,
-                       ploidy=ploidy, use_pallas=use_pallas)
-    live = np.asarray(out["live"])
+    if _os.environ.get("GENOMICSDB_TPU_DENSE") == "1":
+        # PCIe-host configuration: live-cell gather on the host, device
+        # runs only dense math (docs/performance.md; ~4x on-chip)
+        from ..ops.combine_step import (combine_step_dense,
+                                        gather_block_host)
+        g = gather_block_host(blk, blk.live)
+        out = combine_step_dense(
+            g["plg"], g["invg"], g["pllg"], g["nrg"], g["adg"],
+            g["adlg"], g["gtg"], g["gqg"], g["dpfg"], g["mdpg"],
+            g["dpig"], g["infog"], g["rmqg"], g["valid"],
+            blk.rec_num_merged, max_merged=max_merged, ploidy=ploidy)
+        live = np.asarray(blk.live)
+    else:
+        use_pallas = (_os.environ.get("GENOMICSDB_TPU_PALLAS") == "1"
+                      and jnp_backend_is_tpu())
+        out = combine_step(*block_to_args(blk), max_merged=max_merged,
+                           ploidy=ploidy, use_pallas=use_pallas)
+        live = np.asarray(out["live"])
     pl = np.asarray(out["pl"])
     ad = np.asarray(out["ad"])
     gt = np.asarray(out["gt"])
