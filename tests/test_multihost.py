@@ -1,0 +1,57 @@
+"""Real 2-process jax.distributed run of the multihost driver
+(the reference's MPI-rank model over DCN)."""
+
+import os
+import subprocess
+import sys
+
+WORKER = r"""
+import os, sys
+pid = int(sys.argv[1])
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
+import jax
+jax.config.update("jax_platforms", "cpu")
+from genomicsdb_tpu.parallel import multihost
+multihost.initialize(coordinator="localhost:%PORT%", num_processes=2,
+                     process_id=pid)
+assert jax.process_count() == 2
+parts = multihost.my_partitions(4)
+# each "rank query" returns a tagged blob; process 0 must see all four
+# partitions' blobs in partition order
+out = multihost.run_partitioned_query(
+    lambda p: f"[p{p}:host{pid}]".encode(), parts)
+if pid == 0:
+    assert out == b"[p0:host0][p1:host0][p2:host1][p3:host1]", out
+    print("GATHER_OK", out.decode())
+else:
+    assert out is None
+"""
+
+
+def test_two_process_partitioned_gather(tmp_path):
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER.replace("%PORT%", str(port)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen([sys.executable, str(script), str(i)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, env=env, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, err[-2000:]
+    assert any("GATHER_OK" in out for _, out, _ in outs)
