@@ -165,8 +165,18 @@ def main(argv=None):
     args = p.parse_args(argv)
     # rank fan-out + ordered gather (combine output is partition-ordered by
     # construction, gt_mpi_gather.cc:322-366)
-    pieces = [run_rank(args, r)
-              for r in range(args.rank, args.rank + args.num_ranks)]
+    import json as _json
+    try:
+        pieces = [run_rank(args, r)
+                  for r in range(args.rank, args.rank + args.num_ranks)]
+    except FileNotFoundError as e:
+        raise SystemExit(f"gdb_query: file not found: {e.filename or e}")
+    except _json.JSONDecodeError as e:
+        raise SystemExit(f"gdb_query: malformed JSON in "
+                         f"{args.query_json}: {e}")
+    except KeyError as e:
+        raise SystemExit(f"gdb_query: unknown contig or field {e} "
+                         "(check --chromosome / vid mapping)")
     text = "".join(pieces)
     # vcf_output_filename / vcf_output_format knobs (VCFAdapter "z" mode)
     qp0 = QueryParams.from_file(args.query_json, args.rank)

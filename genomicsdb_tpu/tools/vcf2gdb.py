@@ -143,10 +143,17 @@ def main(argv=None):
                    help="split input VCFs per column partition into DIR "
                         "instead of importing (vcf2tiledb.cc:118-151)")
     args = p.parse_args(argv)
-    if args.split_output_dir:
-        split_files(args.loader_json, args.split_output_dir)
-        return
-    run_import(args.loader_json, args.rank)
+    import json as _json
+    try:
+        if args.split_output_dir:
+            split_files(args.loader_json, args.split_output_dir)
+            return
+        run_import(args.loader_json, args.rank)
+    except FileNotFoundError as e:
+        raise SystemExit(f"vcf2gdb: file not found: {e.filename or e}")
+    except _json.JSONDecodeError as e:
+        raise SystemExit(f"vcf2gdb: malformed JSON in "
+                         f"{args.loader_json}: {e}")
     from ..core import profile
     profile.maybe_report()  # GENOMICSDB_TPU_PROFILE=1 timer report
 
