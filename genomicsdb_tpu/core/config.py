@@ -159,8 +159,13 @@ class ImportParams:
     def from_file(cls, path: str, rank: int = 0) -> "ImportParams":
         with open(path) as f:
             doc = json.load(f)
-        ip = cls()
+        ip = cls.from_dict(doc, rank)
         ip.base_dir = os.path.dirname(os.path.abspath(path))
+        return ip
+
+    @classmethod
+    def from_dict(cls, doc: dict, rank: int = 0) -> "ImportParams":
+        ip = cls()
         ip.column_partitions = doc.get("column_partitions", [])
         ip.callset_mapping_file = doc.get("callset_mapping_file", "")
         ip.vid_mapping_file = doc.get("vid_mapping_file", "")
