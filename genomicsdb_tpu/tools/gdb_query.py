@@ -27,10 +27,19 @@ from ..store import workspace as ws
 
 def load_context(args, rank: int):
     ip = ImportParams.from_file(args.loader) if args.loader else None
-    qp = QueryParams.from_file(args.query_json, rank)
+    if getattr(args, "query_pb", None):
+        # binary ExportConfiguration (the reference's PB plane; wire-
+        # compatible schemas in protos/compat/)
+        from ..core import pb_compat
+        with open(args.query_pb, "rb") as f:
+            qp, pb_vid = pb_compat.export_config_to_query(f.read())
+        vid = pb_vid if pb_vid is not None \
+            else qdriver.load_vid_for_query(qp, ip)
+    else:
+        qp = QueryParams.from_file(args.query_json, rank)
+        vid = qdriver.load_vid_for_query(qp, ip)
     if args.segment_size:
         qp.segment_size = args.segment_size
-    vid = qdriver.load_vid_for_query(qp, ip)
     if args.chromosome:
         # --chromosome/--begin/--end contig-interval query (TestGenomicsDB
         # java driver flags): translate to flattened columns via the vid
@@ -44,10 +53,15 @@ def load_context(args, rank: int):
     if workspace and qp.array_name and ws.is_workspace(workspace):
         store = ws.open_array(workspace, qp.array_name)
     if store is None:
-        if ip is None:
+        if ip is not None:
+            store = qdriver.build_store_from_loader(ip, vid, rank)
+        elif vid.callsets:
+            # inline callset mapping (PB plane): import directly
+            from ..store.import_pipeline import import_callsets
+            store = import_callsets(vid)
+        else:
             raise SystemExit("no workspace array found and no loader JSON "
                              "given to import from")
-        store = qdriver.build_store_from_loader(ip, vid, rank)
     # subset query ranges against the rank's loader partition
     # (gt_mpi_gather.cc:556-557)
     if ip is not None and ip.column_partitions and qp.column_ranges:
@@ -130,7 +144,10 @@ def run_rank(args, rank: int) -> str:
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="gdb_query")
-    p.add_argument("-j", "--query-json", dest="query_json", required=True)
+    p.add_argument("-j", "--query-json", dest="query_json", default=None)
+    p.add_argument("--query-pb", dest="query_pb", default=None,
+                   help="binary ExportConfiguration protobuf "
+                        "(reference-schema wire format) instead of -j")
     p.add_argument("-l", "--loader", default=None)
     p.add_argument("-s", "--segment-size", type=int, default=0)
     p.add_argument("-p", "--page-size", type=int, default=0)
@@ -163,6 +180,8 @@ def main(argv=None):
                                         "Positions-JSON", "GA4GH"],
                    help="range-query output format (default GA4GH-like)")
     args = p.parse_args(argv)
+    if not args.query_json and not args.query_pb:
+        p.error("one of -j/--query-json or --query-pb is required")
     # rank fan-out + ordered gather (combine output is partition-ordered by
     # construction, gt_mpi_gather.cc:322-366)
     import json as _json
@@ -179,7 +198,12 @@ def main(argv=None):
                          "(check --chromosome / vid mapping)")
     text = "".join(pieces)
     # vcf_output_filename / vcf_output_format knobs (VCFAdapter "z" mode)
-    qp0 = QueryParams.from_file(args.query_json, args.rank)
+    if args.query_pb:
+        from ..core import pb_compat
+        with open(args.query_pb, "rb") as f:
+            qp0, _ = pb_compat.export_config_to_query(f.read())
+    else:
+        qp0 = QueryParams.from_file(args.query_json, args.rank)
     if qp0.vcf_output_filename and qp0.vcf_output_filename != "-":
         from ..vcf.bgzf import open_output
         with open_output(qp0.resolve(qp0.vcf_output_filename),

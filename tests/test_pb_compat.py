@@ -61,7 +61,8 @@ def _callsets_pb_from_json(mods):
     for name, spec in doc["callsets"].items():
         pb.callsets.add(sample_name=name, row_idx=spec["row_idx"],
                         idx_in_file=spec["idx_in_file"],
-                        stream_name=spec["filename"])
+                        stream_name=os.path.join(REF_TESTS,
+                                                 spec["filename"]))
     return pb
 
 
@@ -136,3 +137,29 @@ def test_import_config_wire():
     assert ip.column_partitions[0]["begin"] == 0
     assert ip.column_partitions[1]["begin"] == 12202  # 1-based -> column
     assert ip.partition_bounds(0) == (0, 12201)
+
+
+def test_gdb_query_query_pb_cli(tmp_path, capsys):
+    """gdb_query --query-pb runs a binary ExportConfiguration end to end."""
+    from genomicsdb_tpu.tools import gdb_query
+    mods = pb_compat.compat_pb2()
+    exp = mods["genomicsdb_export_config"].ExportConfiguration()
+    exp.workspace = ""
+    exp.array_name = "t0_1_2"
+    exp.reference_genome = os.path.join(REF_TESTS,
+                                        "inputs/chr1_10MB.fasta.gz")
+    exp.attributes.extend(QUERY_ATTRIBUTES_DEFAULT)
+    rl = exp.query_column_ranges.add()
+    coi = rl.column_or_interval_list.add()
+    coi.column_interval.column_interval.begin = 0
+    coi.column_interval.column_interval.end = 1000000000
+    rr = exp.query_row_ranges.add()
+    rr.range_list.add(low=0, high=3)
+    exp.vid_mapping.CopyFrom(_vid_pb_from_json(mods))
+    exp.callset_mapping.CopyFrom(_callsets_pb_from_json(mods))
+    pbf = tmp_path / "q.pb"
+    pbf.write_bytes(exp.SerializeToString())
+    gdb_query.main(["--query-pb", str(pbf), "--print-calls"])
+    got = capsys.readouterr().out
+    want = golden("t0_1_2_calls_at_0")
+    assert got == want, diff_strings(got, want)
