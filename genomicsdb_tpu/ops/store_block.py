@@ -27,6 +27,25 @@ INT_MISSING = formats.INT_MISSING
 INT64_MAX = np.iinfo(np.int64).max
 
 
+def record_starts(store: ColumnarStore, qc: QueryConfig,
+                  interval) -> np.ndarray:
+    """Record start columns for `interval` (the sweep's event set) —
+    used to pick record-aligned chunk boundaries for genome-scale
+    queries without building the blocks."""
+    rows = set(qc.rows_to_query)
+    sel = np.isin(store.row, list(rows)) if store.num_cells \
+        else np.zeros(0, dtype=bool)
+    col = store.col[sel]
+    end = store.eff_end[sel]
+    events = np.unique(np.concatenate([col, end + 1])) \
+        if len(col) else np.zeros(0, dtype=np.int64)
+    lo, hi = interval
+    events = events[(events >= lo) & (events <= hi)]
+    if len(events) == 0 or events[0] != lo:
+        events = np.concatenate([[lo], events])
+    return events
+
+
 @dataclass
 class BlockRecordMeta:
     """Per-record host metadata for the block-based VCF writer."""
@@ -43,7 +62,9 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                    interval: Optional[Tuple[int, int]] = None,
                    max_merged: int = 8, ploidy: int = 2,
                    info_fields: Optional[List[str]] = None,
-                   return_meta: bool = False):
+                   return_meta: bool = False,
+                   pad_records: Optional[int] = None,
+                   pad_cells_to: int = 1):
     """Build a CellBlock for the queried rows over `interval`.
 
     Field selection: PL, AD, GT, GQ, DP(_FORMAT), MIN_DP, DP(INFO), RAW_MQ
@@ -72,6 +93,10 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         per_row_idx.append(idx)
     C = max((len(i) for i in per_row_idx), default=1)
     C = max(C, 1)
+    if pad_cells_to > 1:
+        # shape bucketing: round C up so chunked queries reuse one
+        # compiled combine_step executable instead of one per chunk
+        C = -(-C // pad_cells_to) * pad_cells_to
     col = np.full((S, C), INT64_MAX, dtype=np.int64)
     end = np.full((S, C), 0, dtype=np.int64)
     cell_of = np.full((S, C), -1, dtype=np.int64)
@@ -159,6 +184,12 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         if len(events) == 0 or events[0] != lo:
             events = np.concatenate([[lo], events])
     starts = events
+    if pad_records is not None and len(starts) < pad_records:
+        # sentinel starts beyond any cell: no live cells -> the writer
+        # emits nothing for them (uniform B across chunks)
+        starts = np.concatenate([
+            starts, np.full(pad_records - len(starts), INT64_MAX - 1,
+                            dtype=np.int64)])
     B = len(starts)
     # live cell per (interval, row) on host (same math as live_cells_at)
     live = np.full((B, S), -1, dtype=np.int64)

@@ -47,7 +47,9 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                      interval,
                      ref_genome: Optional[ReferenceGenome] = None,
                      max_merged: int = 4, ploidy: int = 2,
-                     sequential_fn=None) -> List[str]:
+                     sequential_fn=None,
+                     pad_records: Optional[int] = None,
+                     pad_cells_to: int = 1) -> List[str]:
     """Combined records for `interval` via the device pipeline.
 
     `sequential_fn(lo, hi) -> List[str]`: when given, maximal runs of
@@ -58,7 +60,8 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
     """
     blk, meta = store_to_block(store, qc, interval=interval,
                                max_merged=max_merged, ploidy=ploidy,
-                               return_meta=True)
+                               return_meta=True, pad_records=pad_records,
+                               pad_cells_to=pad_cells_to)
     import os as _os
     if _os.environ.get("GENOMICSDB_TPU_DENSE") == "1":
         # PCIe-host configuration: live-cell gather on the host, device

@@ -90,7 +90,8 @@ def run_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
                         qp: QueryParams, vid: VidMapper,
                         template_path: Optional[str] = None,
                         reference_path: Optional[str] = None,
-                        max_merged: int = 4) -> str:
+                        max_merged: int = 4,
+                        max_records_per_block: int = 65536) -> str:
     """--produce-Broad-GVCF via the batched device pipeline.
 
     Deletion-free spans render from device combine outputs
@@ -129,10 +130,31 @@ def run_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
             return [ln for ln in text.splitlines() if ln]
         return seq
 
+    from ..ops.store_block import record_starts
     for iv in intervals:
-        out_lines.extend(render_block_vcf(
-            store, qc, vid, iv, ref_genome=ref_genome,
-            max_merged=max_merged, sequential_fn=make_seq_fn()))
+        # genome-scale intervals: chunk at RECORD boundaries so block
+        # tensors stay bounded; sub-interval [starts[i], starts[j]-1]
+        # yields exactly records i..j-1 (chunk edges are event starts,
+        # so no record is split)
+        starts = record_starts(store, qc, iv)
+        if len(starts) <= max_records_per_block:
+            chunks = [iv]
+            pad_kw = {}
+        else:
+            chunks = []
+            for i in range(0, len(starts), max_records_per_block):
+                lo = int(starts[i])
+                j = i + max_records_per_block
+                hi = int(starts[j]) - 1 if j < len(starts) else int(iv[1])
+                chunks.append((lo, hi))
+            # uniform shapes across chunks -> one compiled combine step
+            pad_kw = {"pad_records": max_records_per_block,
+                      "pad_cells_to": 256}
+        for civ in chunks:
+            out_lines.extend(render_block_vcf(
+                store, qc, vid, civ, ref_genome=ref_genome,
+                max_merged=max_merged, sequential_fn=make_seq_fn(),
+                **pad_kw))
     if not out_lines:
         return ""
     return "\n".join(out_lines) + "\n"

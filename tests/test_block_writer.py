@@ -345,3 +345,29 @@ def test_block_engine_multipartition_cli(tmp_path, capsys):
     blk = run("block")
     assert blk == seq
     assert len(seq.splitlines()) > 100
+
+
+def test_block_engine_record_chunking(tmp_path):
+    """Tiny max_records_per_block (forcing many chunks, incl. deletion
+    runs crossing chunk edges) == the unchunked output."""
+    path, samples, region = _make_cohort(tmp_path, n_samples=8,
+                                         n_records=150,
+                                         with_deletions=True)
+    vid = VidMapper.from_files(
+        os.path.join(REF_TESTS, "inputs/vid.json"))
+    vid.parse_callsets({"callsets": {
+        s: {"row_idx": i, "idx_in_file": i, "filename": path}
+        for i, s in enumerate(samples)}})
+    store = import_callsets(vid)
+    qp = QueryParams()
+    qp.scan_full = True
+    qp.attributes = []
+    whole = driver.run_vcf_query_block(
+        store, driver.make_query_config(qp, vid), qp, vid)
+    chunked = driver.run_vcf_query_block(
+        store, driver.make_query_config(qp, vid), qp, vid,
+        max_records_per_block=16)
+    assert chunked == whole
+    seq = driver.run_vcf_query(store, driver.make_query_config(qp, vid),
+                               qp, vid)
+    assert chunked.splitlines() == seq.splitlines()
