@@ -105,7 +105,15 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
     groups: dict = {}
     order: list = []
     starts = blk.starts
-    emitted = [b for b in range(B) if np.any(live[b] >= 0)]
+    # vectorized per-record presence flags (a per-record np.any was ~40%
+    # of genome-scale render time)
+    any_live_v = (live >= 0).any(axis=1)
+    have_ad_v = (ad[:, :, 0] != INT_MISSING).any(axis=1)
+    have_pl_v = (pl[:, :, 0] != INT_MISSING).any(axis=1)
+    have_gq_v = (gq != INT_MISSING).any(axis=1)
+    have_mindp_v = (mindp != INT_MISSING).any(axis=1)
+    have_dp_v = (dpf != INT_MISSING).any(axis=1)
+    emitted = [b for b in np.nonzero(any_live_v)[0]]
     # plan: ("block", order_idx) | ("seq", lo, hi) splice points
     plan: list = []
     e = 0
@@ -159,11 +167,11 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
             info_parts.append(f"DP={int(dpsum[b])}")
         # FORMAT assembly (GT first; only fields with any valid value)
         fmt = ["GT"]
-        have_ad = bool(np.any(ad[b, :, 0] != INT_MISSING))
-        have_pl = bool(np.any(pl[b, :, 0] != INT_MISSING))
-        have_gq = bool(np.any(gq[b] != INT_MISSING))
-        have_mindp = bool(np.any(mindp[b] != INT_MISSING))
-        have_dp = bool(np.any(dpf[b] != INT_MISSING))
+        have_ad = bool(have_ad_v[b])
+        have_pl = bool(have_pl_v[b])
+        have_gq = bool(have_gq_v[b])
+        have_mindp = bool(have_mindp_v[b])
+        have_dp = bool(have_dp_v[b])
         if have_gq:
             fmt.append("GQ")
         if have_ad:
