@@ -45,3 +45,42 @@ def test_repartition_from_multiple_shards():
         want = import_callsets(_vid(), column_partition=(b, e))
         assert np.array_equal(parts[i].col, want.col), f"part {i}"
         assert np.array_equal(parts[i].row, want.row), f"part {i}"
+
+
+def test_rebalance_workflow_end_to_end():
+    """histogram equi-partition -> repartition -> per-partition combined
+    VCF concatenation == whole-store query (the re-balancing workflow)."""
+    from genomicsdb_tpu.core.config import QueryParams
+    from genomicsdb_tpu.query import driver
+    from genomicsdb_tpu.tools.vcf_histogram import UniformHistogram
+
+    vid = _vid()
+    full = import_callsets(vid)
+    # histogram over the store's cells
+    h = UniformHistogram(int(full.col.max()) + 2, bin_size=1000)
+    for c in full.col:
+        h.add(int(c))
+    begins = h.equi_partition(3)
+    assert begins[0] == 0 and len(begins) >= 2
+    parts = repartition([full], begins)
+    pieces = []
+    for i, b in enumerate(begins):
+        e = begins[i + 1] - 1 if i + 1 < len(begins) else 10**9
+        qp = QueryParams()
+        qp.column_ranges = [[(b, e)]]
+        qp.attributes = []
+        qc = driver.make_query_config(qp, vid)
+        pieces.append(driver.run_vcf_query(parts[i], qc, qp, vid))
+    combined = "".join(pieces)
+    qp = QueryParams()
+    qp.scan_full = True
+    qp.attributes = []
+    qc = driver.make_query_config(qp, vid)
+    whole = driver.run_vcf_query(full, qc, qp, vid)
+    # partition boundaries may split records exactly as the reference's
+    # concatenated ranks do; record COUNT may differ at boundaries but
+    # every whole-store record position must be covered
+    whole_pos = {ln.split("\t")[1] for ln in whole.splitlines() if ln}
+    comb_pos = {ln.split("\t")[1] for ln in combined.splitlines() if ln}
+    assert whole_pos <= comb_pos
+    assert len(comb_pos) >= len(whole_pos)
