@@ -132,11 +132,20 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
         plan.append(("block", b))
         block_bs.append(b)
         e += 1
+    # vectorized coordinate/contig resolution for the prefix loop
+    starts_l = starts.tolist()
+    ends_l = meta.ends.tolist()
+    c_offsets = np.asarray(vid._contig_offsets, dtype=np.int64)
+    c_idx = np.searchsorted(c_offsets, starts, side="right") - 1
+    c_idx_l = np.maximum(c_idx, 0).tolist()
+    c_names = [c.name for c in vid._contigs_by_offset]
+    c_offs_l = c_offsets.tolist()
     for b in block_bs:
-        start = int(starts[b])
-        rec_end = int(meta.ends[b])
-        loc = vid.get_contig_location(start)
-        contig, cpos = loc
+        start = starts_l[b]
+        rec_end = ends_l[b]
+        ci = c_idx_l[b]
+        contig = c_names[ci]
+        cpos = start - c_offs_l[ci]
         ref = meta.refs[b]
         if ref is None or (len(ref) == 1 and ref == "N"):
             base = ref_genome.base_at(contig, cpos) if ref_genome else "N"
