@@ -137,8 +137,23 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
     ends_l = meta.ends.tolist()
     c_offsets = np.asarray(vid._contig_offsets, dtype=np.int64)
     c_idx = np.searchsorted(c_offsets, starts, side="right") - 1
-    c_idx_l = np.maximum(c_idx, 0).tolist()
     c_names = [c.name for c in vid._contigs_by_offset]
+    if block_bs:
+        # bounds check matching get_contig_location: every rendered start
+        # must fall inside [offset, offset+length) of its resolved contig
+        bs_arr = np.asarray(block_bs)
+        bidx = c_idx[bs_arr]
+        c_lengths = np.asarray(
+            [c.length for c in vid._contigs_by_offset], dtype=np.int64)
+        bad = (bidx < 0) | (starts[bs_arr]
+                            >= c_offsets[np.maximum(bidx, 0)]
+                            + c_lengths[np.maximum(bidx, 0)])
+        if bad.any():
+            b0 = int(bs_arr[np.argmax(bad)])
+            raise ValueError(
+                f"record start {int(starts[b0])} outside every contig "
+                "(vid contig map does not cover this column)")
+    c_idx_l = np.maximum(c_idx, 0).tolist()
     c_offs_l = c_offsets.tolist()
     for b in block_bs:
         start = starts_l[b]

@@ -27,17 +27,30 @@ inline float float_missing() {
   return f;
 }
 
-// Fast int parse over [p, end); returns missing on '.' or empty.
-inline int32_t parse_int(const char* p, const char* end) {
-  if (p >= end || (*p == '.' && p + 1 == end)) return INT_MISSING;
+// Fast int parse over [p, end); '.' or empty -> missing.  Returns false
+// on a malformed token (non-digit, e.g. "2.5") or int32 overflow so the
+// caller can fail loudly — the pure-Python loader raises ValueError /
+// OverflowError on the same inputs and the two must not diverge.
+inline bool parse_int(const char* p, const char* end, int32_t* out) {
+  if (p >= end || (*p == '.' && p + 1 == end)) {
+    *out = INT_MISSING;
+    return true;
+  }
   bool neg = false;
   if (*p == '-') { neg = true; ++p; }
+  if (p >= end) return false;
   int64_t v = 0;
   for (; p < end; ++p) {
-    if (*p < '0' || *p > '9') return INT_MISSING;
+    if (*p < '0' || *p > '9') return false;
     v = v * 10 + (*p - '0');
+    if (v > INT32_MAX) return false;
   }
-  return static_cast<int32_t>(neg ? -v : v);
+  v = neg ? -v : v;
+  // INT32_MIN itself is the missing sentinel: a literal -2147483648
+  // cannot be represented and counts as out of range
+  if (v <= INT32_MIN || v > INT32_MAX) return false;
+  *out = static_cast<int32_t>(v);
+  return true;
 }
 
 inline float parse_float(const char* p, const char* end) {
@@ -107,7 +120,8 @@ int64_t gdb_tokenize_records(const char* text, int64_t len,
 // elements as int32 (missing '.' -> INT32_MIN).  Output is a ragged pair
 // (values, offsets): offsets has n+1 entries; values must hold
 // sum(#elements).  Empty spans produce zero elements.
-// Returns total #values written, or -1 on overflow of values_cap.
+// Returns total #values written, -1 on overflow of values_cap, or -2 on
+// a malformed / out-of-int32-range token.
 // ---------------------------------------------------------------------------
 int64_t gdb_parse_int_lists(const char* text, const int64_t* starts,
                             const int64_t* ends, int64_t n, char delim,
@@ -123,7 +137,8 @@ int64_t gdb_parse_int_lists(const char* text, const int64_t* starts,
     for (const char* q = p;; ++q) {
       if (q == lim || *q == delim) {
         if (total >= values_cap) return -1;
-        values[total++] = parse_int(tok, q);
+        if (!parse_int(tok, q, &values[total])) return -2;
+        ++total;
         tok = q + 1;
         if (q == lim) break;
       }
@@ -176,10 +191,11 @@ int64_t gdb_parse_gt(const char* text, const int64_t* starts,
     bool first = true;
     for (const char* q = p;; ++q) {
       if (q == lim || *q == '/' || *q == '|') {
-        int32_t allele = (q == tok || (*tok == '.' && q == tok + 1))
-                             ? -1
-                             : parse_int(tok, q);
-        if (allele == INT_MISSING) allele = -1;
+        int32_t allele = -1;
+        if (!(q == tok || (*tok == '.' && q == tok + 1))) {
+          if (!parse_int(tok, q, &allele)) return -2;
+          if (allele == INT_MISSING) allele = -1;
+        }
         if (!first && store_phase) {
           if (total >= values_cap) return -1;
           // phase flag of the PREVIOUS separator

@@ -182,6 +182,9 @@ def parse_int_lists(text: bytes, starts: np.ndarray, ends: np.ndarray,
     offsets = np.empty(n + 1, dtype=np.int64)
     total = lib.gdb_parse_int_lists(text, starts, ends, n, delim, values,
                                     cap, offsets)
+    if total == -2:
+        raise ValueError("malformed or out-of-range integer token "
+                         "(matches the pure-Python loader's ValueError)")
     if total < 0:
         raise RuntimeError("int list parse overflow")
     return values[:total], offsets
@@ -210,6 +213,8 @@ def parse_gt(text: bytes, starts: np.ndarray, ends: np.ndarray,
     offsets = np.empty(n + 1, dtype=np.int64)
     total = lib.gdb_parse_gt(text, starts, ends, n, int(store_phase),
                              values, cap, offsets)
+    if total == -2:
+        raise ValueError("malformed GT allele token")
     if total < 0:
         raise RuntimeError("GT parse overflow")
     return values[:total], offsets

@@ -84,6 +84,16 @@ def write_fragment(workspace: str, array_name: str, store: ColumnarStore,
     if os.path.isfile(meta_path):
         with open(meta_path) as f:
             existing = json.load(f)
+    # all fragments of an array share one metadata.json: a new fragment
+    # with a different attribute set would make older fragments
+    # unreadable at open_array time — fail loudly at write time instead
+    if existing.get("attribute_order") is not None and \
+            list(existing["attribute_order"]) != meta["attribute_order"]:
+        raise ValueError(
+            f"fragment attribute set {meta['attribute_order']} does not "
+            f"match the array's existing schema "
+            f"{existing['attribute_order']}; import with the same vid "
+            f"or write to a new array")
     # row bounds grow across fragments (update_row_bounds_in_array)
     if "num_rows" in existing:
         meta["num_rows"] = max(existing["num_rows"], meta["num_rows"])

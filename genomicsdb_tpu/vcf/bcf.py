@@ -52,9 +52,12 @@ def _typed_descriptor(n: int, btype: int) -> bytes:
 
 
 def _typed_int(v: int) -> bytes:
+    # width selection bounds match htslib vcf.c: BCF_MIN_BT_INT8 = -120,
+    # BCF_MIN_BT_INT16 = -32760 (NOT INT16_MIN: missing/end sentinels
+    # live below)
     if -120 <= v <= 127:
         return bytes([(1 << 4) | BCF_BT_INT8]) + struct.pack("<b", v)
-    if -32000 <= v <= 32767:
+    if -32760 <= v <= 32767:
         return bytes([(1 << 4) | BCF_BT_INT16]) + struct.pack("<h", v)
     return bytes([(1 << 4) | BCF_BT_INT32]) + struct.pack("<i", v)
 
@@ -71,7 +74,7 @@ def _int_width(vals: List[int]) -> int:
              default=0)
     if -120 <= lo and hi <= 127:
         return BCF_BT_INT8
-    if -32000 <= lo and hi <= 32767:
+    if -32760 <= lo and hi <= 32767:
         return BCF_BT_INT16
     return BCF_BT_INT32
 

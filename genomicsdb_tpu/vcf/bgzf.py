@@ -78,27 +78,96 @@ class BGZFWriter:
 
 
 class BCFFileWriter:
-    """Collects VCF text; on close writes BGZF-compressed BCF2.2
-    (htslib output mode "b")."""
+    """Streams VCF text to BGZF-compressed BCF2.2 (htslib output mode
+    "b").  Incoming text is spooled to a temp file; close() streams it
+    back through the record encoder one line at a time, so resident
+    memory stays O(record), not O(genome) — only the header lines are
+    held in RAM.  Output bytes are identical to
+    bgzf.compress(bcf.text_to_bcf(text))."""
 
     def __init__(self, path: str):
         self._path = path
-        self._chunks: list = []
+        self._spool_path = path + ".spool.tmp"
+        self._spool = open(self._spool_path, "w")
 
     def write(self, data) -> int:
         if isinstance(data, bytes):
             data = data.decode()
-        self._chunks.append(data)
+        self._spool.write(data)
         return len(data)
 
     def close(self) -> None:
         if self._path is None:
             return
-        from .bcf import text_to_bcf
-        body = text_to_bcf("".join(self._chunks))
-        with open(self._path, "wb") as f:
-            f.write(compress(body))
+        import os
+        from . import bcf
+        self._spool.close()
+        try:
+            with open(self._spool_path) as f:
+                header_lines, headerless_nsample = self._scan_header(f)
+                if header_lines[-1].startswith("#CHROM"):
+                    chrom_line = header_lines[-1]
+                else:  # headerless record stream: minimal header
+                    n = headerless_nsample
+                    chrom_line = (
+                        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+                        + ("\tFORMAT" + "".join(f"\tSAMPLE{i}"
+                                                for i in range(n))
+                           if n else ""))
+                    header_lines = ["##fileformat=VCFv4.1", chrom_line]
+                hd = bcf._HeaderDict(header_lines)
+                f.seek(0)
+                extra = bcf._synthesize_declarations(
+                    self._record_lines(f), hd)
+                if extra:
+                    header_lines = (header_lines[:-1] + extra
+                                    + [header_lines[-1]])
+                    hd = bcf._HeaderDict(header_lines)
+                n_sample = len(chrom_line.split("\t")[9:])
+                with BGZFWriter(self._path) as out:
+                    header_text = "\n".join(header_lines) + "\n\0"
+                    out.write(b"BCF\x02\x02")
+                    out.write(struct.pack("<I", len(header_text)))
+                    out.write(header_text.encode())
+                    f.seek(0)
+                    for ln in self._record_lines(f):
+                        out.write(bcf._encode_record(ln, hd, n_sample))
+        finally:
+            os.remove(self._spool_path)
         self._path = None
+
+    @staticmethod
+    def _scan_header(f):
+        """Header lines (up to and incl. #CHROM) + max sample count of a
+        headerless stream.  Leaves `f` positioned arbitrarily."""
+        header: list = []
+        max_cols = 0
+        for ln in f:
+            ln = ln.rstrip("\n")
+            if not ln:
+                continue
+            if ln.startswith("#CHROM"):
+                header.append(ln)
+                return header, 0
+            if ln.startswith("#"):
+                header.append(ln)
+            else:
+                max_cols = max(max_cols, len(ln.split("\t")) - 9)
+        return (header or ["##fileformat=VCFv4.1"]), max(max_cols, 0)
+
+    @staticmethod
+    def _record_lines(f):
+        in_header = True
+        for ln in f:
+            ln = ln.rstrip("\n")
+            if not ln:
+                continue
+            if in_header and ln.startswith("#"):
+                if ln.startswith("#CHROM"):
+                    in_header = False
+                continue
+            in_header = False
+            yield ln
 
     def __enter__(self):
         return self
