@@ -38,31 +38,35 @@ def bench_device(num_samples=128, cells_per_sample=2048, region_len=262144,
                  chunk=8192, reps=5):
     import jax
     from genomicsdb_tpu.ops.combine_step import (combine_step,
-                                                 live_cells_at_host,
                                                  synthesize_cohort)
     blk = synthesize_cohort(num_samples, cells_per_sample, region_len,
                             seed=0)
     import functools
     fn = functools.partial(combine_step, max_merged=4, ploidy=2)
-    fixed = (blk.col, blk.end, blk.pl, blk.pl_len, blk.ad, blk.ad_len,
+    fixed = (blk.pl, blk.pl_len, blk.ad, blk.ad_len,
              blk.gt, blk.gq, blk.dp, blk.min_dp, blk.dp_info, blk.info_f,
-             blk.raw_mq, blk.inv_lut, blk.input_nr, blk.num_merged)
+             blk.raw_mq)
     fixed = tuple(jax.device_put(x) for x in fixed)
     starts = blk.starts
     nb = len(starts)
     pad = (-nb) % chunk
-    starts_p = np.pad(starts, (0, pad),
-                      constant_values=np.iinfo(np.int64).max - 1)
-    recnm = np.pad(blk.rec_num_merged, (0, pad), constant_values=1)
-    n_chunks = len(starts_p) // chunk
-    starts_2d = starts_p.reshape(n_chunks, chunk)
+
+    def padB(x, fill):
+        return np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                      constant_values=fill)
+    recnm = padB(blk.rec_num_merged, 1)
+    n_chunks = len(recnm) // chunk
+    S = blk.col.shape[0]
     recnm_2d = recnm.reshape(n_chunks, chunk)
-    # live matrix precomputed on host, as in the production path
-    live_3d = np.stack([live_cells_at_host(s, blk.col, blk.end)
-                        for s in starts_2d])
-    starts_2d = jax.device_put(starts_2d)
+    # live matrix + per-record LUTs precomputed on host, as in the
+    # production path (store_to_block)
+    live_3d = padB(blk.live, -1).reshape(n_chunks, chunk, S)
+    inv_4d = padB(blk.inv_bs, -1).reshape(n_chunks, chunk, S, -1)
+    nr_3d = padB(blk.nr_bs, -1).reshape(n_chunks, chunk, S)
     recnm_2d = jax.device_put(recnm_2d)
     live_3d = jax.device_put(live_3d)
+    inv_4d = jax.device_put(inv_4d)
+    nr_3d = jax.device_put(nr_3d)
 
     # one dispatch: lax.map over chunks (amortizes the axon tunnel's
     # dispatch latency).  The output reduces to ONE scalar fetched to the
@@ -77,20 +81,22 @@ def bench_device(num_samples=128, cells_per_sample=2048, region_len=262144,
         return jnp.sum(x.astype(jnp.int32))
 
     @jax.jit
-    def run_all(starts_2d, recnm_2d, live_3d, *fixed_args):
+    def run_all(inv_4d, nr_3d, recnm_2d, live_3d, *fixed_args):
         def body(srl):
-            out = fn(*fixed_args, srl[0], srl[1], srl[2])
+            out = fn(*fixed_args, srl[0], srl[1], srl[2], srl[3])
             # reduce inside the loop: per-chunk scalar, so the map never
             # materializes the full output across all chunks
             return (chksum(out["pl"]) + chksum(out["ad"])
                     + chksum(out["dp_info_sum"]))
-        return jnp.sum(jax.lax.map(body, (starts_2d, recnm_2d, live_3d)))
+        return jnp.sum(jax.lax.map(body, (inv_4d, nr_3d, recnm_2d,
+                                          live_3d)))
 
-    chk = int(np.asarray(run_all(starts_2d, recnm_2d, live_3d, *fixed)))
+    chk = int(np.asarray(run_all(inv_4d, nr_3d, recnm_2d, live_3d,
+                                 *fixed)))
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        chk2 = int(np.asarray(run_all(starts_2d, recnm_2d, live_3d,
+        chk2 = int(np.asarray(run_all(inv_4d, nr_3d, recnm_2d, live_3d,
                                       *fixed)))
         dt = time.perf_counter() - t0
         assert chk2 == chk
@@ -113,19 +119,21 @@ def bench_device_dense(num_samples=128, cells_per_sample=2048,
     excluded (it overlaps compute in a pipelined deployment)."""
     import functools
 
+    import copy
+
     import jax
     import jax.numpy as jnp
     from genomicsdb_tpu.ops.combine_step import (combine_step_dense,
                                                  gather_block_host,
-                                                 live_cells_at_host,
                                                  synthesize_cohort)
     blk = synthesize_cohort(num_samples, cells_per_sample, region_len,
                             seed=0)
     nb = len(blk.starts)
-    starts = blk.starts[:chunk]
     recnm = blk.rec_num_merged[:chunk]
-    live = live_cells_at_host(starts, blk.col, blk.end)
-    g = gather_block_host(blk, live)
+    sub = copy.copy(blk)
+    sub.inv_bs = blk.inv_bs[:chunk]
+    sub.nr_bs = blk.nr_bs[:chunk]
+    g = gather_block_host(sub, blk.live[:chunk])
     keys = ("plg", "invg", "pllg", "nrg", "adg", "adlg", "gtg", "gqg",
             "dpfg", "mdpg", "dpig", "infog", "rmqg", "valid")
     dev = [jax.device_put(g[k]) for k in keys]

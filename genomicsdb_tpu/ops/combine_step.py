@@ -6,23 +6,32 @@ per record (scan_and_operate -> BroadCombinedGVCFOperator::operate,
 query_variants.cc:334 / broad_combined_gvcf.cc:765) — as dense gathers and
 masked reductions:
 
-  1. live-cell selection per (interval, sample)     [searchsorted gather]
+  1. live-cell selection per (interval, sample)     [host sweep / gather]
   2. PL genotype reorder onto merged alleles        [table gather]
   3. AD allele reorder                              [gather]
   4. GT remap + encode                              [gather + bit math]
   5. INFO combine ops: median (RankSums/MQ/MQ0), sum (RAW_MQ), DP logic
   6. GQ / MIN_DP / DP FORMAT collection
 
-Merged-allele LUTs are precomputed at import time (per cell, against the
-per-position merged allele dictionary) — the merge is query-invariant, so
-query-time work is pure data movement, which is what a TPU is good at.
+Allele LUTs are per (record, sample) — `inv_bs [B, S, M]` maps each
+merged allele of record b to sample s's input allele (-1 absent).  This
+is the gathered form directly consumable by the remap kernels; building
+it host-side (store_block.py) lets spanning deletions and multi-position
+variant cells use different LUTs per record, which a per-cell LUT cannot
+express.
+
+The same math (`_combine_math`) backs three execution modes:
+  * combine_step        — gathers [S, C] cell tensors on device
+  * combine_step_dense  — host-pre-gathered inputs (PCIe-host config)
+  * parallel.sharded    — shard_map over a (pos, row) device mesh with
+    ICI collectives for the cross-sample reductions
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -39,7 +48,8 @@ INT_MISSING = formats.INT_MISSING
 class CellBlock:
     """Dense per-row cell layout for one column-partition block.
 
-    S samples x C cells per sample (padded).  All int32 except coordinates.
+    S samples x C cells per sample (padded); B aligned intervals.
+    All int32 except coordinates.
     """
     col: np.ndarray        # [S, C] int64, padded with INT64_MAX
     end: np.ndarray        # [S, C] int64 effective ENDs
@@ -54,9 +64,8 @@ class CellBlock:
     dp_info: np.ndarray    # [S, C] int32 INFO DP
     info_f: np.ndarray     # [F, S, C] float32 INFO float fields (median ops)
     raw_mq: np.ndarray     # [S, C] float32 (sum op)
-    inv_lut: np.ndarray    # [S, C, M] merged->input allele idx (-1 absent)
-    input_nr: np.ndarray   # [S, C] input NON_REF allele idx (-1 none)
-    num_merged: np.ndarray  # [S, C] int32 #merged alleles of the cell's site
+    inv_bs: np.ndarray     # [B, S, M] merged->input allele idx (-1 absent)
+    nr_bs: np.ndarray      # [B, S] input NON_REF allele idx (-1 none)
     # per-interval (precomputed by the sweep):
     starts: np.ndarray     # [B] int64 interval starts
     rec_num_merged: np.ndarray  # [B] int32 merged alleles per record
@@ -71,52 +80,14 @@ def _gather_cells(x: jnp.ndarray, live: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("max_merged", "ploidy", "use_pallas"))
-def combine_step(col, end, pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
-                 dp_info, info_f, raw_mq, inv_lut, input_nr, num_merged,
-                 starts, rec_num_merged, live=None, *, max_merged: int,
-                 ploidy: int,
-                 use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
-    if live is None:
-        # fallback: derive the live matrix on device.  The production
-        # path (store_to_block) already has it from the host sweep and
-        # passes it in — a [B,S]-indexed gather over [S,C] lowers to a
-        # slow scalar-core loop on TPU (~45% of the step).
-        live = K.live_cells_at(starts, col, end)        # [B, S]
-    valid = live >= 0
-
-    def g(x):
-        out = _gather_cells(x, live)
-        return out
-
-    inv = jnp.where(valid[..., None], g(inv_lut), -1)   # [B, S, M]
-    nr = jnp.where(valid, g(input_nr), -1)
-    # plg/adg are NOT masked here: invalid slots gather garbage, but the
-    # remap kernels mask their outputs via inv==-1 (combo_missing /
-    # in_allele) — masking them anyway costs a full padded-lane pass each
-    plg = g(pl)
-    pll = jnp.where(valid, g(pl_len), 0)
-    adg = g(ad)
-    adl = jnp.where(valid, g(ad_len), 0)
-    # remaps (pallas: fused VMEM lane-gather for the PL reorder,
-    # ops/pallas_remap.py; opt-in via GENOMICSDB_TPU_PALLAS=1 at call
-    # sites — TPU-only, XLA path is the default and the CPU fallback)
-    if use_pallas:
-        from .pallas_remap import remap_genotype_fields_pallas
-        pl_out = remap_genotype_fields_pallas(
-            plg, inv, pll, nr, rec_num_merged,
-            num_merged_alleles=max_merged, ploidy=ploidy)
-    else:
-        pl_out = K.remap_genotype_fields(plg, inv, pll, nr, rec_num_merged,
-                                         num_merged_alleles=max_merged,
-                                         ploidy=ploidy)
-    ad_out = K.remap_allele_fields(adg, inv, adl, nr, rec_num_merged,
-                                   alt_only=False)
-    # GT remap: input allele -> merged allele (invert inv_lut).  Ploidy and
-    # merged-allele axes are unrolled statically so every tensor stays
-    # [B, S] (a [B,S,A,M] one-hot costs ~4x the whole step in HBM traffic).
-    gtg = jnp.where(valid[..., None], g(gt), INT_MISSING)
-    M_dim = inv.shape[-1]
+def gt_remap_unrolled(gtg: jnp.ndarray, invg: jnp.ndarray,
+                      rec_num_merged: jnp.ndarray) -> jnp.ndarray:
+    """GT remap: input allele -> merged allele (invert inv_bs).  Ploidy
+    and merged-allele axes are unrolled statically so every tensor stays
+    [B, S] (a [B,S,A,M] one-hot costs ~4x the whole step in HBM traffic).
+    Matches VariantOperations::remap_GT_field
+    (variant_operations.cc:233-260)."""
+    M_dim = invg.shape[-1]
     P_dim = gtg.shape[-1]
     nr_merged = rec_num_merged[:, None] - 1             # [B, 1]
     gt_cols = []
@@ -124,35 +95,112 @@ def combine_step(col, end, pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
         a = gtg[..., p]                                 # [B, S]
         merged = jnp.full_like(a, -1)
         for m in range(M_dim):
-            merged = jnp.where(inv[..., m] == a, m, merged)
+            merged = jnp.where(invg[..., m] == a, m, merged)
         ok = (a >= 0) & (a != INT_MISSING)
         out_p = jnp.where(ok, jnp.where(merged >= 0, merged, nr_merged), a)
         gt_cols.append(out_p)
-    gt_out = jnp.stack(gt_cols, axis=-1)
+    return jnp.stack(gt_cols, axis=-1)
+
+
+def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
+                  dpig, infog, rmqg, valid, rec_num_merged, *,
+                  max_merged: int, ploidy: int, use_pallas: bool = False,
+                  axis_name: Optional[str] = None
+                  ) -> Dict[str, jnp.ndarray]:
+    """The shared combine math over GATHERED (dense [B, S, ...]) inputs.
+
+    With `axis_name` set (inside shard_map over the sample axis), the
+    cross-sample reductions all_gather the full sample axis first and
+    then run the identical local math — results are bit-identical to the
+    unsharded path by construction.
+    """
+    if use_pallas:
+        from .pallas_remap import remap_genotype_fields_pallas
+        pl_out = remap_genotype_fields_pallas(
+            plg, invg, pllg, nrg, rec_num_merged,
+            num_merged_alleles=max_merged, ploidy=ploidy)
+    else:
+        pl_out = K.remap_genotype_fields(plg, invg, pllg, nrg,
+                                         rec_num_merged,
+                                         num_merged_alleles=max_merged,
+                                         ploidy=ploidy)
+    ad_out = K.remap_allele_fields(adg, invg, adlg, nrg, rec_num_merged,
+                                   alt_only=False)
+    gt_out = gt_remap_unrolled(gtg, invg, rec_num_merged)
+
+    def full(x, axis):
+        if axis_name is None:
+            return x
+        return jax.lax.all_gather(x, axis_name, axis=axis, tiled=True)
+
+    valid_f = full(valid, 1)
     # INFO medians over samples (valid float = payload-checked on host;
     # here invalid encoded as NaN -> excluded via isfinite)
-    infog = jax.vmap(lambda f: _gather_cells(f, live))(info_f)  # [F,B,S]
-    finite = jnp.isfinite(infog) & valid[None]
+    infog_f = full(infog, 2)
+    finite = jnp.isfinite(infog_f) & valid_f[None]
     med, med_ok = jax.vmap(K.masked_median_float)(
-        jnp.where(finite, infog, jnp.inf), finite)
+        jnp.where(finite, infog_f, jnp.inf), finite)
     # RAW_MQ sum
-    rmq = _gather_cells(raw_mq, live)
-    rmq_ok = jnp.isfinite(rmq) & valid
-    rmq_sum, rmq_any = K.masked_sum(jnp.where(rmq_ok, rmq, 0), rmq_ok)
+    rmq_f = full(rmqg, 1)
+    rmq_ok = jnp.isfinite(rmq_f) & valid_f
+    rmq_sum, rmq_any = K.masked_sum(jnp.where(rmq_ok, rmq_f, 0), rmq_ok)
     # DP logic
-    dpi = jnp.where(valid, g(dp_info), INT_MISSING)
-    dpf = jnp.where(valid, g(dp), INT_MISSING)
-    mdp = jnp.where(valid, g(min_dp), INT_MISSING)
-    dp_sum = K.dp_combine(dpi, dpf, mdp, dpi != INT_MISSING,
-                          dpf != INT_MISSING, mdp != INT_MISSING)
-    gqg = jnp.where(valid, g(gq), INT_MISSING)
+    dpi_f, dpf_f, mdp_f = full(dpig, 1), full(dpfg, 1), full(mdpg, 1)
+    dp_sum = K.dp_combine(dpi_f, dpf_f, mdp_f, dpi_f != INT_MISSING,
+                          dpf_f != INT_MISSING, mdp_f != INT_MISSING)
     return {
-        "live": live, "pl": pl_out, "ad": ad_out, "gt": gt_out,
+        "pl": pl_out, "ad": ad_out, "gt": gt_out,
         "info_median": med, "info_median_ok": med_ok,
         "raw_mq_sum": rmq_sum, "raw_mq_ok": rmq_any,
-        "dp_info_sum": dp_sum, "gq": gqg, "dp_format": dpf,
-        "min_dp": mdp,
+        "dp_info_sum": dp_sum, "gq": gqg, "dp_format": dpfg,
+        "min_dp": mdpg,
     }
+
+
+def gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp, dp_info,
+                     info_f, raw_mq, live):
+    """Per-(record, sample) live-cell gather of the [S, C, ...] cell
+    tensors -> dense [B, S, ...] inputs for _combine_math."""
+    valid = live >= 0
+
+    def g(x):
+        return _gather_cells(x, live)
+
+    # plg/adg are NOT masked here: invalid slots gather garbage, but the
+    # remap kernels mask their outputs via inv==-1 (combo_missing /
+    # in_allele) — masking them anyway costs a full padded-lane pass each
+    return {
+        "plg": g(pl), "pllg": jnp.where(valid, g(pl_len), 0),
+        "adg": g(ad), "adlg": jnp.where(valid, g(ad_len), 0),
+        "gtg": jnp.where(valid[..., None], g(gt), INT_MISSING),
+        "gqg": jnp.where(valid, g(gq), INT_MISSING),
+        "dpfg": jnp.where(valid, g(dp), INT_MISSING),
+        "mdpg": jnp.where(valid, g(min_dp), INT_MISSING),
+        "dpig": jnp.where(valid, g(dp_info), INT_MISSING),
+        "infog": jnp.where(valid[None],
+                           jax.vmap(lambda f: _gather_cells(f, live))(
+                               info_f), jnp.nan),
+        "rmqg": jnp.where(valid, g(raw_mq), jnp.nan),
+        "valid": valid,
+    }
+
+
+@partial(jax.jit, static_argnames=("max_merged", "ploidy", "use_pallas"))
+def combine_step(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
+                 dp_info, info_f, raw_mq, inv_bs, nr_bs,
+                 rec_num_merged, live, *, max_merged: int,
+                 ploidy: int,
+                 use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
+    g = gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
+                         dp_info, info_f, raw_mq, live)
+    out = _combine_math(g["plg"], inv_bs, g["pllg"], nr_bs, g["adg"],
+                        g["adlg"], g["gtg"], g["gqg"], g["dpfg"],
+                        g["mdpg"], g["dpig"], g["infog"], g["rmqg"],
+                        g["valid"], rec_num_merged,
+                        max_merged=max_merged, ploidy=ploidy,
+                        use_pallas=use_pallas)
+    out["live"] = live
+    return out
 
 
 def gather_block_host(blk: CellBlock, live: np.ndarray) -> Dict[str,
@@ -173,8 +221,8 @@ def gather_block_host(blk: CellBlock, live: np.ndarray) -> Dict[str,
         return np.where(valid[..., None], x[s_i, k], fill)
 
     return {
-        "plg": g3(blk.pl, INT_MISSING), "invg": g3(blk.inv_lut, -1),
-        "pllg": g2(blk.pl_len, 0), "nrg": g2(blk.input_nr, -1),
+        "plg": g3(blk.pl, INT_MISSING), "invg": blk.inv_bs,
+        "pllg": g2(blk.pl_len, 0), "nrg": blk.nr_bs,
         "adg": g3(blk.ad, INT_MISSING), "adlg": g2(blk.ad_len, 0),
         "gtg": g3(blk.gt, INT_MISSING), "gqg": g2(blk.gq, INT_MISSING),
         "dpfg": g2(blk.dp, INT_MISSING), "mdpg": g2(blk.min_dp,
@@ -186,52 +234,25 @@ def gather_block_host(blk: CellBlock, live: np.ndarray) -> Dict[str,
     }
 
 
-@partial(jax.jit, static_argnames=("max_merged", "ploidy"))
+@partial(jax.jit, static_argnames=("max_merged", "ploidy", "use_pallas"))
 def combine_step_dense(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg,
                        mdpg, dpig, infog, rmqg, valid, rec_num_merged, *,
-                       max_merged: int, ploidy: int
+                       max_merged: int, ploidy: int,
+                       use_pallas: bool = False
                        ) -> Dict[str, jnp.ndarray]:
     """combine_step on HOST-pre-gathered dense inputs (gather_block_host):
     the device runs only the dense remap + reduction math."""
-    pl_out = K.remap_genotype_fields(plg, invg, pllg, nrg, rec_num_merged,
-                                     num_merged_alleles=max_merged,
-                                     ploidy=ploidy)
-    ad_out = K.remap_allele_fields(adg, invg, adlg, nrg, rec_num_merged,
-                                   alt_only=False)
-    M_dim = invg.shape[-1]
-    P_dim = gtg.shape[-1]
-    nr_merged = rec_num_merged[:, None] - 1
-    gt_cols = []
-    for p in range(P_dim):
-        a = gtg[..., p]
-        merged = jnp.full_like(a, -1)
-        for m in range(M_dim):
-            merged = jnp.where(invg[..., m] == a, m, merged)
-        ok = (a >= 0) & (a != INT_MISSING)
-        gt_cols.append(jnp.where(ok, jnp.where(merged >= 0, merged,
-                                               nr_merged), a))
-    gt_out = jnp.stack(gt_cols, axis=-1)
-    finite = jnp.isfinite(infog) & valid[None]
-    med, med_ok = jax.vmap(K.masked_median_float)(
-        jnp.where(finite, infog, jnp.inf), finite)
-    rmq_ok = jnp.isfinite(rmqg) & valid
-    rmq_sum, rmq_any = K.masked_sum(jnp.where(rmq_ok, rmqg, 0), rmq_ok)
-    dp_sum = K.dp_combine(dpig, dpfg, mdpg, dpig != INT_MISSING,
-                          dpfg != INT_MISSING, mdpg != INT_MISSING)
-    return {
-        "pl": pl_out, "ad": ad_out, "gt": gt_out,
-        "info_median": med, "info_median_ok": med_ok,
-        "raw_mq_sum": rmq_sum, "raw_mq_ok": rmq_any,
-        "dp_info_sum": dp_sum, "gq": gqg, "dp_format": dpfg,
-        "min_dp": mdpg,
-    }
+    return _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg,
+                         mdpg, dpig, infog, rmqg, valid, rec_num_merged,
+                         max_merged=max_merged, ploidy=ploidy,
+                         use_pallas=use_pallas)
 
 
 def block_to_args(blk: CellBlock):
-    return (blk.col, blk.end, blk.pl, blk.pl_len, blk.ad, blk.ad_len,
+    return (blk.pl, blk.pl_len, blk.ad, blk.ad_len,
             blk.gt, blk.gq, blk.dp, blk.min_dp, blk.dp_info, blk.info_f,
-            blk.raw_mq, blk.inv_lut, blk.input_nr, blk.num_merged,
-            blk.starts, blk.rec_num_merged, blk.live)
+            blk.raw_mq, blk.inv_bs, blk.nr_bs,
+            blk.rec_num_merged, blk.live)
 
 
 def live_cells_at_host(starts: np.ndarray, col: np.ndarray,
@@ -246,6 +267,19 @@ def live_cells_at_host(starts: np.ndarray, col: np.ndarray,
         ok &= end[s, idxc] >= starts
         live[:, s] = np.where(ok, idxc, -1)
     return live
+
+
+def gather_luts_host(inv_cell: np.ndarray, nr_cell: np.ndarray,
+                     live: np.ndarray):
+    """Per-cell LUTs [S, C, M] / [S, C] -> gathered [B, S, M] / [B, S]
+    (for callers whose allele context is constant per cell, e.g. the
+    synthetic bench cohort)."""
+    valid = live >= 0
+    k = np.clip(live, 0, inv_cell.shape[1] - 1)
+    s_i = np.arange(inv_cell.shape[0])[None, :]
+    inv_bs = np.where(valid[..., None], inv_cell[s_i, k], -1)
+    nr_bs = np.where(valid, nr_cell[s_i, k], -1)
+    return inv_bs.astype(np.int32), nr_bs.astype(np.int32)
 
 
 def synthesize_cohort(num_samples: int, cells_per_sample: int,
@@ -288,20 +322,20 @@ def synthesize_cohort(num_samples: int, cells_per_sample: int,
     # LUTs mirror the real merge invariant: cell alleles 0..n_in-2 map to
     # merged 0..n_in-2, the cell's NON_REF (last input allele) maps to the
     # LAST merged allele, middle merged alleles are absent (-1).
-    inv_lut = np.full((S, C, max_merged), -1, dtype=np.int32)
-    inv_lut[..., 0] = 0
+    inv_cell = np.full((S, C, max_merged), -1, dtype=np.int32)
+    inv_cell[..., 0] = 0
     for m in range(1, max_merged - 1):
-        inv_lut[..., m] = np.where(m < n_in_alleles - 1, m, -1)
-    inv_lut[..., max_merged - 1] = n_in_alleles - 1  # NON_REF last
-    input_nr = (n_in_alleles - 1).astype(np.int32)
-    num_merged = n_in_alleles.astype(np.int32)
+        inv_cell[..., m] = np.where(m < n_in_alleles - 1, m, -1)
+    inv_cell[..., max_merged - 1] = n_in_alleles - 1  # NON_REF last
+    nr_cell = (n_in_alleles - 1).astype(np.int32)
     # sweep on host for the synthetic block
     events = np.unique(np.concatenate([col.ravel(), end.ravel() + 1]))
     starts = events[events < region_len]
     rec_num_merged = np.full(len(starts), max_merged, dtype=np.int32)
+    live = live_cells_at_host(starts, col, end)
+    inv_bs, nr_bs = gather_luts_host(inv_cell, nr_cell, live)
     return CellBlock(col=col, end=end, pl=pl, pl_len=pl_len, ad=ad,
                      ad_len=ad_len, gt=gt, gq=gq, dp=dp, min_dp=min_dp,
                      dp_info=dp_info, info_f=info_f, raw_mq=raw_mq,
-                     inv_lut=inv_lut, input_nr=input_nr,
-                     num_merged=num_merged, starts=starts,
-                     rec_num_merged=rec_num_merged)
+                     inv_bs=inv_bs, nr_bs=nr_bs, starts=starts,
+                     rec_num_merged=rec_num_merged, live=live)

@@ -285,16 +285,18 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     rec_is_var = var_mat.any(axis=1)
     rec_refonly = ~rec_is_var
     rec_num_merged = np.where(rec_refonly, 2, 1).astype(np.int32)
-    # LUTs per (row, cell slot)
-    inv_lut = np.full((S, C, max_merged), -1, dtype=np.int32)
-    input_nr = np.full((S, C), -1, dtype=np.int32)
-    # identity LUT for every slot that appears live in a ref-only record
-    # (all such cells are pure ref blocks, so [0, NON_REF] is exact)
+    # Allele LUTs per (record, sample) — the gathered form the remap
+    # kernels consume.  A per-record LUT (not per-cell) is required for
+    # multi-position variant cells (e.g. MNPs): the same cell can merge
+    # against a different variant set in each record it spans.
+    inv_bs = np.full((B, S, max_merged), -1, dtype=np.int32)
+    nr_bs = np.full((B, S), -1, dtype=np.int32)
+    # identity LUT for every live slot of a ref-only record (all such
+    # cells are pure ref blocks, so [0, NON_REF] is exact)
     touch_b, touch_s = np.nonzero(live_ok & rec_refonly[:, None])
-    tk = live_k[touch_b, touch_s]
-    inv_lut[touch_s, tk, 0] = 0
-    inv_lut[touch_s, tk, 1] = 1
-    input_nr[touch_s, tk] = 1
+    inv_bs[touch_b, touch_s, 0] = 0
+    inv_bs[touch_b, touch_s, 1] = 1
+    nr_bs[touch_b, touch_s] = 1
     # merged REF of ref-only records: first row whose live cell STARTS here
     rec_refs: List[Optional[str]] = [None] * B
     rec_alts: List[List[str]] = [["&"]] * B
@@ -308,35 +310,43 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             c0 = int(cells_mat[b, srow])
             rec_refs[b] = chr(ch) if ref_len[c0] == 1 else get_ref(c0)
     # --- variant records: per-record allele merge (host strings) ---
-    # NOTE: per-interval LUTs differ when variant cells co-occur; this
-    # block-level representation assigns each CELL one LUT (valid when a
-    # cell's allele context is constant over its lifetime, which holds for
-    # whole-array combines of gVCF data at variant sites: variant cells are
-    # single-position).
+    # The merged REF only includes calls STARTING at the record
+    # (GA4GHOperator skips col < variant.start, variant_operations.cc
+    # refs collection); the ALT merge includes every live variant call.
     sig_cache: Dict[Tuple, Tuple] = {}
     rec_overflow: List[int] = []
     for b in np.nonzero(rec_is_var)[0]:
         b = int(b)
         srows = np.nonzero(live_ok[b])[0]
         var_sel = var_mat[b, srows]
-        var_cells = [int(c) for c in cells_mat[b, srows[var_sel]]]
-        sig = tuple(sorted(set(var_cells)))
+        s_var = srows[var_sel]
+        var_cells = [int(c) for c in cells_mat[b, s_var]]
+        starting = tuple(bool(col_mat[b, s] == starts[b]) for s in s_var)
+        sig = (tuple(var_cells), starting)
         got = sig_cache.get(sig)
         if got is None:
             call_refs = [get_ref(c) for c in var_cells]
             call_alts = [get_alts(c) for c in var_cells]
-            merged_ref = M.merge_reference_allele(call_refs)
+            start_refs = [r for r, st in zip(call_refs, starting) if st]
+            merged_ref = M.merge_reference_allele(start_refs) \
+                if start_refs else None
+            # suffix extension in the ALT merge needs a concrete REF
+            alt_merge_ref = merged_ref if merged_ref is not None else "N"
             merged_alts, lut, non_ref = M.merge_alt_alleles(
-                call_refs, call_alts, merged_ref)
+                call_refs, call_alts, alt_merge_ref)
             inv_rows = M.inverse_lut_matrix(
                 np.asarray(lut), len(merged_alts) + 1)
-            got = (merged_ref, merged_alts, lut, non_ref,
-                   {c: i for i, c in enumerate(var_cells)}, inv_rows)
+            got = (merged_ref, merged_alts, non_ref, inv_rows)
             sig_cache[sig] = got
-        merged_ref, merged_alts, lut, non_ref, order, inv_rows = got
+        merged_ref, merged_alts, non_ref, inv_rows = got
         nm = len(merged_alts) + 1
         rec_num_merged[b] = min(nm, max_merged)
-        rec_refs[b] = merged_ref
+        if merged_ref is not None:
+            rec_refs[b] = merged_ref
+        elif start_here[b].any():
+            c0 = int(cells_mat[b, int(np.argmax(start_here[b]))])
+            rec_refs[b] = (chr(ref_first[c0]) if ref_len[c0] == 1
+                           else get_ref(c0))
         rec_alts[b] = list(merged_alts)
         if nm > max_merged:
             # more merged alleles than the block arrays hold: the device
@@ -345,22 +355,18 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         W = min(nm, max_merged)
         # variant samples: their index in var_cells IS their position
         # among var-selected srows (one cell belongs to one row)
-        s_var = srows[var_sel]
-        k_var = live_k[b, s_var]
         inv_w = inv_rows[:, :max_merged]
-        inv_lut[s_var[:, None], k_var[:, None],
-                np.arange(inv_w.shape[1])[None, :]] = inv_w
+        inv_bs[b, s_var[:, None],
+               np.arange(inv_w.shape[1])[None, :]] = inv_w
         if non_ref:
-            input_nr[s_var, k_var] = inv_w[:, W - 1]
+            nr_bs[b, s_var] = inv_w[:, W - 1]
         # ref-block samples: identity REF + NON_REF -> merged last slot
         s_rb = srows[~var_sel]
         if len(s_rb):
-            k_rb = live_k[b, s_rb]
-            inv_lut[s_rb, k_rb, 0] = 0
+            inv_bs[b, s_rb, 0] = 0
             has_alt = alt_ok[cells_mat[b, s_rb]]
-            inv_lut[s_rb[has_alt], k_rb[has_alt], W - 1] = 1
-            input_nr[s_rb[has_alt], k_rb[has_alt]] = 1
-    num_merged = np.maximum((inv_lut >= 0).sum(axis=-1), 1).astype(np.int32)
+            inv_bs[b, s_rb[has_alt], W - 1] = 1
+            nr_bs[b, s_rb[has_alt]] = 1
     # records carrying a valid queried field the block writer does not
     # render (SB, PGT, PID, PS, ...) need the sequential splice.  QUAL /
     # ID are combined by the sequential operator ONLY when queried (and,
@@ -387,22 +393,10 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             continue
         if N:
             rec_hasother |= (live_ok & fd.valid[safe_cm]).any(axis=1)
-    # a VARIANT cell spanning multiple records (multi-position variant,
-    # e.g. an MNP) carries one block-level LUT but can co-occur with a
-    # different variant set in each record -> per-record merge required.
-    # Flag every record the cell is live in, including its start (the
-    # last record's LUT write would otherwise leak into earlier ones).
-    if B and S and N:
-        span_var = np.zeros(N, dtype=bool)
-        pc = cell_of[cell_of >= 0]
-        span_var[pc] = ~cell_refblock[pc] & \
-            (store.eff_end[pc] > store.col[pc]) & ref_ok[pc] & alt_ok[pc]
-        rec_hasother |= (live_ok & span_var[safe_cm]).any(axis=1)
     blk = CellBlock(col=col, end=end, pl=pl, pl_len=pl_len, ad=ad,
                     ad_len=ad_len, gt=gt, gq=gq, dp=dp, min_dp=min_dp,
                     dp_info=dp_info, info_f=info_f, raw_mq=raw,
-                    inv_lut=inv_lut, input_nr=input_nr,
-                    num_merged=num_merged, starts=starts,
+                    inv_bs=inv_bs, nr_bs=nr_bs, starts=starts,
                     rec_num_merged=rec_num_merged,
                     live=live.astype(np.int32))
     if return_meta:

@@ -38,15 +38,15 @@ def test_combine_step_matches_oracle():
                 assert np.all(pl_out[b, s] == INT_MISSING)
                 continue
             c = exp_live
-            # build lut row from inv_lut: merged->input; oracle wants
+            # build lut row from inv_bs: merged->input; oracle wants
             # input->merged
-            inv = blk.inv_lut[s, c]
-            n_in = int(blk.num_merged[s, c])
+            inv = blk.inv_bs[b, s]
+            n_in = int((inv >= 0).sum())
             lut_row = np.full(n_in, M.LUT_MISSING, dtype=np.int32)
             for m_i, in_a in enumerate(inv[:nm]):
                 if 0 <= in_a < n_in:
                     lut_row[in_a] = m_i
-            non_ref = blk.input_nr[s, c] >= 0
+            non_ref = blk.nr_bs[b, s] >= 0
             exp_pl = M.remap_by_genotype(
                 blk.pl[s, c, :blk.pl_len[s, c]], lut_row, nm, non_ref, 2,
                 INT_MISSING)
