@@ -71,6 +71,9 @@ class CellBlock:
     rec_num_merged: np.ndarray  # [B] int32 merged alleles per record
     live: np.ndarray = None  # [B, S] int32 live cell idx (-1 none); host-
     # precomputed (device derivation is a slow scalar-core gather)
+    del_rw: np.ndarray = None  # [B, S] bool: call was spanning-deletion-
+    # rewritten -> its INFO combine contributions are invalidated
+    # (broad_combined_gvcf.cc:1066-1075)
 
 
 def _gather_cells(x: jnp.ndarray, live: jnp.ndarray) -> jnp.ndarray:
@@ -158,10 +161,12 @@ def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
 
 
 def gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp, dp_info,
-                     info_f, raw_mq, live):
+                     info_f, raw_mq, live, del_rw=None):
     """Per-(record, sample) live-cell gather of the [S, C, ...] cell
-    tensors -> dense [B, S, ...] inputs for _combine_math."""
+    tensors -> dense [B, S, ...] inputs for _combine_math.  `del_rw`
+    masks spanning-deletion-rewritten calls out of the INFO inputs."""
     valid = live >= 0
+    info_ok = valid if del_rw is None else (valid & ~del_rw)
 
     def g(x):
         return _gather_cells(x, live)
@@ -177,10 +182,10 @@ def gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp, dp_info,
         "dpfg": jnp.where(valid, g(dp), INT_MISSING),
         "mdpg": jnp.where(valid, g(min_dp), INT_MISSING),
         "dpig": jnp.where(valid, g(dp_info), INT_MISSING),
-        "infog": jnp.where(valid[None],
+        "infog": jnp.where(info_ok[None],
                            jax.vmap(lambda f: _gather_cells(f, live))(
                                info_f), jnp.nan),
-        "rmqg": jnp.where(valid, g(raw_mq), jnp.nan),
+        "rmqg": jnp.where(info_ok, g(raw_mq), jnp.nan),
         "valid": valid,
     }
 
@@ -188,11 +193,11 @@ def gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp, dp_info,
 @partial(jax.jit, static_argnames=("max_merged", "ploidy", "use_pallas"))
 def combine_step(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                  dp_info, info_f, raw_mq, inv_bs, nr_bs,
-                 rec_num_merged, live, *, max_merged: int,
+                 rec_num_merged, live, del_rw=None, *, max_merged: int,
                  ploidy: int,
                  use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
     g = gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
-                         dp_info, info_f, raw_mq, live)
+                         dp_info, info_f, raw_mq, live, del_rw)
     out = _combine_math(g["plg"], inv_bs, g["pllg"], nr_bs, g["adg"],
                         g["adlg"], g["gtg"], g["gqg"], g["dpfg"],
                         g["mdpg"], g["dpig"], g["infog"], g["rmqg"],
@@ -214,6 +219,8 @@ def gather_block_host(blk: CellBlock, live: np.ndarray) -> Dict[str,
     k = np.clip(live, 0, blk.col.shape[1] - 1)
     s_i = np.arange(blk.col.shape[0])[None, :]
 
+    info_ok = valid if blk.del_rw is None else (valid & ~blk.del_rw)
+
     def g2(x, fill):
         return np.where(valid, x[s_i, k], fill)
 
@@ -228,8 +235,8 @@ def gather_block_host(blk: CellBlock, live: np.ndarray) -> Dict[str,
         "dpfg": g2(blk.dp, INT_MISSING), "mdpg": g2(blk.min_dp,
                                                     INT_MISSING),
         "dpig": g2(blk.dp_info, INT_MISSING),
-        "infog": np.where(valid[None], blk.info_f[:, s_i, k], np.nan),
-        "rmqg": g2(blk.raw_mq, np.nan),
+        "infog": np.where(info_ok[None], blk.info_f[:, s_i, k], np.nan),
+        "rmqg": np.where(info_ok, blk.raw_mq[s_i, k], np.nan),
         "valid": valid,
     }
 
@@ -249,10 +256,12 @@ def combine_step_dense(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg,
 
 
 def block_to_args(blk: CellBlock):
+    del_rw = blk.del_rw if blk.del_rw is not None \
+        else np.zeros(blk.live.shape, dtype=bool)
     return (blk.pl, blk.pl_len, blk.ad, blk.ad_len,
             blk.gt, blk.gq, blk.dp, blk.min_dp, blk.dp_info, blk.info_f,
             blk.raw_mq, blk.inv_bs, blk.nr_bs,
-            blk.rec_num_merged, blk.live)
+            blk.rec_num_merged, blk.live, del_rw)
 
 
 def live_cells_at_host(starts: np.ndarray, col: np.ndarray,

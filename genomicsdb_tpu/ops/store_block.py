@@ -174,7 +174,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                         fill=np.float32(np.nan))
     raw = np.where(raw.view(np.uint32) == formats.FLOAT_MISSING_BITS,
                    np.nan, raw)
-    # --- sweep + per-interval allele merge ---
+    # --- sweep events ---
     valid_cells = col < INT64_MAX
     events = np.unique(np.concatenate(
         [col[valid_cells].ravel(), end[valid_cells].ravel() + 1]))
@@ -183,22 +183,6 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         events = events[(events >= lo) & (events <= hi)]
         if len(events) == 0 or events[0] != lo:
             events = np.concatenate([[lo], events])
-    starts = events
-    if pad_records is not None and len(starts) < pad_records:
-        # sentinel starts beyond any cell: no live cells -> the writer
-        # emits nothing for them (uniform B across chunks)
-        starts = np.concatenate([
-            starts, np.full(pad_records - len(starts), INT64_MAX - 1,
-                            dtype=np.int64)])
-    B = len(starts)
-    # live cell per (interval, row) on host (same math as live_cells_at)
-    live = np.full((B, S), -1, dtype=np.int64)
-    for s in range(S):
-        idx = np.searchsorted(col[s], starts, side="right") - 1
-        ok = idx >= 0
-        idxc = np.clip(idx, 0, C - 1)
-        ok &= end[s, idxc] >= starts
-        live[:, s] = np.where(ok, idxc, -1)
     # --- per-cell allele metadata, vectorized over the str-field bytes ---
     # (avoids 2 * num_cells Python-level cell_value decodes; full string
     # decode happens lazily, only for the rare variant cells)
@@ -256,13 +240,102 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     present = np.zeros(N, dtype=bool)
     if N:
         present[cell_of[cell_of >= 0]] = True
+    # per-deletion-cell rewrite state (handle_deletions,
+    # broad_combined_gvcf.cc:912-1078): reduced-space alleles + the
+    # reduced->input inverse LUT.  The "lowest deletion" choice (argmin
+    # PL at the homozygous-deletion genotype) depends only on the cell,
+    # so it is precomputed once here and the spanning-record remap
+    # becomes a composed LUT for the batched kernels.
+    del_state: Dict[int, Tuple[List[str], np.ndarray, np.ndarray]] = {}
+    pl_q = qc.is_queried("PL")
+    gt_q = qc.is_queried("GT")
+    gt_fd = store.fields.get("GT")
+    pl_fd = store.fields.get("PL")
+    gt_info = qc.vid.get_field_info("GT")
     for ci in np.nonzero(present & ref_ok & alt_ok & (ref_len > 1))[0]:
         ci = int(ci)
         r, a = get_ref(ci), get_alts(ci)
-        cell_hasdel[ci] = bool(
-            r is not None and a is not None
-            and any((not M.is_symbolic_allele(x)) and len(x) < len(r)
-                    for x in a))
+        if r is None or a is None:
+            continue
+        # contains_deletion (known_field_info.cc:310-319): '*' is
+        # symbolic and does NOT trigger the rewrite by itself
+        if not any((not M.is_symbolic_allele(x)) and len(x) < len(r)
+                   for x in a):
+            continue
+        cell_hasdel[ci] = True
+        ploidy_c = 0
+        if gt_q and gt_fd is not None and gt_fd.valid[ci] \
+                and gt_info is not None:
+            glen = int(gt_fd.offsets[ci + 1] - gt_fd.offsets[ci])
+            ploidy_c = gt_info.length.ploidy(glen)
+        pl_vals = None
+        if pl_q and pl_fd is not None and pl_fd.valid[ci]:
+            pl_vals = pl_fd.values[pl_fd.offsets[ci]:pl_fd.offsets[ci + 1]]
+        lut_row1 = np.full(len(a) + 1, M.LUT_MISSING, dtype=np.int32)
+        lut_row1[0] = 0
+        lowest_del, lowest_pl, has_nr = -1, 2**31 - 1, False
+        for i, alt in enumerate(a):
+            allele_idx = i + 1
+            is_del = alt == "*" or (not M.is_symbolic_allele(alt)
+                                    and len(alt) < len(r))
+            if is_del:
+                if lowest_del < 0:
+                    lowest_del = allele_idx
+                if pl_vals is not None:
+                    g_i = M.genotype_index([allele_idx] * ploidy_c)
+                    if g_i < len(pl_vals) and pl_vals[g_i] < lowest_pl:
+                        lowest_pl = int(pl_vals[g_i])
+                        lowest_del = allele_idx
+            elif alt.startswith("&"):
+                lut_row1[allele_idx] = 2
+                has_nr = True
+        lut_row1[lowest_del] = 1
+        new_alts = ["*", "&"] if has_nr else ["*"]
+        inv1 = M.inverse_lut(lut_row1, 3)   # reduced -> input
+        del_state[ci] = (new_alts, lut_row1, inv1)
+
+    # --- record starts: events, expanded to SINGLE POSITIONS while any
+    # live call contains a deletion (the scan's single-position stepping,
+    # query_variants.cc:310 / scan.py min_end = current_start) ---
+    def _live_at(sts: np.ndarray) -> np.ndarray:
+        lv = np.full((len(sts), S), -1, dtype=np.int64)
+        for s in range(S):
+            idx = np.searchsorted(col[s], sts, side="right") - 1
+            ok = idx >= 0
+            idxc = np.clip(idx, 0, C - 1)
+            ok &= end[s, idxc] >= sts
+            lv[:, s] = np.where(ok, idxc, -1)
+        return lv
+
+    starts = events
+    if N and cell_hasdel.any() and len(events) and S:
+        live0 = _live_at(events)
+        ok0 = live0 >= 0
+        k0 = np.clip(live0, 0, C - 1)
+        sg0 = np.arange(S)[None, :]
+        cells0 = np.where(ok0, cell_of[sg0, k0], -1)
+        rec_del0 = (ok0 & cell_hasdel[np.clip(cells0, 0, N - 1)]
+                    ).any(axis=1)
+        if rec_del0.any():
+            end_mat0 = np.where(ok0, end[sg0, k0], INT64_MAX)
+            nxt0 = np.empty(len(events), dtype=np.int64)
+            nxt0[:-1] = events[1:] - 1
+            nxt0[-1] = INT64_MAX - 2
+            hi_b = interval[1] if interval is not None else INT64_MAX - 2
+            end0 = np.minimum(np.minimum(nxt0, end_mat0.min(axis=1)),
+                              hi_b)
+            seg = np.where(rec_del0, np.maximum(end0 - events + 1, 1),
+                           1).astype(np.int64)
+            from ..store.columnar import _ragged_arange
+            starts = _ragged_arange(events, seg)
+    if pad_records is not None and len(starts) < pad_records:
+        # sentinel starts beyond any cell: no live cells -> the writer
+        # emits nothing for them (uniform B across chunks)
+        starts = np.concatenate([
+            starts, np.full(pad_records - len(starts), INT64_MAX - 1,
+                            dtype=np.int64)])
+    B = len(starts)
+    live = _live_at(starts)
     # --- [B, S] live-cell views ---
     live_ok = live >= 0
     live_k = np.clip(live, 0, C - 1)
@@ -315,6 +388,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     # refs collection); the ALT merge includes every live variant call.
     sig_cache: Dict[Tuple, Tuple] = {}
     rec_overflow: List[int] = []
+    del_rw = np.zeros((B, S), dtype=bool)
     for b in np.nonzero(rec_is_var)[0]:
         b = int(b)
         srows = np.nonzero(live_ok[b])[0]
@@ -322,11 +396,22 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         s_var = srows[var_sel]
         var_cells = [int(c) for c in cells_mat[b, s_var]]
         starting = tuple(bool(col_mat[b, s] == starts[b]) for s in s_var)
+        # spanning-deletion calls (cell has a deletion, record starts
+        # past the cell): rewritten to REF=N / ALT=*,<NON_REF> before
+        # the merge (handle_deletions, broad_combined_gvcf.cc:912-1078)
+        rewritten = tuple(c in del_state and not st
+                          for c, st in zip(var_cells, starting))
         sig = (tuple(var_cells), starting)
         got = sig_cache.get(sig)
         if got is None:
-            call_refs = [get_ref(c) for c in var_cells]
-            call_alts = [get_alts(c) for c in var_cells]
+            call_refs, call_alts = [], []
+            for c, st, rw in zip(var_cells, starting, rewritten):
+                if rw:
+                    call_refs.append("N")
+                    call_alts.append(del_state[c][0])
+                else:
+                    call_refs.append(get_ref(c))
+                    call_alts.append(get_alts(c))
             start_refs = [r for r, st in zip(call_refs, starting) if st]
             merged_ref = M.merge_reference_allele(start_refs) \
                 if start_refs else None
@@ -336,9 +421,20 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                 call_refs, call_alts, alt_merge_ref)
             inv_rows = M.inverse_lut_matrix(
                 np.asarray(lut), len(merged_alts) + 1)
+            # rewritten calls: compose merged->reduced with the cell's
+            # reduced->input LUT so the batched kernels do ONE remap
+            # equal to the reference's two-step rewrite+merge remap
+            for i, (c, rw) in enumerate(zip(var_cells, rewritten)):
+                if rw:
+                    inv1 = del_state[c][2]
+                    row = inv_rows[i]
+                    comp = inv1[np.clip(row, 0, 2)]
+                    inv_rows[i] = np.where(row >= 0, comp, -1)
             got = (merged_ref, merged_alts, non_ref, inv_rows)
             sig_cache[sig] = got
         merged_ref, merged_alts, non_ref, inv_rows = got
+        if any(rewritten):
+            del_rw[b, s_var[np.asarray(rewritten)]] = True
         nm = len(merged_alts) + 1
         rec_num_merged[b] = min(nm, max_merged)
         if merged_ref is not None:
@@ -393,17 +489,24 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             continue
         if N:
             rec_hasother |= (live_ok & fd.valid[safe_cm]).any(axis=1)
+    # non-diploid / phased GT (stored length != ploidy) and invalid-GT
+    # cells: the batched GT path assumes a dense unphased [.., ploidy]
+    # layout -> splice those records (general ploidy stays host-side)
+    if N and gt_fd is not None and qc.is_queried("GT"):
+        glens = np.diff(gt_fd.offsets)
+        cell_gt_bad = (~gt_fd.valid) | (glens != ploidy)
+        rec_hasother |= (live_ok & cell_gt_bad[safe_cm]).any(axis=1)
     blk = CellBlock(col=col, end=end, pl=pl, pl_len=pl_len, ad=ad,
                     ad_len=ad_len, gt=gt, gq=gq, dp=dp, min_dp=min_dp,
                     dp_info=dp_info, info_f=info_f, raw_mq=raw,
                     inv_bs=inv_bs, nr_bs=nr_bs, starts=starts,
                     rec_num_merged=rec_num_merged,
-                    live=live.astype(np.int32))
+                    live=live.astype(np.int32), del_rw=del_rw)
     if return_meta:
         meta = BlockRecordMeta(ends=rec_ends, refs=rec_refs,
                                alts=rec_alts,
                                is_ref_block_only=rec_refonly,
                                has_deletion=rec_hasdel,
-                               needs_fallback=rec_hasdel | rec_hasother)
+                               needs_fallback=rec_hasother)
         return blk, meta
     return blk

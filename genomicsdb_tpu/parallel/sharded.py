@@ -54,10 +54,10 @@ def sharded_combine_step(mesh: Mesh, max_merged: int, ploidy: int):
     """
 
     def step(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp, dp_info, info_f,
-             raw_mq, inv_bs, nr_bs, rec_num_merged, live
+             raw_mq, inv_bs, nr_bs, rec_num_merged, live, del_rw
              ) -> Dict[str, jnp.ndarray]:
         g = gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
-                             dp_info, info_f, raw_mq, live)
+                             dp_info, info_f, raw_mq, live, del_rw)
         out = _combine_math(g["plg"], inv_bs, g["pllg"], nr_bs, g["adg"],
                             g["adlg"], g["gtg"], g["gqg"], g["dpfg"],
                             g["mdpg"], g["dpig"], g["infog"], g["rmqg"],
@@ -99,6 +99,7 @@ def _input_specs():
         P("pos", "row"),                   # nr_bs [B, S]
         P("pos"),                          # rec_num_merged [B]
         P("pos", "row"),                   # live [B, S]
+        P("pos", "row"),                   # del_rw [B, S]
     )
 
 
@@ -135,6 +136,8 @@ def pad_block_for_mesh(blk: CellBlock, n_pos: int, n_row: int) -> CellBlock:
         out.inv_bs = padS(blk.inv_bs, -1, axis=1)
         out.nr_bs = padS(blk.nr_bs, -1, axis=1)
         out.live = padS(blk.live, -1, axis=1)
+        if out.del_rw is not None:
+            out.del_rw = padS(blk.del_rw, False, axis=1)
     if B_pad:
         def padB(x, fill):
             pad_width = [(0, B_pad)] + [(0, 0)] * (x.ndim - 1)
@@ -144,6 +147,8 @@ def pad_block_for_mesh(blk: CellBlock, n_pos: int, n_row: int) -> CellBlock:
         out.inv_bs = padB(out.inv_bs, -1)
         out.nr_bs = padB(out.nr_bs, -1)
         out.live = padB(out.live, -1)
+        if out.del_rw is not None:
+            out.del_rw = padB(out.del_rw, False)
     return out
 
 

@@ -81,6 +81,20 @@ def run_vcf(callset_file, attributes=None, column_ranges=None,
         reference_path=os.path.join(REF_TESTS, "inputs/chr1_10MB.fasta.gz"))
 
 
+def run_vcf_block(callset_file, attributes=None, column_ranges=None,
+                  vid_file="inputs/vid.json", **kw) -> str:
+    """run_vcf through the batched block engine (run_vcf_query_block)."""
+    vid, store = load_setup(callset_file, vid_file)
+    qp = make_query_params(attributes or VCF_ATTRIBUTES_ORDER,
+                           column_ranges, **kw)
+    qc = driver.make_query_config(qp, vid)
+    return driver.run_vcf_query_block(
+        store, qc, qp, vid,
+        template_path=os.path.join(REF_TESTS,
+                                   "inputs/template_vcf_header.vcf"),
+        reference_path=os.path.join(REF_TESTS, "inputs/chr1_10MB.fasta.gz"))
+
+
 def run_loading(callset_file, vid_file="inputs/vid.json",
                 column_partition=(0, None), **kw) -> str:
     """produce_combined_vcf-during-load stdout: whole-array combine with ALL
