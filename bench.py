@@ -45,7 +45,7 @@ def bench_device(num_samples=128, cells_per_sample=2048, region_len=262144,
     fn = functools.partial(combine_step, max_merged=4, ploidy=2)
     fixed = (blk.pl, blk.pl_len, blk.ad, blk.ad_len,
              blk.gt, blk.gq, blk.dp, blk.min_dp, blk.dp_info, blk.info_f,
-             blk.raw_mq)
+             blk.info_i, blk.info_fs)
     fixed = tuple(jax.device_put(x) for x in fixed)
     starts = blk.starts
     nb = len(starts)
@@ -135,7 +135,8 @@ def bench_device_dense(num_samples=128, cells_per_sample=2048,
     sub.nr_bs = blk.nr_bs[:chunk]
     g = gather_block_host(sub, blk.live[:chunk])
     keys = ("plg", "invg", "pllg", "nrg", "adg", "adlg", "gtg", "gqg",
-            "dpfg", "mdpg", "dpig", "infog", "rmqg", "valid")
+            "dpfg", "mdpg", "dpig", "infog", "infoig", "infofsg",
+            "valid")
     dev = [jax.device_put(g[k]) for k in keys]
     recnm_d = jax.device_put(recnm)
     fn = functools.partial(combine_step_dense, max_merged=4, ploidy=2)

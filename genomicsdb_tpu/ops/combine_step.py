@@ -62,13 +62,17 @@ class CellBlock:
     dp: np.ndarray         # [S, C] int32 FORMAT DP
     min_dp: np.ndarray     # [S, C] int32
     dp_info: np.ndarray    # [S, C] int32 INFO DP
-    info_f: np.ndarray     # [F, S, C] float32 INFO float fields (median ops)
-    raw_mq: np.ndarray     # [S, C] float32 (sum op)
+    info_f: np.ndarray     # [F, S, C] float32 scalar INFO fields, MEDIAN op
+    info_i: np.ndarray     # [Fi, S, C] int32 scalar INFO fields, MEDIAN op
+    info_fs: np.ndarray    # [Fs, S, C] float32 scalar INFO fields, SUM op
     inv_bs: np.ndarray     # [B, S, M] merged->input allele idx (-1 absent)
     nr_bs: np.ndarray      # [B, S] input NON_REF allele idx (-1 none)
     # per-interval (precomputed by the sweep):
     starts: np.ndarray     # [B] int64 interval starts
     rec_num_merged: np.ndarray  # [B] int32 merged alleles per record
+    rec_has_nr: np.ndarray = None  # [B] bool: merged alleles include
+    # NON_REF (gates the GT remap's absent-allele fallback,
+    # variant_operations.cc:233-260 non_ref_exists)
     live: np.ndarray = None  # [B, S] int32 live cell idx (-1 none); host-
     # precomputed (device derivation is a slow scalar-core gather)
     del_rw: np.ndarray = None  # [B, S] bool: call was spanning-deletion-
@@ -84,18 +88,25 @@ def _gather_cells(x: jnp.ndarray, live: jnp.ndarray) -> jnp.ndarray:
 
 
 def gt_remap_unrolled(gtg: jnp.ndarray, invg: jnp.ndarray,
-                      rec_num_merged: jnp.ndarray) -> jnp.ndarray:
+                      rec_num_merged: jnp.ndarray,
+                      rec_has_nr: jnp.ndarray,
+                      gt_phase: bool = False) -> jnp.ndarray:
     """GT remap: input allele -> merged allele (invert inv_bs).  Ploidy
     and merged-allele axes are unrolled statically so every tensor stays
     [B, S] (a [B,S,A,M] one-hot costs ~4x the whole step in HBM traffic).
     Matches VariantOperations::remap_GT_field
-    (variant_operations.cc:233-260)."""
+    (variant_operations.cc:233-260): with `gt_phase`, odd slots are
+    interleaved phase flags and pass through unremapped; an input allele
+    absent from the merge maps to NON_REF only when the merge has one."""
     M_dim = invg.shape[-1]
     P_dim = gtg.shape[-1]
-    nr_merged = rec_num_merged[:, None] - 1             # [B, 1]
+    nr_merged = jnp.where(rec_has_nr, rec_num_merged - 1, -1)[:, None]
     gt_cols = []
     for p in range(P_dim):
         a = gtg[..., p]                                 # [B, S]
+        if gt_phase and p % 2 == 1:
+            gt_cols.append(a)                           # phase flag slot
+            continue
         merged = jnp.full_like(a, -1)
         for m in range(M_dim):
             merged = jnp.where(invg[..., m] == a, m, merged)
@@ -105,9 +116,28 @@ def gt_remap_unrolled(gtg: jnp.ndarray, invg: jnp.ndarray,
     return jnp.stack(gt_cols, axis=-1)
 
 
+def masked_seq_sum_float(vals: jnp.ndarray, ok: jnp.ndarray):
+    """Float sum over the LAST axis in ascending index order — bit-exact
+    against the sequential writer's np.float32 left-fold accumulation
+    (a tree-order jnp.sum may round differently).  vals: [..., S]."""
+    S = vals.shape[-1]
+    init = jnp.zeros(vals.shape[:-1], jnp.float32)
+    if S <= 64:
+        out = init
+        for s in range(S):
+            out = jnp.where(ok[..., s], out + vals[..., s], out)
+    else:
+        def body(s, acc):
+            return jnp.where(ok[..., s], acc + vals[..., s], acc)
+        out = jax.lax.fori_loop(0, S, body, init)
+    return out, ok.any(axis=-1)
+
+
 def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
-                  dpig, infog, rmqg, valid, rec_num_merged, *,
-                  max_merged: int, ploidy: int, use_pallas: bool = False,
+                  dpig, infog, infoig, infofsg, valid, rec_num_merged,
+                  rec_has_nr, *,
+                  max_merged: int, ploidy: int, gt_phase: bool = False,
+                  use_pallas: bool = False,
                   axis_name: Optional[str] = None
                   ) -> Dict[str, jnp.ndarray]:
     """The shared combine math over GATHERED (dense [B, S, ...]) inputs.
@@ -129,7 +159,8 @@ def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
                                          ploidy=ploidy)
     ad_out = K.remap_allele_fields(adg, invg, adlg, nrg, rec_num_merged,
                                    alt_only=False)
-    gt_out = gt_remap_unrolled(gtg, invg, rec_num_merged)
+    gt_out = gt_remap_unrolled(gtg, invg, rec_num_merged, rec_has_nr,
+                               gt_phase)
 
     def full(x, axis):
         if axis_name is None:
@@ -143,10 +174,16 @@ def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
     finite = jnp.isfinite(infog_f) & valid_f[None]
     med, med_ok = jax.vmap(K.masked_median_float)(
         jnp.where(finite, infog_f, jnp.inf), finite)
-    # RAW_MQ sum
-    rmq_f = full(rmqg, 1)
-    rmq_ok = jnp.isfinite(rmq_f) & valid_f
-    rmq_sum, rmq_any = K.masked_sum(jnp.where(rmq_ok, rmq_f, 0), rmq_ok)
+    # int INFO medians (exact int32 path; float32 cannot represent all)
+    infoi_f = full(infoig, 2)
+    i_ok = (infoi_f != INT_MISSING) & valid_f[None]
+    imed, imed_ok = jax.vmap(K.masked_median_int)(
+        jnp.where(i_ok, infoi_f, jnp.iinfo(jnp.int32).max), i_ok)
+    # float INFO sums, sequential accumulation order
+    infofs_f = full(infofsg, 2)
+    fs_ok = jnp.isfinite(infofs_f) & valid_f[None]
+    fsum, fsum_ok = masked_seq_sum_float(
+        jnp.where(fs_ok, infofs_f, 0), fs_ok)
     # DP logic
     dpi_f, dpf_f, mdp_f = full(dpig, 1), full(dpfg, 1), full(mdpg, 1)
     dp_sum = K.dp_combine(dpi_f, dpf_f, mdp_f, dpi_f != INT_MISSING,
@@ -154,14 +191,15 @@ def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
     return {
         "pl": pl_out, "ad": ad_out, "gt": gt_out,
         "info_median": med, "info_median_ok": med_ok,
-        "raw_mq_sum": rmq_sum, "raw_mq_ok": rmq_any,
+        "info_imedian": imed, "info_imedian_ok": imed_ok,
+        "info_fsum": fsum, "info_fsum_ok": fsum_ok,
         "dp_info_sum": dp_sum, "gq": gqg, "dp_format": dpfg,
         "min_dp": mdpg,
     }
 
 
 def gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp, dp_info,
-                     info_f, raw_mq, live, del_rw=None):
+                     info_f, info_i, info_fs, live, del_rw=None):
     """Per-(record, sample) live-cell gather of the [S, C, ...] cell
     tensors -> dense [B, S, ...] inputs for _combine_math.  `del_rw`
     masks spanning-deletion-rewritten calls out of the INFO inputs."""
@@ -185,25 +223,32 @@ def gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp, dp_info,
         "infog": jnp.where(info_ok[None],
                            jax.vmap(lambda f: _gather_cells(f, live))(
                                info_f), jnp.nan),
-        "rmqg": jnp.where(info_ok, g(raw_mq), jnp.nan),
+        "infoig": jnp.where(info_ok[None],
+                            jax.vmap(lambda f: _gather_cells(f, live))(
+                                info_i), INT_MISSING),
+        "infofsg": jnp.where(info_ok[None],
+                             jax.vmap(lambda f: _gather_cells(f, live))(
+                                 info_fs), jnp.nan),
         "valid": valid,
     }
 
 
-@partial(jax.jit, static_argnames=("max_merged", "ploidy", "use_pallas"))
+@partial(jax.jit, static_argnames=("max_merged", "ploidy", "gt_phase",
+                                   "use_pallas"))
 def combine_step(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
-                 dp_info, info_f, raw_mq, inv_bs, nr_bs,
-                 rec_num_merged, live, del_rw=None, *, max_merged: int,
-                 ploidy: int,
+                 dp_info, info_f, info_i, info_fs, inv_bs, nr_bs,
+                 rec_num_merged, rec_has_nr, live, del_rw=None, *,
+                 max_merged: int, ploidy: int, gt_phase: bool = False,
                  use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
     g = gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
-                         dp_info, info_f, raw_mq, live, del_rw)
+                         dp_info, info_f, info_i, info_fs, live, del_rw)
     out = _combine_math(g["plg"], inv_bs, g["pllg"], nr_bs, g["adg"],
                         g["adlg"], g["gtg"], g["gqg"], g["dpfg"],
-                        g["mdpg"], g["dpig"], g["infog"], g["rmqg"],
-                        g["valid"], rec_num_merged,
+                        g["mdpg"], g["dpig"], g["infog"], g["infoig"],
+                        g["infofsg"], g["valid"], rec_num_merged,
+                        rec_has_nr,
                         max_merged=max_merged, ploidy=ploidy,
-                        use_pallas=use_pallas)
+                        gt_phase=gt_phase, use_pallas=use_pallas)
     out["live"] = live
     return out
 
@@ -236,32 +281,43 @@ def gather_block_host(blk: CellBlock, live: np.ndarray) -> Dict[str,
                                                     INT_MISSING),
         "dpig": g2(blk.dp_info, INT_MISSING),
         "infog": np.where(info_ok[None], blk.info_f[:, s_i, k], np.nan),
-        "rmqg": np.where(info_ok, blk.raw_mq[s_i, k], np.nan),
+        "infoig": np.where(info_ok[None], blk.info_i[:, s_i, k],
+                           INT_MISSING),
+        "infofsg": np.where(info_ok[None], blk.info_fs[:, s_i, k],
+                            np.nan),
         "valid": valid,
     }
 
 
-@partial(jax.jit, static_argnames=("max_merged", "ploidy", "use_pallas"))
+@partial(jax.jit, static_argnames=("max_merged", "ploidy", "gt_phase",
+                                   "use_pallas"))
 def combine_step_dense(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg,
-                       mdpg, dpig, infog, rmqg, valid, rec_num_merged, *,
+                       mdpg, dpig, infog, infoig, infofsg, valid,
+                       rec_num_merged, rec_has_nr=None, *,
                        max_merged: int, ploidy: int,
+                       gt_phase: bool = False,
                        use_pallas: bool = False
                        ) -> Dict[str, jnp.ndarray]:
     """combine_step on HOST-pre-gathered dense inputs (gather_block_host):
     the device runs only the dense remap + reduction math."""
+    if rec_has_nr is None:
+        rec_has_nr = jnp.ones(rec_num_merged.shape, dtype=bool)
     return _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg,
-                         mdpg, dpig, infog, rmqg, valid, rec_num_merged,
+                         mdpg, dpig, infog, infoig, infofsg, valid,
+                         rec_num_merged, rec_has_nr,
                          max_merged=max_merged, ploidy=ploidy,
-                         use_pallas=use_pallas)
+                         gt_phase=gt_phase, use_pallas=use_pallas)
 
 
 def block_to_args(blk: CellBlock):
     del_rw = blk.del_rw if blk.del_rw is not None \
         else np.zeros(blk.live.shape, dtype=bool)
+    has_nr = blk.rec_has_nr if blk.rec_has_nr is not None \
+        else np.ones(len(blk.rec_num_merged), dtype=bool)
     return (blk.pl, blk.pl_len, blk.ad, blk.ad_len,
             blk.gt, blk.gq, blk.dp, blk.min_dp, blk.dp_info, blk.info_f,
-            blk.raw_mq, blk.inv_bs, blk.nr_bs,
-            blk.rec_num_merged, blk.live, del_rw)
+            blk.info_i, blk.info_fs, blk.inv_bs, blk.nr_bs,
+            blk.rec_num_merged, has_nr, blk.live, del_rw)
 
 
 def live_cells_at_host(starts: np.ndarray, col: np.ndarray,
@@ -323,11 +379,13 @@ def synthesize_cohort(num_samples: int, cells_per_sample: int,
                       rng.integers(0, 40, size=(S, C))).astype(np.int32)
     dp_info = np.where(is_var, rng.integers(0, 100, size=(S, C)),
                        INT_MISSING).astype(np.int32)
-    F = 7  # BaseQRankSum/Clipping/MQRankSum/ReadPos/MQ/MQ0/extra
+    F = 6  # BaseQRankSum/Clipping/MQRankSum/ReadPos/MQ + extra
     info_f = rng.normal(size=(F, S, C)).astype(np.float32)
     info_f = np.where(is_var[None], info_f, np.nan).astype(np.float32)
-    raw_mq = np.where(is_var, rng.random((S, C)) * 100, np.nan
-                      ).astype(np.float32)
+    info_i = np.where(is_var, rng.integers(0, 50, size=(S, C)),
+                      INT_MISSING).astype(np.int32)[None]   # MQ0-like
+    info_fs = np.where(is_var, rng.random((S, C)) * 100, np.nan
+                       ).astype(np.float32)[None]           # RAW_MQ-like
     # LUTs mirror the real merge invariant: cell alleles 0..n_in-2 map to
     # merged 0..n_in-2, the cell's NON_REF (last input allele) maps to the
     # LAST merged allele, middle merged alleles are absent (-1).
@@ -345,6 +403,7 @@ def synthesize_cohort(num_samples: int, cells_per_sample: int,
     inv_bs, nr_bs = gather_luts_host(inv_cell, nr_cell, live)
     return CellBlock(col=col, end=end, pl=pl, pl_len=pl_len, ad=ad,
                      ad_len=ad_len, gt=gt, gq=gq, dp=dp, min_dp=min_dp,
-                     dp_info=dp_info, info_f=info_f, raw_mq=raw_mq,
+                     dp_info=dp_info, info_f=info_f, info_i=info_i,
+                     info_fs=info_fs,
                      inv_bs=inv_bs, nr_bs=nr_bs, starts=starts,
                      rec_num_merged=rec_num_merged, live=live)

@@ -18,6 +18,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..core import formats
+from ..core import known_fields as kf
 from ..core.config import QueryConfig
 from ..store.columnar import ColumnarStore
 from . import merge as M
@@ -47,6 +48,15 @@ def record_starts(store: ColumnarStore, qc: QueryConfig,
 
 
 @dataclass
+class ExtraField:
+    """One gathered non-core field for the generalized block writer."""
+    spec: object                   # FormatSpec / InfoSpec
+    vals: Optional[np.ndarray]     # [B, S, (W)] gathered (None: host decode)
+    valid: np.ndarray              # [B, S] effective validity of live cell
+    lens: Optional[np.ndarray] = None   # [B, S] input lengths (VAR/ragged)
+
+
+@dataclass
 class BlockRecordMeta:
     """Per-record host metadata for the block-based VCF writer."""
     ends: np.ndarray               # [B] record end columns
@@ -54,29 +64,34 @@ class BlockRecordMeta:
     alts: List[List[str]]          # merged ALT lists ("&" = NON_REF)
     is_ref_block_only: np.ndarray  # [B] bool
     has_deletion: np.ndarray       # [B] bool
-    needs_fallback: np.ndarray = None  # [B] bool: deletion OR a valid
-    # field outside the block-rendered set lives here (sequential splice)
+    needs_fallback: np.ndarray = None  # [B] bool: a valid queried field
+    # the block path cannot realize lives here (sequential splice)
+    plan: object = None            # block_fields.BlockPlan
+    extras: dict = None            # name -> ExtraField
+    cells_mat: np.ndarray = None   # [B, S] store cell idx of live cell
+    valid_core: dict = None        # name -> [B, S] effective validity
+    gt_override: dict = None       # (b, s) -> merged-space GT vector
+    # (produce_GT spanning-deletion min-PL rewrites, host-computed)
 
 
 def store_to_block(store: ColumnarStore, qc: QueryConfig,
                    interval: Optional[Tuple[int, int]] = None,
                    max_merged: int = 8, ploidy: int = 2,
-                   info_fields: Optional[List[str]] = None,
                    return_meta: bool = False,
                    pad_records: Optional[int] = None,
                    pad_cells_to: int = 1):
     """Build a CellBlock for the queried rows over `interval`.
 
-    Field selection: PL, AD, GT, GQ, DP(_FORMAT), MIN_DP, DP(INFO), RAW_MQ
-    and the float INFO median fields (default: the GATK RankSum/MQ set).
+    Field selection is vid/query-driven (query.block_fields.BlockPlan):
+    the device core carries PL/AD/GT/GQ/DP(_FORMAT)/MIN_DP/DP(INFO) and
+    the scalar INFO median/sum stacks; every other renderable queried
+    field is gathered into `meta.extras` for the generalized writer.
     """
+    from ..query.block_fields import (build_block_plan, effective_valid,
+                                      remap_allele_np)
+    plan = build_block_plan(qc, qc.vid)
     rows = qc.rows_to_query
     S = len(rows)
-    if info_fields is None:
-        info_fields = [f for f in ("BaseQRankSum", "ClippingRankSum",
-                                   "MQRankSum", "ReadPosRankSum", "MQ",
-                                   "MQ0")
-                       if f in store.fields]
     # --- dense per-row cell layout (one stable row-sort, not S scans) ---
     row_sorted = np.argsort(store.row, kind="stable") \
         if store.num_cells else np.zeros(0, dtype=np.int64)
@@ -157,23 +172,28 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     G_in = len(G_in)
     pl, pl_len = ragged_matrix("PL", G_in)
     ad, ad_len = ragged_matrix("AD", max_merged)
-    gt, _ = ragged_matrix("GT", ploidy, fill=-1)
+    # phased GT ("PP" descriptor) stores 2p-1 interleaved elements
+    # (broad_combined_gvcf.cc:650-652); phase slots ride along unremapped
+    gt_w = 2 * ploidy - 1 if plan.gt_phase else ploidy
+    gt, _ = ragged_matrix("GT", gt_w, fill=-1)
     gq = scalar_matrix("GQ")
     dp = scalar_matrix("DP_FORMAT")
     min_dp = scalar_matrix("MIN_DP")
     dp_info = scalar_matrix("DP")
-    F = len(info_fields)
-    info_f = np.full((F, S, C), np.nan, dtype=np.float32)
-    for fi, name in enumerate(info_fields):
-        m = scalar_matrix(name, dtype=np.float32,
-                          fill=np.float32(np.nan))
-        bits = m.view(np.uint32)
-        m = np.where(bits == formats.FLOAT_MISSING_BITS, np.nan, m)
-        info_f[fi] = m
-    raw = scalar_matrix("RAW_MQ", dtype=np.float32,
-                        fill=np.float32(np.nan))
-    raw = np.where(raw.view(np.uint32) == formats.FLOAT_MISSING_BITS,
-                   np.nan, raw)
+    def float_scalar_stack(names):
+        out = np.full((len(names), S, C), np.nan, dtype=np.float32)
+        for fi, name in enumerate(names):
+            m = scalar_matrix(name, dtype=np.float32,
+                              fill=np.float32(np.nan))
+            bits = m.view(np.uint32)
+            out[fi] = np.where(bits == formats.FLOAT_MISSING_BITS,
+                               np.nan, m)
+        return out
+
+    info_f = float_scalar_stack(plan.med_fields)
+    info_fs = float_scalar_stack(plan.fsum_fields)
+    info_i = np.stack([scalar_matrix(n) for n in plan.imed_fields]) \
+        if plan.imed_fields else np.zeros((0, S, C), np.int32)
     # --- sweep events ---
     valid_cells = col < INT64_MAX
     events = np.unique(np.concatenate(
@@ -358,6 +378,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     rec_is_var = var_mat.any(axis=1)
     rec_refonly = ~rec_is_var
     rec_num_merged = np.where(rec_refonly, 2, 1).astype(np.int32)
+    rec_has_nr = np.ones(B, dtype=bool)   # ref blocks always carry &
     # Allele LUTs per (record, sample) — the gathered form the remap
     # kernels consume.  A per-record LUT (not per-cell) is required for
     # multi-position variant cells (e.g. MNPs): the same cell can merge
@@ -389,6 +410,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     sig_cache: Dict[Tuple, Tuple] = {}
     rec_overflow: List[int] = []
     del_rw = np.zeros((B, S), dtype=bool)
+    gt_override: Dict[Tuple[int, int], np.ndarray] = {}
     for b in np.nonzero(rec_is_var)[0]:
         b = int(b)
         srows = np.nonzero(live_ok[b])[0]
@@ -430,11 +452,14 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                     row = inv_rows[i]
                     comp = inv1[np.clip(row, 0, 2)]
                     inv_rows[i] = np.where(row >= 0, comp, -1)
-            got = (merged_ref, merged_alts, non_ref, inv_rows)
+            lut_rw = {i: np.asarray(lut[i]).copy()
+                      for i, rw in enumerate(rewritten) if rw}
+            got = (merged_ref, merged_alts, non_ref, inv_rows, lut_rw)
             sig_cache[sig] = got
-        merged_ref, merged_alts, non_ref, inv_rows = got
+        merged_ref, merged_alts, non_ref, inv_rows, lut_rw = got
         if any(rewritten):
             del_rw[b, s_var[np.asarray(rewritten)]] = True
+        rec_has_nr[b] = non_ref
         nm = len(merged_alts) + 1
         rec_num_merged[b] = min(nm, max_merged)
         if merged_ref is not None:
@@ -463,24 +488,23 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             has_alt = alt_ok[cells_mat[b, s_rb]]
             inv_bs[b, s_rb[has_alt], W - 1] = 1
             nr_bs[b, s_rb[has_alt]] = 1
-    # records carrying a valid queried field the block writer does not
-    # render (SB, PGT, PID, PS, ...) need the sequential splice.  QUAL /
-    # ID are combined by the sequential operator ONLY when queried (and,
-    # for QUAL, when the vid defines a combine op —
-    # broad_combined_gvcf.cc:730-821); otherwise both print '.' exactly
-    # like the block writer, so they stay handled.
-    handled = {"END", "REF", "ALT", "FILTER", "GT", "GQ",
-               "AD", "PL", "MIN_DP", "DP", "DP_FORMAT", "RAW_MQ",
-               "BaseQRankSum", "ClippingRankSum", "MQRankSum",
-               "ReadPosRankSum", "MQ", "MQ0"}
-    from ..core import known_fields as kf
-    qual_info = qc.vid.get_field_info("QUAL")
-    qual_op = (qual_info.combine_op if qual_info is not None
-               else kf.OP_NONE)
-    if not (qc.is_queried("QUAL") and qual_op is not kf.OP_NONE):
-        handled.add("QUAL")
-    if not qc.is_queried("ID"):
-        handled.add("ID")
+        # produce_GT x spanning deletion: the reference derives GT from
+        # the min-PL genotype in the REDUCED space, then remaps it onto
+        # the merge (broad_combined_gvcf.cc:912-1078 + GA4GH GT remap);
+        # the composed device remap cannot express the argmin, so the
+        # handful of rewritten calls get host-computed overrides
+        if plan.produce_gt and any(rewritten) and nm <= max_merged:
+            for i, (c, rw) in enumerate(zip(var_cells, rewritten)):
+                if not rw:
+                    continue
+                ov = _deletion_gt_override(
+                    c, del_state[c], lut_rw[i], nm, non_ref, plan,
+                    gt_fd, pl_fd, gt_info, pl_q)
+                if ov is not None:
+                    gt_override[(b, int(s_var[i]))] = ov
+    # splice decision is plan-driven: records carrying a valid queried
+    # field the block path cannot realize go to the sequential engine
+    handled = plan.handled
     rec_hasother = np.zeros(B, dtype=bool)
     if rec_overflow:
         rec_hasother[rec_overflow] = True
@@ -494,19 +518,153 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     # layout -> splice those records (general ploidy stays host-side)
     if N and gt_fd is not None and qc.is_queried("GT"):
         glens = np.diff(gt_fd.offsets)
-        cell_gt_bad = (~gt_fd.valid) | (glens != ploidy)
+        cell_gt_bad = (~gt_fd.valid) | (glens != gt_w)
         rec_hasother |= (live_ok & cell_gt_bad[safe_cm]).any(axis=1)
     blk = CellBlock(col=col, end=end, pl=pl, pl_len=pl_len, ad=ad,
                     ad_len=ad_len, gt=gt, gq=gq, dp=dp, min_dp=min_dp,
-                    dp_info=dp_info, info_f=info_f, raw_mq=raw,
+                    dp_info=dp_info, info_f=info_f, info_i=info_i,
+                    info_fs=info_fs,
                     inv_bs=inv_bs, nr_bs=nr_bs, starts=starts,
-                    rec_num_merged=rec_num_merged,
+                    rec_num_merged=rec_num_merged, rec_has_nr=rec_has_nr,
                     live=live.astype(np.int32), del_rw=del_rw)
-    if return_meta:
-        meta = BlockRecordMeta(ends=rec_ends, refs=rec_refs,
-                               alts=rec_alts,
-                               is_ref_block_only=rec_refonly,
-                               has_deletion=rec_hasdel,
-                               needs_fallback=rec_hasother)
-        return blk, meta
-    return blk
+    if not return_meta:
+        return blk
+    # --- gathered extras + effective-validity masks for the writer ---
+    CORE_FMT = {"GT", "GQ", "AD", "PL", "MIN_DP", "DP_FORMAT", "DP"}
+    extras: Dict[str, ExtraField] = {}
+    eff_cache: Dict[str, np.ndarray] = {}
+
+    def eff_valid_bs(name):
+        ev = eff_cache.get(name)
+        if ev is None:
+            ev = effective_valid(store.fields.get(name), N)
+            eff_cache[name] = ev
+        if N == 0:
+            return np.zeros((B, S), dtype=bool)
+        return live_ok & ev[safe_cm]
+
+    def gather_vals(name, width, dtype=np.int32, fill=INT_MISSING):
+        mat, lens = ragged_matrix(name, width, dtype=dtype, fill=fill)
+        vals = np.where(live_ok[..., None], mat[s_grid, live_k], fill)
+        lens_bs = np.where(live_ok, lens[s_grid, live_k], 0)
+        return vals, lens_bs
+
+    for spec in plan.format_specs:
+        if spec.name in CORE_FMT:
+            continue
+        fd = store.fields.get(spec.name)
+        v_bs = eff_valid_bs(spec.name)
+        if spec.kind == "char" or fd is None:
+            extras[spec.name] = ExtraField(spec, None, v_bs)
+            continue
+        is_f = spec.kind == "float"
+        dtype = np.float32 if is_f else np.int32
+        fill = formats.FLOAT_MISSING if is_f else INT_MISSING
+        if spec.wkind in ("scalar", "fixed"):
+            vals, lens_bs = gather_vals(spec.name, spec.width, dtype, fill)
+        elif spec.wkind in ("A", "R"):
+            w_in = max_merged - (1 if spec.wkind == "A" else 0)
+            vals, lens_bs = gather_vals(spec.name, max(w_in, 1), dtype,
+                                        fill)
+            vals = remap_allele_np(vals, lens_bs, inv_bs, nr_bs,
+                                   rec_num_merged,
+                                   alt_only=spec.wkind == "A",
+                                   missing=fill)
+        elif spec.wkind == "VAR":
+            w = int(np.diff(fd.offsets).max()) if fd.kind == "ragged" \
+                and len(fd.offsets) > 1 else 1
+            vals, lens_bs = gather_vals(spec.name, max(w, 1), dtype, fill)
+        else:   # G-length non-PL: plan marks unsupported, never here
+            continue
+        extras[spec.name] = ExtraField(spec, vals, v_bs, lens_bs)
+    for spec in plan.info_specs:
+        if spec.source != "host":
+            continue
+        fd = store.fields.get(spec.name)
+        v_bs = eff_valid_bs(spec.name) & ~del_rw
+        if fd is None or spec.is_2d or fd.kind == "ragged2d":
+            extras[spec.name] = ExtraField(spec, None, v_bs)
+            continue
+        dtype = np.float32 if spec.is_float else np.int32
+        fill = formats.FLOAT_MISSING if spec.is_float else INT_MISSING
+        if fd.kind == "fixed":
+            w = fd.values.shape[1]
+        else:
+            w = int(np.diff(fd.offsets).max()) if len(fd.offsets) > 1 \
+                else 1
+        vals, lens_bs = gather_vals(spec.name, max(w, 1), dtype, fill)
+        if spec.length_code is not None and \
+                spec.length_code in (kf.VL_A, kf.VL_R):
+            vals = remap_allele_np(vals, lens_bs, inv_bs, nr_bs,
+                                   rec_num_merged,
+                                   alt_only=spec.length_code == kf.VL_A,
+                                   missing=fill)
+            lens_bs = np.where(
+                v_bs, rec_num_merged[:, None]
+                - (1 if spec.length_code == kf.VL_A else 0), 0)
+        extras[spec.name] = ExtraField(spec, vals, v_bs, lens_bs)
+    for parent, bin_f, cnt_f in plan.hist_specs:
+        for nm_h in (bin_f, cnt_f):
+            extras[nm_h] = ExtraField(None, None,
+                                      eff_valid_bs(nm_h) & ~del_rw)
+    valid_core = {name: eff_valid_bs(name)
+                  for name in CORE_FMT if name in store.fields}
+    meta = BlockRecordMeta(ends=rec_ends, refs=rec_refs,
+                           alts=rec_alts,
+                           is_ref_block_only=rec_refonly,
+                           has_deletion=rec_hasdel,
+                           needs_fallback=rec_hasother,
+                           plan=plan, extras=extras,
+                           cells_mat=cells_mat, valid_core=valid_core,
+                           gt_override=gt_override)
+    return blk, meta
+
+
+def _deletion_gt_override(ci, state, lut2_row, num_merged, non_ref,
+                          plan, gt_fd, pl_fd, gt_info, pl_q):
+    """Merged-space GT for a spanning-deletion-rewritten call under
+    produce_GT: min-PL genotype in the reduced [REF,*,NON_REF] space
+    when enabled and PL is valid, else the two-step GT remap — both then
+    mapped onto the merge (CombineOperator.handle_deletions)."""
+    if gt_fd is None or not gt_fd.valid[ci] or gt_info is None:
+        return None
+    new_alts, lut_row1, _inv1 = state
+    gt_vals = np.asarray(
+        gt_fd.values[gt_fd.offsets[ci]:gt_fd.offsets[ci + 1]]).copy()
+    ploidy_c = gt_info.length.ploidy(len(gt_vals))
+    if ploidy_c <= 0:
+        return None
+    n_red = len(new_alts) + 1
+    has_nr_cell = len(new_alts) == 2
+    done = False
+    if plan.produce_min_pl_gt and pl_q and pl_fd is not None             and pl_fd.valid[ci]:
+        pl_vals = pl_fd.values[pl_fd.offsets[ci]:pl_fd.offsets[ci + 1]]
+        pl_red = M.remap_by_genotype(np.asarray(pl_vals), lut_row1,
+                                     n_red, has_nr_cell, ploidy_c,
+                                     INT_MISSING)
+        combo = _min_pl_genotype(pl_red, n_red, ploidy_c)
+        if combo is not None:
+            step = 2 if plan.gt_phase else 1
+            for j, i in enumerate(range(0, len(gt_vals), step)):
+                gt_vals[i] = combo[j]
+            done = True
+    if not done:
+        gt_vals = M.remap_gt_field(gt_vals, lut_row1, n_red,
+                                   has_nr_cell, plan.gt_phase)
+    return M.remap_gt_field(gt_vals, np.asarray(lut2_row), num_merged,
+                            non_ref, plan.gt_phase)
+
+
+def _min_pl_genotype(pl, num_alleles, ploidy):
+    """Allele combination of the minimum valid PL value
+    (variant_field_handler.cc:373-494)."""
+    combos = M.genotype_combinations(num_alleles, ploidy)
+    best, best_val = None, 2**31 - 1
+    for gt_idx, combo in enumerate(combos):
+        if gt_idx >= len(pl):
+            continue
+        v = int(pl[gt_idx])
+        if formats.is_bcf_valid_int(v) and v < best_val:
+            best_val = v
+            best = list(combo)
+    return best

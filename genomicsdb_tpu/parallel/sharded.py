@@ -43,7 +43,8 @@ def make_mesh(n_pos: int, n_row: int, devices=None) -> Mesh:
     return Mesh(devices.reshape(n_pos, n_row), ("pos", "row"))
 
 
-def sharded_combine_step(mesh: Mesh, max_merged: int, ploidy: int):
+def sharded_combine_step(mesh: Mesh, max_merged: int, ploidy: int,
+                         gt_phase: bool = False):
     """Build the pjit-ed sharded combine step for a mesh.
 
     Records are sharded over "pos"; samples (cells) over "row".  Each
@@ -54,16 +55,18 @@ def sharded_combine_step(mesh: Mesh, max_merged: int, ploidy: int):
     """
 
     def step(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp, dp_info, info_f,
-             raw_mq, inv_bs, nr_bs, rec_num_merged, live, del_rw
-             ) -> Dict[str, jnp.ndarray]:
+             info_i, info_fs, inv_bs, nr_bs, rec_num_merged, rec_has_nr,
+             live, del_rw) -> Dict[str, jnp.ndarray]:
         g = gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
-                             dp_info, info_f, raw_mq, live, del_rw)
+                             dp_info, info_f, info_i, info_fs, live,
+                             del_rw)
         out = _combine_math(g["plg"], inv_bs, g["pllg"], nr_bs, g["adg"],
                             g["adlg"], g["gtg"], g["gqg"], g["dpfg"],
-                            g["mdpg"], g["dpig"], g["infog"], g["rmqg"],
-                            g["valid"], rec_num_merged,
+                            g["mdpg"], g["dpig"], g["infog"], g["infoig"],
+                            g["infofsg"], g["valid"], rec_num_merged,
+                            rec_has_nr,
                             max_merged=max_merged, ploidy=ploidy,
-                            axis_name="row")
+                            gt_phase=gt_phase, axis_name="row")
         out["live"] = live
         return out
 
@@ -74,7 +77,8 @@ def sharded_combine_step(mesh: Mesh, max_merged: int, ploidy: int):
         "pl": bsr, "ad": bsr, "gt": bsr,
         "gq": bs, "dp_format": bs, "min_dp": bs, "live": bs,
         "info_median": P(None, "pos"), "info_median_ok": P(None, "pos"),
-        "raw_mq_sum": P("pos"), "raw_mq_ok": P("pos"),
+        "info_imedian": P(None, "pos"), "info_imedian_ok": P(None, "pos"),
+        "info_fsum": P(None, "pos"), "info_fsum_ok": P(None, "pos"),
         "dp_info_sum": P("pos"),
     }
     try:
@@ -94,10 +98,12 @@ def _input_specs():
         cell_sc3, cell_sc,                 # ad, ad_len
         cell_sc3, cell_sc, cell_sc, cell_sc, cell_sc,  # gt,gq,dp,min_dp,dpi
         P(None, "row", None),              # info_f [F, S, C]
-        cell_sc,                           # raw_mq
+        P(None, "row", None),              # info_i [Fi, S, C]
+        P(None, "row", None),              # info_fs [Fs, S, C]
         P("pos", "row", None),             # inv_bs [B, S, M]
         P("pos", "row"),                   # nr_bs [B, S]
         P("pos"),                          # rec_num_merged [B]
+        P("pos"),                          # rec_has_nr [B]
         P("pos", "row"),                   # live [B, S]
         P("pos", "row"),                   # del_rw [B, S]
     )
@@ -132,7 +138,8 @@ def pad_block_for_mesh(blk: CellBlock, n_pos: int, n_row: int) -> CellBlock:
         out.min_dp = padS(blk.min_dp, INT_MISSING)
         out.dp_info = padS(blk.dp_info, INT_MISSING)
         out.info_f = padS(blk.info_f, np.nan, axis=1)
-        out.raw_mq = padS(blk.raw_mq, np.nan)
+        out.info_i = padS(blk.info_i, INT_MISSING, axis=1)
+        out.info_fs = padS(blk.info_fs, np.nan, axis=1)
         out.inv_bs = padS(blk.inv_bs, -1, axis=1)
         out.nr_bs = padS(blk.nr_bs, -1, axis=1)
         out.live = padS(blk.live, -1, axis=1)
@@ -144,6 +151,8 @@ def pad_block_for_mesh(blk: CellBlock, n_pos: int, n_row: int) -> CellBlock:
             return np.pad(x, pad_width, constant_values=fill)
         out.starts = padB(out.starts, np.iinfo(np.int64).max - 1)
         out.rec_num_merged = padB(out.rec_num_merged, 1)
+        if out.rec_has_nr is not None:
+            out.rec_has_nr = padB(out.rec_has_nr, True)
         out.inv_bs = padB(out.inv_bs, -1)
         out.nr_bs = padB(out.nr_bs, -1)
         out.live = padB(out.live, -1)

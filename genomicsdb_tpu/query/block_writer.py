@@ -2,22 +2,26 @@
 
 Renders VCF text records from device combine-step outputs instead of the
 sequential per-cell engine — SURVEY.md §7.5's "output edge fed by
-fixed-layout device output buffers".  Records containing deletions fall
-back to the sequential engine for the affected span (spanning-deletion
-rewrites are control-flow-heavy and rare); everything else renders from
-the batched arrays.
+fixed-layout device output buffers".  Field handling is vid/query-driven
+(query/block_fields.BlockPlan): the hot remaps and scalar INFO
+reductions come from the device step, the rare long-tail (element-wise
+sums, 2-D allele-specific fields, histograms, ID/QUAL combining, chars)
+is computed here from host-gathered arrays.  Records the plan cannot
+realize (allele overflow, non-diploid GT) splice maximal runs of the
+sequential engine.
 
-Byte-compatible with CombineToVCF for deletion-free cohorts
-(tests/test_block_writer.py cross-validates).
+Byte-compatible with CombineToVCF (tests/test_block_golden_matrix.py
+replays every combined-VCF golden through this writer).
 """
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
 from ..core import formats
+from ..core import known_fields as kf
 from ..core.config import QueryConfig
 from ..core.vid import VidMapper
 from ..ops.combine_step import block_to_args, combine_step
@@ -25,8 +29,10 @@ from ..ops.store_block import store_to_block
 from ..runtime import native_loader
 from ..store.columnar import ColumnarStore
 from ..vcf.fasta import ReferenceGenome
+from .vcf_writer import elem_sum_1d_core, elem_sum_2d_core, hist_sum_core
 
 INT_MISSING = formats.INT_MISSING
+INT_VECTOR_END = formats.INT_VECTOR_END
 LEGAL = {"A", "T", "G", "C"}
 
 
@@ -37,9 +43,23 @@ def jnp_backend_is_tpu() -> bool:
     except Exception:
         return False
 
-# default INFO median field order matches store_to_block's default
-INFO_FIELD_VCF_ORDER = ["BaseQRankSum", "ClippingRankSum", "MQRankSum",
-                        "ReadPosRankSum", "MQ", "MQ0"]
+
+def _valid_float_arr(v: np.ndarray) -> np.ndarray:
+    bits = np.asarray(v, dtype=np.float32).view(np.uint32)
+    return (bits != formats.FLOAT_MISSING_BITS) \
+        & (bits != formats.FLOAT_VECTOR_END_BITS)
+
+
+def _fmt_elem(x, is_float: bool) -> str:
+    if is_float:
+        b = int(np.float32(x).view(np.uint32))
+        if b in (formats.FLOAT_MISSING_BITS, formats.FLOAT_VECTOR_END_BITS):
+            return "."
+        return formats.format_float_vcf(x)
+    x = int(x)
+    if x in (INT_MISSING, INT_VECTOR_END):
+        return "."
+    return str(x)
 
 
 def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
@@ -49,19 +69,20 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                      max_merged: int = 4, ploidy: int = 2,
                      sequential_fn=None,
                      pad_records: Optional[int] = None,
-                     pad_cells_to: int = 1) -> List[str]:
+                     pad_cells_to: int = 1,
+                     filter_name_by_field_idx: Optional[Dict] = None
+                     ) -> List[str]:
     """Combined records for `interval` via the device pipeline.
 
     `sequential_fn(lo, hi) -> List[str]`: when given, maximal runs of
-    records whose live cells contain a deletion are rendered by the
-    sequential engine over [lo, hi] and spliced in (spanning-deletion
-    rewrites are control-flow-heavy and rare); without it, deletion
-    records render from the batched arrays (deletion-free semantics).
+    records the plan cannot realize are rendered by the sequential
+    engine over [lo, hi] and spliced in.
     """
     blk, meta = store_to_block(store, qc, interval=interval,
                                max_merged=max_merged, ploidy=ploidy,
                                return_meta=True, pad_records=pad_records,
                                pad_cells_to=pad_cells_to)
+    plan = meta.plan
     import os as _os
     if _os.environ.get("GENOMICSDB_TPU_DENSE") == "1":
         # PCIe-host configuration: live-cell gather on the host, device
@@ -72,52 +93,28 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
         out = combine_step_dense(
             g["plg"], g["invg"], g["pllg"], g["nrg"], g["adg"],
             g["adlg"], g["gtg"], g["gqg"], g["dpfg"], g["mdpg"],
-            g["dpig"], g["infog"], g["rmqg"], g["valid"],
-            blk.rec_num_merged, max_merged=max_merged, ploidy=ploidy)
+            g["dpig"], g["infog"], g["infoig"], g["infofsg"], g["valid"],
+            blk.rec_num_merged, blk.rec_has_nr,
+            max_merged=max_merged, ploidy=ploidy,
+            gt_phase=plan.gt_phase)
         live = np.asarray(blk.live)
     else:
         use_pallas = (_os.environ.get("GENOMICSDB_TPU_PALLAS") == "1"
                       and jnp_backend_is_tpu())
         out = combine_step(*block_to_args(blk), max_merged=max_merged,
-                           ploidy=ploidy, use_pallas=use_pallas)
+                           ploidy=ploidy, gt_phase=plan.gt_phase,
+                           use_pallas=use_pallas)
         live = np.asarray(out["live"])
-    pl = np.asarray(out["pl"])
-    ad = np.asarray(out["ad"])
-    gt = np.asarray(out["gt"])
-    gq = np.asarray(out["gq"])
-    dpf = np.asarray(out["dp_format"])
-    mindp = np.asarray(out["min_dp"])
-    med = np.asarray(out["info_median"])
-    med_ok = np.asarray(out["info_median_ok"])
-    rmq = np.asarray(out["raw_mq_sum"])
-    rmq_ok = np.asarray(out["raw_mq_ok"])
-    dpsum = np.asarray(out["dp_info_sum"])
+    dev = {k: np.asarray(v) for k, v in out.items()}
     B, S = live.shape
-    info_names = [f for f in INFO_FIELD_VCF_ORDER if f in store.fields]
-    info_is_float = {f: store.fields[f].dtype == "float32"
-                     for f in info_names}
-
-    def fmt_info(name, v):
-        if info_is_float.get(name, True):
-            return formats.format_float_vcf(v)
-        return str(int(v))
-    lines: List[str] = []
-    groups: dict = {}
-    order: list = []
+    live_ok = live >= 0
     starts = blk.starts
-    # vectorized per-record presence flags (a per-record np.any was ~40%
-    # of genome-scale render time)
-    any_live_v = (live >= 0).any(axis=1)
-    have_ad_v = (ad[:, :, 0] != INT_MISSING).any(axis=1)
-    have_pl_v = (pl[:, :, 0] != INT_MISSING).any(axis=1)
-    have_gq_v = (gq != INT_MISSING).any(axis=1)
-    have_mindp_v = (mindp != INT_MISSING).any(axis=1)
-    have_dp_v = (dpf != INT_MISSING).any(axis=1)
+    # ---------------- record plan: block vs splice runs ----------------
+    any_live_v = live_ok.any(axis=1)
     emitted = [b for b in np.nonzero(any_live_v)[0]]
-    # plan: ("block", order_idx) | ("seq", lo, hi) splice points
-    plan: list = []
+    plan_items: list = []
+    block_bs: list = []
     e = 0
-    block_bs = []
     while e < len(emitted):
         b = emitted[e]
         if sequential_fn is not None and meta.needs_fallback[b]:
@@ -126,13 +123,18 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                 j += 1
             hi = int(starts[emitted[j]]) - 1 if j < len(emitted) \
                 else int(interval[1])
-            plan.append(("seq", int(starts[b]), hi))
+            plan_items.append(("seq", int(starts[b]), hi))
             e = j
             continue
-        plan.append(("block", b))
+        plan_items.append(("block", b))
         block_bs.append(b)
         e += 1
-    # vectorized coordinate/contig resolution for the prefix loop
+    from ..core import profile
+    if profile.ENABLED:
+        profile.GLOBAL_STATS.bump("block_records", len(block_bs))
+        profile.GLOBAL_STATS.bump("spliced_records",
+                                  len(emitted) - len(block_bs))
+    # ---------------- coordinate/contig resolution ----------------
     starts_l = starts.tolist()
     ends_l = meta.ends.tolist()
     c_offsets = np.asarray(vid._contig_offsets, dtype=np.int64)
@@ -155,6 +157,44 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                 "(vid contig map does not cover this column)")
     c_idx_l = np.maximum(c_idx, 0).tolist()
     c_offs_l = c_offsets.tolist()
+    # ---------------- INFO machinery ----------------
+    host_info = _HostInfo(store, qc, vid, meta, blk, live, block_bs)
+    qual_txt = _qual_column(plan, dev, host_info, block_bs, B)
+    id_txt = _id_column(store, plan, meta, live_ok, block_bs, B) \
+        if plan.id_queried else None
+    filt_txt = _filter_column(store, qc, meta, live_ok, block_bs, B,
+                              filter_name_by_field_idx or {}) \
+        if plan.produce_filter else None
+    dpsum = dev["dp_info_sum"]
+    # ---------------- FORMAT presence flags ----------------
+    fmt_specs = _render_order(plan)
+    present: Dict[str, np.ndarray] = {}
+    vc = meta.valid_core or {}
+    for spec in fmt_specs:
+        nm = spec.name
+        if nm == "GT":
+            p = vc["GT"].any(axis=1) if "GT" in vc \
+                else np.zeros(B, dtype=bool)
+        elif nm == "GQ":
+            p = (dev["gq"] != INT_MISSING).any(axis=1)
+        elif nm == "MIN_DP":
+            p = (dev["min_dp"] != INT_MISSING).any(axis=1)
+        elif nm == "AD":
+            p = vc["AD"].any(axis=1) if "AD" in vc \
+                else np.zeros(B, dtype=bool)
+        elif nm == "PL":
+            p = vc["PL"].any(axis=1) if "PL" in vc \
+                else np.zeros(B, dtype=bool)
+        else:
+            ex = meta.extras.get(nm)
+            p = ex.valid.any(axis=1) if ex is not None \
+                else np.zeros(B, dtype=bool)
+        present[nm] = p
+    have_dp_col = (dev["dp_format"] != INT_MISSING).any(axis=1)
+    # ---------------- prefix assembly ----------------
+    lines: List[str] = []
+    groups: dict = {}
+    order: list = []
     for b in block_bs:
         start = starts_l[b]
         rec_end = ends_l[b]
@@ -171,69 +211,51 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
         info_parts = []
         if rec_end > start:
             info_parts.append(f"END={cpos + 1 + (rec_end - start)}")
-        if not meta.is_ref_block_only[b]:
-            # vid INFO order: RankSums, MQ, RAW_MQ(sum), MQ0
-            for fi, name in enumerate(info_names):
-                if name == "MQ0":
-                    continue
-                if med_ok[fi, b]:
-                    info_parts.append(
-                        f"{name}={fmt_info(name, med[fi, b])}")
-            if rmq_ok[b]:
-                info_parts.append(
-                    f"RAW_MQ={formats.format_float_vcf(rmq[b])}")
-            if "MQ0" in info_names:
-                fi = info_names.index("MQ0")
-                if med_ok[fi, b]:
-                    info_parts.append(
-                        f"MQ0={fmt_info('MQ0', med[fi, b])}")
+        for spec in plan.info_specs:
+            piece = host_info.render_spec(spec, b, dev)
+            if piece is not None:
+                info_parts.append(piece)
+        for parent, bin_f, cnt_f in plan.hist_specs:
+            piece = host_info.render_hist(parent, bin_f, cnt_f, b)
+            if piece is not None:
+                info_parts.append(piece)
         if dpsum[b] > 0 and not meta.is_ref_block_only[b]:
             info_parts.append(f"DP={int(dpsum[b])}")
-        # FORMAT assembly (GT first; only fields with any valid value)
-        fmt = ["GT"]
-        have_ad = bool(have_ad_v[b])
-        have_pl = bool(have_pl_v[b])
-        have_gq = bool(have_gq_v[b])
-        have_mindp = bool(have_mindp_v[b])
-        have_dp = bool(have_dp_v[b])
-        if have_gq:
-            fmt.append("GQ")
-        if have_ad:
-            fmt.append("AD")
-        if have_pl:
-            fmt.append("PL")
-        if have_mindp:
-            fmt.append("MIN_DP")
-        if have_dp:
-            fmt.append("DP")
-        prefix = "\t".join(
-            [contig, str(cpos + 1), ".", ref, alt_txt, ".", ".",
-             ";".join(info_parts) if info_parts else ".",
-             ":".join(fmt)])
-        sig = (have_gq, have_ad, have_pl, have_mindp, have_dp)
+        sig = tuple(bool(present[sp.name][b]) for sp in fmt_specs) \
+            + (bool(have_dp_col[b]),)
+        cols = [contig, str(cpos + 1),
+                id_txt[b] if id_txt is not None else ".",
+                ref, alt_txt,
+                qual_txt[b] if qual_txt is not None else ".",
+                filt_txt[b] if filt_txt is not None else ".",
+                ";".join(info_parts) if info_parts else "."]
+        if not plan.sites_only and S:
+            fmt_names = [sp.vcf_name for sp, pr in zip(fmt_specs, sig)
+                         if pr]
+            if sig[-1]:
+                fmt_names.append("DP")
+            cols.append(":".join(fmt_names) if fmt_names else ".")
+        prefix = "\t".join(cols)
         groups.setdefault(sig, []).append(len(order))
         order.append((b, prefix, sig))
-    # Batched sample-column rendering: per FORMAT signature group, render
-    # each field's [R, S] values as ragged text natively, join fields with
-    # ':' and samples with '\t' (runtime/native/vcf_kernels.cpp render
-    # kernels).  Falls back to a Python loop without the native lib.
+    # ---------------- sample columns ----------------
     rec_text: List[Optional[str]] = [None] * len(order)
-    if native_loader.get_lib() is None:
-        for oi, (b, _, sig) in enumerate(order):
-            rec_text[oi] = _render_samples_py(
-                sig, live[b], gt[b], gq[b], ad[b], pl[b], mindp[b],
-                dpf[b], int(blk.rec_num_merged[b]), ploidy)
-    else:
+    if not plan.sites_only and S:
+        renderer = _SampleRenderer(plan, fmt_specs, meta, blk, dev, live,
+                                   ploidy, store)
         for sig, ois in groups.items():
             bs = np.array([order[oi][0] for oi in ois])
-            texts = _render_samples_native(
-                sig, bs, live, gt, gq, ad, pl, mindp, dpf,
-                np.asarray(blk.rec_num_merged), ploidy)
+            texts = renderer.render_group(sig, bs)
             for oi, t in zip(ois, texts):
                 rec_text[oi] = t
-    block_lines = {order[oi][0]: order[oi][1] + "\t" + rec_text[oi]
-                   for oi in range(len(order))}
-    for item in plan:
+    block_lines = {}
+    for oi in range(len(order)):
+        b, prefix, sig = order[oi]
+        if plan.sites_only or not S:
+            block_lines[b] = prefix
+        else:
+            block_lines[b] = prefix + "\t" + rec_text[oi]
+    for item in plan_items:
         if item[0] == "block":
             lines.append(block_lines[item[1]])
         else:
@@ -241,8 +263,314 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
     return lines
 
 
-def _num_genotypes(nm: np.ndarray, ploidy: int) -> np.ndarray:
-    n_alt = nm - 1
+def _render_order(plan):
+    """Sequential writer's effective FORMAT order: GT first, then
+    format_fields order; DP_FORMAT/DP-INFO render as trailing DP."""
+    out = []
+    for sp in plan.format_specs:
+        if sp.kind == "gt":
+            out.insert(0, sp)
+        elif sp.name not in ("DP_FORMAT", "DP"):
+            out.append(sp)
+    return out
+
+
+def _qual_column(plan, dev, host_info, block_bs, B) -> Optional[List[str]]:
+    spec = plan.qual_spec
+    if spec is None:
+        return None
+    out = ["."] * B
+    for b in block_bs:
+        v = host_info.spec_value(spec, b, dev)
+        if v is not None:
+            out[b] = formats.format_float_vcf(v)
+    return out
+
+
+def _id_column(store, plan, meta, live_ok, block_bs, B) -> List[str]:
+    fd = store.fields.get("ID")
+    out = ["."] * B
+    if fd is None:
+        return out
+    cm = meta.cells_mat
+    for b in block_bs:
+        ids = set()
+        for s in np.nonzero(live_ok[b])[0]:
+            ci = int(cm[b, s])
+            if ci < 0 or not fd.valid[ci]:
+                continue
+            v = fd.cell_value(ci)
+            if v:
+                for tok in str(v).split(";"):
+                    if tok:
+                        ids.add(tok)
+        if ids:
+            out[b] = ";".join(sorted(ids))  # DEBUG-sorted (goldens)
+    return out
+
+
+def _filter_column(store, qc, meta, live_ok, block_bs, B,
+                   names: Dict) -> List[str]:
+    fd = store.fields.get("FILTER")
+    out = ["."] * B
+    if fd is None:
+        return out
+    cm = meta.cells_mat
+    for b in block_bs:
+        idx_set = set()
+        for s in np.nonzero(live_ok[b])[0]:
+            ci = int(cm[b, s])
+            if ci < 0 or not fd.valid[ci]:
+                continue
+            v = fd.cell_value(ci)
+            if v is not None and len(v) > 0:
+                for x in v:
+                    idx_set.add(int(x))
+        if idx_set:
+            got = [names[g] for g in sorted(idx_set) if g in names]
+            if got:
+                out[b] = ";".join(got)
+    return out
+
+
+class _HostInfo:
+    """Host-side INFO combine values (the long tail the device stacks do
+    not cover), in the sequential operator's accumulation order."""
+
+    def __init__(self, store, qc, vid, meta, blk, live, block_bs):
+        self.store = store
+        self.qc = qc
+        self.vid = vid
+        self.meta = meta
+        self.blk = blk
+        self.live_ok = live >= 0
+        self.block_set = set(int(b) for b in block_bs)
+        self._2d_cache: Dict = {}
+
+    def render_spec(self, spec, b, dev) -> Optional[str]:
+        v = self.spec_value(spec, b, dev)
+        if v is None:
+            return None
+        if isinstance(v, str):
+            return f"{spec.vcf_name}={v}"
+        if isinstance(v, list):
+            txt = ",".join(_fmt_elem(x, spec.is_float) for x in v)
+            return f"{spec.vcf_name}={txt}"
+        if spec.is_float:
+            return f"{spec.vcf_name}={formats.format_float_vcf(v)}"
+        return f"{spec.vcf_name}={int(v)}"
+
+    def spec_value(self, spec, b, dev):
+        if spec.source == "med":
+            return np.float32(dev["info_median"][spec.slot, b]) \
+                if dev["info_median_ok"][spec.slot, b] else None
+        if spec.source == "imed":
+            return int(dev["info_imedian"][spec.slot, b]) \
+                if dev["info_imedian_ok"][spec.slot, b] else None
+        if spec.source == "fsum":
+            return np.float32(dev["info_fsum"][spec.slot, b]) \
+                if dev["info_fsum_ok"][spec.slot, b] else None
+        return self._host_value(spec, b)
+
+    def _host_value(self, spec, b):
+        ex = self.meta.extras.get(spec.name)
+        if ex is None:
+            return None
+        if ex.vals is None:     # 2-D field
+            return self._value_2d(spec, b)
+        valid_s = ex.valid[b]
+        if not valid_s.any():
+            return None
+        is_f = spec.is_float
+        if spec.op in (kf.OP_SUM, kf.OP_MEAN, kf.OP_MEDIAN):
+            firsts = []
+            for s in np.nonzero(valid_s)[0]:
+                x = ex.vals[b, s, 0] if ex.vals.ndim == 3 \
+                    else ex.vals[b, s]
+                if is_f:
+                    if _valid_float_arr(np.asarray([x]))[0]:
+                        firsts.append(np.float32(x))
+                elif int(x) not in (INT_MISSING, INT_VECTOR_END):
+                    firsts.append(int(x))
+            if not firsts:
+                return None
+            if spec.op == kf.OP_MEDIAN:
+                arr = sorted(float(x) if is_f else int(x) for x in firsts)
+                return arr[len(arr) // 2]
+            if spec.op == kf.OP_SUM:
+                res = firsts[0]
+                for x in firsts[1:]:
+                    res = (np.float32(res) + np.float32(x)) if is_f \
+                        else res + x
+                return res
+            s_ = firsts[0]
+            for x in firsts[1:]:
+                s_ = (np.float32(s_) + np.float32(x)) if is_f else s_ + x
+            return (np.float32(s_) / np.float32(len(firsts))) if is_f \
+                else s_ // len(firsts)
+        if spec.op in (kf.OP_ELEMENT_WISE_SUM, kf.OP_CONCATENATE):
+            values = []
+            for s in np.nonzero(valid_s)[0]:
+                ln = int(ex.lens[b, s]) if ex.lens is not None \
+                    else ex.vals.shape[-1]
+                values.append(np.asarray(ex.vals[b, s, :ln]))
+            if spec.op == kf.OP_CONCATENATE:
+                if not values:
+                    return None
+                cat = np.concatenate(values)
+                return list(cat) if len(cat) else None
+            res = elem_sum_1d_core(values, is_f)
+            return res
+        return None
+
+    def _value_2d(self, spec, b):
+        fd = self.store.fields.get(spec.name)
+        if fd is None:
+            return None
+        values = self._gather_2d(spec.name, b)
+        if not values:
+            return None
+        info = self.qc.field_info(spec.name)
+        return elem_sum_2d_core(values, info)
+
+    def _gather_2d(self, name, b):
+        """Per-call 2-D values for record b, allele-remapped
+        (remap_allele_specific_annotations, variant_operations.cc:482)."""
+        fd = self.store.fields.get(name)
+        ex = self.meta.extras.get(name)
+        if fd is None or ex is None:
+            return []
+        info = self.qc.field_info(name)
+        cm = self.meta.cells_mat
+        nm = int(self.blk.rec_num_merged[b])
+        non_ref = bool(self.meta.alts[b]
+                       and self.meta.alts[b][-1].startswith("&"))
+        refonly = bool(self.meta.is_ref_block_only[b])
+        out = []
+        for s in np.nonzero(ex.valid[b])[0]:
+            ci = int(cm[b, s])
+            val = fd.cell_value(ci)
+            if val is None or len(val) == 0:
+                continue
+            if refonly or not info.length.is_allele_dependent():
+                out.append(val)
+                continue
+            # rebuild the input->merged LUT row from inv_bs
+            inv = self.blk.inv_bs[b, s]
+            lut_row = np.full(int(max((inv >= 0).sum(), len(val) + 1)),
+                              -1, dtype=np.int32)
+            for m_i, in_a in enumerate(inv):
+                if 0 <= in_a < len(lut_row):
+                    lut_row[in_a] = m_i
+            out.append(_remap_2d_vals(val, lut_row, nm, non_ref, info))
+        return out
+
+    def render_hist(self, parent, bin_f, cnt_f, b) -> Optional[str]:
+        exb = self.meta.extras.get(bin_f)
+        exc = self.meta.extras.get(cnt_f)
+        if exb is None or exc is None:
+            return None
+        # pair per valid call: both must be valid on the same call
+        both = np.nonzero(exb.valid[b] & exc.valid[b])[0]
+        if len(both) == 0:
+            return None
+        bvs = self._gather_2d_calls(bin_f, b, both)
+        cvs = self._gather_2d_calls(cnt_f, b, both)
+        bin_info = self.qc.field_info(bin_f)
+        cnt_info = self.qc.field_info(cnt_f)
+        res = hist_sum_core(list(zip(bvs, cvs)), bin_info, cnt_info)
+        if res is None:
+            return None
+        pinfo = self.vid.get_field_info(parent)
+        return f"{pinfo.vcf_name}={res}"
+
+    def _gather_2d_calls(self, name, b, s_list):
+        fd = self.store.fields.get(name)
+        info = self.qc.field_info(name)
+        cm = self.meta.cells_mat
+        nm = int(self.blk.rec_num_merged[b])
+        non_ref = bool(self.meta.alts[b]
+                       and self.meta.alts[b][-1].startswith("&"))
+        refonly = bool(self.meta.is_ref_block_only[b])
+        out = []
+        for s in s_list:
+            ci = int(cm[b, s])
+            val = fd.cell_value(ci)
+            if val is None:
+                val = []
+            if refonly or not info.length.is_allele_dependent():
+                out.append(val)
+                continue
+            inv = self.blk.inv_bs[b, s]
+            lut_row = np.full(int(max((inv >= 0).sum(), len(val) + 1)),
+                              -1, dtype=np.int32)
+            for m_i, in_a in enumerate(inv):
+                if 0 <= in_a < len(lut_row):
+                    lut_row[in_a] = m_i
+            out.append(_remap_2d_vals(val, lut_row, nm, non_ref, info))
+        return out
+
+
+def _remap_2d_vals(val, lut_row, num_merged, non_ref_exists, info):
+    """remap_allele_specific_annotations (variant_operations.cc:482-570):
+    dim-0 is A or R over alleles.  Mirrors CombineOperator._remap_2d."""
+    from ..ops import merge as M
+    code = info.length.dims[0][0]
+    alt_only = code == kf.VL_A
+    inv = M.inverse_lut(lut_row, num_merged)
+    input_nr = inv[num_merged - 1] if non_ref_exists else M.LUT_MISSING
+    length = num_merged - 1 if alt_only else num_merged
+    out = []
+    empty = np.zeros(0, dtype=val[0].dtype if len(val) else np.float32)
+    for j in range(length):
+        allele_j = j + 1 if alt_only else j
+        in_j = inv[allele_j] if allele_j < num_merged else M.LUT_MISSING
+        if in_j == M.LUT_MISSING:
+            if input_nr == M.LUT_MISSING:
+                out.append(empty)
+                continue
+            in_j = input_nr
+        idx = in_j - 1 if alt_only else in_j
+        if 0 <= idx < len(val):
+            out.append(np.asarray(val[idx]))
+        else:
+            out.append(empty)
+    return out
+
+
+# ---------------- sample-column rendering ----------------
+
+def _gt_text(vec, produce: bool, phase_in: bool) -> str:
+    """encode_GT_vector (broad_combined_gvcf.cc:90-140): phased GT is
+    stored interleaved [a0, ph1, a1, ...]; without produce_GT alleles
+    render '.' but phase separators survive."""
+    n = len(vec)
+    elems = []
+    if phase_in:
+        if n > 0:
+            elems.append((int(vec[0]), False))
+        k = 2
+        while k < n:
+            elems.append((int(vec[k]), int(vec[k - 1]) > 0))
+            k += 2
+    else:
+        for k in range(n):
+            elems.append((int(vec[k]), False))
+    txt = []
+    for i, (v, phased) in enumerate(elems):
+        if v == INT_VECTOR_END:
+            break
+        if produce and v not in (INT_MISSING, INT_VECTOR_END) and v >= 0:
+            allele = str(v)
+        else:
+            allele = "."
+        enc_phased = phased if phase_in else False
+        sep = ("|" if enc_phased else "/") if i > 0 else ""
+        txt.append(sep + allele)
+    return "".join(txt) if txt else "."
+
+def _num_genotypes(nm, ploidy: int):
+    n_alt = np.asarray(nm) - 1
     if ploidy == 2:
         return n_alt * (n_alt + 3) // 2 + 1
     return n_alt + 1
@@ -254,81 +582,237 @@ def _ragged_offsets(lengths: np.ndarray) -> np.ndarray:
     return out
 
 
-def _render_samples_native(sig, bs, live, gt, gq, ad, pl, mindp, dpf,
-                           rec_num_merged, ploidy) -> List[str]:
-    """Render sample columns for records `bs` (all sharing FORMAT `sig`)."""
-    have_gq, have_ad, have_pl, have_mindp, have_dp = sig
-    mask = live[bs] >= 0                      # [R, S]
-    R, S = mask.shape
-    columns = []
-    # GT: live -> './.' (ploidy '.'s), dead -> '.'
-    gt_len = np.where(mask, ploidy, 0)
-    gt_vals = np.full(int(gt_len.sum()), INT_MISSING, dtype=np.int32)
-    columns.append(native_loader.render_int_lists(
-        gt_vals, _ragged_offsets(gt_len), b"/"))
+def _py_to_col(strings: List[List[str]]):
+    """List-of-rows of per-sample strings -> (bytes, offsets) column."""
+    flat = [t for row in strings for t in row]
+    blob = "".join(flat).encode()
+    lens = np.array([len(t.encode()) for t in flat], dtype=np.int64)
+    return blob, _ragged_offsets(lens)
 
-    def scalar_col(arr):
+
+class _SampleRenderer:
+    """Renders per-record sample columns for one FORMAT signature group,
+    using the native text kernels for int columns and Python for the
+    rare float/char columns."""
+
+    def __init__(self, plan, fmt_specs, meta, blk, dev, live, ploidy,
+                 store):
+        self.plan = plan
+        self.fmt_specs = fmt_specs
+        self.meta = meta
+        self.blk = blk
+        self.dev = dev
+        self.live = live
+        self.ploidy = ploidy
+        self.store = store
+        self.native = native_loader.get_lib() is not None
+
+    def render_group(self, sig, bs) -> List[str]:
+        mask = self.live[bs] >= 0                  # [R, S]
+        R, S = mask.shape
+        columns = []
+        for spec, pres in zip(self.fmt_specs, sig[:-1]):
+            if not pres:
+                continue
+            columns.append(self._column(spec, bs, mask))
+        if sig[-1]:   # trailing DP
+            columns.append(self._scalar_col(self.dev["dp_format"], bs,
+                                            mask))
+        if not columns:
+            return ["\t".join("." for _ in range(S))] * R
+        if self.native:
+            entries, entry_offs = native_loader.join_columns(columns,
+                                                             b":")
+            recs, rec_offs = native_loader.join_rows(entries, entry_offs,
+                                                     S, b"\t")
+            return [recs[rec_offs[r]:rec_offs[r + 1]].decode("ascii")
+                    for r in range(R)]
+        # pure-Python join
+        texts = []
+        ncol = len(columns)
+        for r in range(R):
+            row = []
+            for s_i in range(S):
+                i = r * S + s_i
+                parts = []
+                for blob, offs in columns:
+                    parts.append(
+                        blob[offs[i]:offs[i + 1]].decode("ascii"))
+                row.append(":".join(parts))
+            texts.append("\t".join(row))
+        return texts
+
+    # ---- column builders: each returns (bytes, offsets[R*S+1]) ----
+
+    def _ints_col(self, vals, lens):
+        if self.native:
+            return native_loader.render_int_lists(
+                np.ascontiguousarray(vals, dtype=np.int32),
+                _ragged_offsets(lens), b",")
+        # python fallback
+        offs = _ragged_offsets(lens)
+        out = []
+        flat = np.asarray(vals).ravel()
+        for i in range(len(lens.ravel())):
+            seg = flat[offs[i]:offs[i + 1]]
+            out.append(",".join(_fmt_elem(x, False) for x in seg)
+                       if len(seg) else ".")
+        return _py_to_col([out])
+
+    def _scalar_col(self, arr, bs, mask):
         vals = np.where(mask, arr[bs], INT_MISSING).astype(np.int32)
-        lens = np.ones((R, S), dtype=np.int64)
-        return native_loader.render_int_lists(
-            vals.ravel(), _ragged_offsets(lens), b",")
+        lens = np.ones(mask.shape, dtype=np.int64)
+        return self._ints_col(vals.ravel(), lens)
 
-    if have_gq:
-        columns.append(scalar_col(gq))
-    if have_ad:
-        nm = rec_num_merged[bs]
-        valid = mask & (ad[bs, :, 0] != INT_MISSING)
-        sel = (np.arange(ad.shape[2]) < nm[:, None, None]) & valid[:, :, None]
-        columns.append(native_loader.render_int_lists(
-            ad[bs][sel].astype(np.int32),
-            _ragged_offsets(np.where(valid, nm[:, None], 0)), b","))
-    if have_pl:
-        ng = _num_genotypes(rec_num_merged[bs], ploidy)
-        valid = mask & (pl[bs, :, 0] != INT_MISSING)
-        sel = (np.arange(pl.shape[2]) < ng[:, None, None]) & valid[:, :, None]
-        columns.append(native_loader.render_int_lists(
-            pl[bs][sel].astype(np.int32),
-            _ragged_offsets(np.where(valid, ng[:, None], 0)), b","))
-    if have_mindp:
-        columns.append(scalar_col(mindp))
-    if have_dp:
-        columns.append(scalar_col(dpf))
-    entries, entry_offs = native_loader.join_columns(columns, b":")
-    recs, rec_offs = native_loader.join_rows(entries, entry_offs, S, b"\t")
-    return [recs[rec_offs[r]:rec_offs[r + 1]].decode("ascii")
-            for r in range(R)]
+    def _column(self, spec, bs, mask):
+        nm = spec.name
+        R, S = mask.shape
+        if spec.kind == "gt":
+            produce = self.plan.produce_gt
+            phase = self.plan.gt_phase
+            if not produce and not phase:
+                gt_len = np.where(mask, self.ploidy, 0)
+                gt_vals = np.full(int(gt_len.sum()), INT_MISSING,
+                                  dtype=np.int32)
+                if self.native:
+                    return native_loader.render_int_lists(
+                        gt_vals, _ragged_offsets(gt_len), b"/")
+                rows = []
+                for r in range(R):
+                    for s in range(S):
+                        rows.append(
+                            "/".join("." for _ in range(self.ploidy))
+                            if mask[r, s] else ".")
+                return _py_to_col([rows])
+            # phased and/or produce_GT: encode_GT_vector 4-way matrix
+            # (broad_combined_gvcf.cc:54-138) from the remapped GT
+            gtd = self.dev["gt"]
+            ov = self.meta.gt_override or {}
+            rows = []
+            for r, b in enumerate(bs):
+                for s in range(S):
+                    if not mask[r, s]:
+                        rows.append(".")
+                        continue
+                    vec = ov.get((int(b), s))
+                    if vec is None:
+                        vec = gtd[b, s]
+                    rows.append(_gt_text(vec, produce, phase))
+            return _py_to_col([rows])
+        if nm == "GQ":
+            return self._scalar_col(self.dev["gq"], bs, mask)
+        if nm == "MIN_DP":
+            return self._scalar_col(self.dev["min_dp"], bs, mask)
+        if nm == "AD":
+            nmm = self.blk.rec_num_merged[bs]
+            valid = mask & self.meta.valid_core["AD"][bs]
+            ad = self.dev["ad"]
+            sel = (np.arange(ad.shape[2]) < nmm[:, None, None]) \
+                & valid[:, :, None]
+            return self._ragged_ints(ad[bs][sel],
+                                     np.where(valid, nmm[:, None], 0),
+                                     mask)
+        if nm == "PL":
+            ng = _num_genotypes(self.blk.rec_num_merged[bs], self.ploidy)
+            valid = mask & self.meta.valid_core["PL"][bs]
+            pl = self.dev["pl"]
+            sel = (np.arange(pl.shape[2]) < ng[:, None, None]) \
+                & valid[:, :, None]
+            return self._ragged_ints(pl[bs][sel],
+                                     np.where(valid, ng[:, None], 0),
+                                     mask)
+        # ---- extras ----
+        ex = self.meta.extras[nm]
+        if spec.kind == "char":
+            return self._char_col(nm, ex, bs, mask)
+        if spec.kind == "float":
+            return self._float_col(spec, ex, bs, mask)
+        # int extras
+        valid = mask & ex.valid[bs]
+        if spec.wkind in ("scalar", "fixed"):
+            w = spec.width
+            sel_vals = ex.vals[bs][valid]
+            return self._ragged_ints(sel_vals.reshape(-1),
+                                     np.where(valid, w, 0), mask)
+        if spec.wkind in ("A", "R"):
+            off = 1 if spec.wkind == "A" else 0
+            wrec = self.blk.rec_num_merged[bs] - off
+            sel = (np.arange(ex.vals.shape[2]) < wrec[:, None, None]) \
+                & valid[:, :, None]
+            return self._ragged_ints(ex.vals[bs][sel],
+                                     np.where(valid, wrec[:, None], 0),
+                                     mask)
+        # VAR: per-sample own length
+        lens = np.where(valid, ex.lens[bs], 0)
+        sel = np.arange(ex.vals.shape[2])[None, None, :] \
+            < lens[:, :, None]
+        return self._ragged_ints(ex.vals[bs][sel], lens, mask)
 
+    def _ragged_ints(self, flat_vals, lens, mask):
+        """Rows with len>0 get their values; len==0 rows render '.'
+        (a single missing value), matching collect_and_extend's
+        missing-call encoding."""
+        lens = np.asarray(lens, dtype=np.int64)
+        zero = lens == 0
+        if zero.any():
+            # splice a single INT_MISSING into empty rows
+            out_lens = np.where(zero, 1, lens)
+            total = int(out_lens.sum())
+            vals = np.empty(total, dtype=np.int32)
+            offs = _ragged_offsets(out_lens)
+            pos = 0
+            src = 0
+            flat_vals = np.asarray(flat_vals, dtype=np.int32).ravel()
+            lens_f = lens.ravel()
+            zero_f = zero.ravel()
+            for i in range(len(lens_f)):
+                if zero_f[i]:
+                    vals[pos] = INT_MISSING
+                    pos += 1
+                else:
+                    n = int(lens_f[i])
+                    vals[pos:pos + n] = flat_vals[src:src + n]
+                    pos += n
+                    src += n
+            return self._ints_col(vals, out_lens)
+        return self._ints_col(flat_vals, lens)
 
-def _render_samples_py(sig, live_b, gt_b, gq_b, ad_b, pl_b, mindp_b,
-                       dpf_b, nm, ploidy) -> str:
-    """Pure-Python fallback, field-for-field identical to the native path."""
-    have_gq, have_ad, have_pl, have_mindp, have_dp = sig
-    n_fields = 1 + sum(sig)
-    n_gt_w = int(_num_genotypes(np.asarray(nm), ploidy))
-    out = []
-    for s in range(len(live_b)):
-        if live_b[s] < 0:
-            out.append(":".join("." for _ in range(n_fields)))
-            continue
-        parts = ["/".join("." for _ in range(len(gt_b[s])))]
-        if have_gq:
-            parts.append(str(int(gq_b[s]))
-                         if gq_b[s] != INT_MISSING else ".")
-        if have_ad:
-            vals = ad_b[s, :nm]
-            parts.append(",".join(
-                "." if v == INT_MISSING else str(int(v))
-                for v in vals) if vals[0] != INT_MISSING else ".")
-        if have_pl:
-            vals = pl_b[s, :n_gt_w]
-            parts.append(",".join(
-                "." if v == INT_MISSING else str(int(v))
-                for v in vals) if vals[0] != INT_MISSING else ".")
-        if have_mindp:
-            parts.append(str(int(mindp_b[s]))
-                         if mindp_b[s] != INT_MISSING else ".")
-        if have_dp:
-            parts.append(str(int(dpf_b[s]))
-                         if dpf_b[s] != INT_MISSING else ".")
-        out.append(":".join(parts))
-    return "\t".join(out)
+    def _char_col(self, nm, ex, bs, mask):
+        fd = self.store.fields.get(nm)
+        cm = self.meta.cells_mat
+        rows = []
+        for r, b in enumerate(bs):
+            for s in range(mask.shape[1]):
+                if not (mask[r, s] and ex.valid[b, s]):
+                    rows.append(".")
+                    continue
+                ci = int(cm[b, s])
+                v = fd.cell_value(ci)
+                rows.append(str(v) if v else ".")
+        return _py_to_col([rows])
+
+    def _float_col(self, spec, ex, bs, mask):
+        valid = mask & ex.valid[bs]
+        if spec.wkind in ("A", "R"):
+            off = 1 if spec.wkind == "A" else 0
+            wrec = self.blk.rec_num_merged[bs] - off
+        elif spec.wkind in ("scalar", "fixed"):
+            wrec = np.full(len(bs), spec.width)
+        else:
+            wrec = None
+        rows = []
+        for r in range(mask.shape[0]):
+            for s in range(mask.shape[1]):
+                if not valid[r, s]:
+                    rows.append(".")
+                    continue
+                if wrec is not None and np.ndim(wrec) == 1:
+                    w = int(wrec[r])
+                elif wrec is not None:
+                    w = int(wrec)
+                else:
+                    w = int(ex.lens[bs][r, s])
+                seg = ex.vals[bs][r, s, :w]
+                rows.append(",".join(_fmt_elem(x, True) for x in seg)
+                            if w else ".")
+        return _py_to_col([rows])

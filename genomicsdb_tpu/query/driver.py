@@ -94,20 +94,14 @@ def run_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
                         max_records_per_block: int = 65536) -> str:
     """--produce-Broad-GVCF via the batched device pipeline.
 
-    Deletion-free spans render from device combine outputs
-    (query/block_writer.py); runs of deletion-affected records splice in
-    the sequential engine.  Byte-identical to run_vcf_query."""
-    # modes the block writer does not render (GT encoding variants,
-    # sites-only, FILTER production): delegate wholly to the sequential
-    # engine rather than producing different bytes
-    if (qp.produce_GT_field or qp.sites_only_query
-            or qp.produce_FILTER_field):
-        return run_vcf_query(store, qc, qp, vid,
-                             template_path=template_path,
-                             reference_path=reference_path)
+    Field handling is vid-driven (query/block_fields.BlockPlan); records
+    the plan cannot realize splice maximal runs of the sequential
+    engine.  Byte-identical to run_vcf_query."""
     from .block_writer import render_block_vcf
     ref_genome = ReferenceGenome(reference_path) if reference_path else None
     sample_names = [vid.callset_name(r) for r in qc.rows_to_query]
+    filter_names = {info.field_idx: name
+                    for name, info in vid.fields.items()}
     out_lines: List[str] = []
     if template_path:
         template = load_template(template_path)
@@ -154,6 +148,7 @@ def run_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
             out_lines.extend(render_block_vcf(
                 store, qc, vid, civ, ref_genome=ref_genome,
                 max_merged=max_merged, sequential_fn=make_seq_fn(),
+                filter_name_by_field_idx=filter_names,
                 **pad_kw))
     if not out_lines:
         return ""

@@ -38,6 +38,121 @@ def _valid_float(v) -> bool:
     return b != formats.FLOAT_MISSING_BITS and b != formats.FLOAT_VECTOR_END_BITS
 
 
+def elem_sum_1d_core(values, is_float: bool):
+    """compute_valid_element_wise_sum (variant_field_handler.cc:620-668)
+    over per-call 1-D vectors, in call order."""
+    result: List = []
+    num_valid = 0
+    missing = formats.FLOAT_MISSING if is_float else INT_MISSING
+    for vec in values:
+        for i, x in enumerate(vec):
+            ok = _valid_float(x) if is_float else _valid_int(int(x))
+            if not ok:
+                continue
+            if i < num_valid and (
+                    _valid_float(result[i]) if is_float
+                    else _valid_int(int(result[i]))):
+                result[i] = (np.float32(result[i]) + np.float32(x)
+                             if is_float else int(result[i]) + int(x))
+            else:
+                while len(result) <= i:
+                    result.append(missing)
+                result[i] = x
+                if i >= num_valid:
+                    for j in range(num_valid, i):
+                        result[j] = missing
+                    num_valid = i + 1
+    if num_valid == 0:
+        return None
+    return result[:num_valid]
+
+
+def elem_sum_2d_core(values, info):
+    """compute_valid_element_wise_sum_2D_vector + stringify
+    (variant_field_handler.cc:670-760).  `values`: per-call lists of 1-D
+    arrays (dim-0 entries)."""
+    is_float = info.type == "float"
+    missing = formats.FLOAT_MISSING if is_float else INT_MISSING
+    result: List[List] = []
+    num_valid = 0
+    for val in values:  # val: list of 1-D arrays
+        for d0, vec in enumerate(val):
+            while len(result) <= d0:
+                result.append([])
+            row = result[d0]
+            for i, x in enumerate(vec):
+                ok = _valid_float(x) if is_float else _valid_int(int(x))
+                if not ok:
+                    continue
+                while len(row) <= i:
+                    row.append(missing)
+                if (_valid_float(row[i]) if is_float
+                        else _valid_int(int(row[i]))):
+                    row[i] = (np.float32(row[i]) + np.float32(x)
+                              if is_float else int(row[i]) + int(x))
+                else:
+                    row[i] = x
+                num_valid += 1
+    if num_valid == 0:
+        return None
+    d0_sep = info.length.delimiter(0)
+    d1_sep = info.length.delimiter(1)
+    parts = []
+    for row in result:
+        parts.append(d1_sep.join(
+            formats.format_float_fixed3(x) if is_float else str(int(x))
+            for x in row
+            if (_valid_float(x) if is_float else _valid_int(int(x)))))
+    return d0_sep.join(parts)
+
+
+def hist_sum_core(pairs, bin_info, cnt_info):
+    """compute_valid_histogram_sum_2D_vector_and_stringify
+    (broad_combined_gvcf.cc:432-521).  `pairs`: per-call (bins, counts)
+    lists of 1-D arrays."""
+    bin_float = bin_info.type == "float"
+    cnt_float = cnt_info.type == "float"
+    hist: List[dict] = []
+    found = False
+    for bv, cv in pairs:
+        if bv is None or cv is None:
+            continue
+        found = True
+        for d0 in range(len(bv)):
+            while len(hist) <= d0:
+                hist.append({})
+            bins = bv[d0]
+            cnts = cv[d0] if d0 < len(cv) else []
+            for b, c in zip(bins, cnts):
+                okb = _valid_float(b) if bin_float else _valid_int(int(b))
+                okc = _valid_float(c) if cnt_float else _valid_int(int(c))
+                if not (okb and okc):
+                    continue
+                key = float(np.float32(b)) if bin_float else int(b)
+                if key in hist[d0]:
+                    hist[d0][key] = (
+                        np.float32(hist[d0][key]) + np.float32(c)
+                        if cnt_float else hist[d0][key] + int(c))
+                else:
+                    hist[d0][key] = (np.float32(c) if cnt_float
+                                     else int(c))
+    if not found:
+        return None
+    d0_sep = bin_info.length.delimiter(0)
+    d1_sep = bin_info.length.delimiter(1)
+    parts = []
+    for m in hist:
+        sub = []
+        for key in sorted(m.keys()):
+            kstr = (formats.format_float_fixed3(key) if bin_float
+                    else str(int(key)))
+            cstr = (formats.format_float_fixed3(m[key]) if cnt_float
+                    else str(int(m[key])))
+            sub.append(kstr + d1_sep + cstr)
+        parts.append(d1_sep.join(sub))
+    return d0_sep.join(parts)
+
+
 class CombineToVCF(CombineOperator):
     """CombineOperator + VCF text rendering."""
 
@@ -113,69 +228,10 @@ class CombineToVCF(CombineOperator):
         return None
 
     def _elem_sum_1d(self, values, is_float: bool) -> Optional[str]:
-        """compute_valid_element_wise_sum
-        (variant_field_handler.cc:620-668)."""
-        result: List = []
-        num_valid = 0
-        missing = formats.FLOAT_MISSING if is_float else INT_MISSING
-        for vec in values:
-            for i, x in enumerate(vec):
-                ok = _valid_float(x) if is_float else _valid_int(int(x))
-                if not ok:
-                    continue
-                if i < num_valid and (
-                        _valid_float(result[i]) if is_float
-                        else _valid_int(int(result[i]))):
-                    result[i] = (np.float32(result[i]) + np.float32(x)
-                                 if is_float else int(result[i]) + int(x))
-                else:
-                    while len(result) <= i:
-                        result.append(missing)
-                    result[i] = x
-                    if i >= num_valid:
-                        for j in range(num_valid, i):
-                            result[j] = missing
-                        num_valid = i + 1
-        if num_valid == 0:
-            return None
-        return result[:num_valid]
+        return elem_sum_1d_core(values, is_float)
 
     def _elem_sum_2d(self, values, info) -> Optional[str]:
-        """compute_valid_element_wise_sum_2D_vector + stringify
-        (variant_field_handler.cc:670-760)."""
-        is_float = info.type == "float"
-        missing = formats.FLOAT_MISSING if is_float else INT_MISSING
-        result: List[List] = []
-        num_valid = 0
-        for val in values:  # val: list of 1-D arrays
-            for d0, vec in enumerate(val):
-                while len(result) <= d0:
-                    result.append([])
-                row = result[d0]
-                for i, x in enumerate(vec):
-                    ok = _valid_float(x) if is_float else _valid_int(int(x))
-                    if not ok:
-                        continue
-                    while len(row) <= i:
-                        row.append(missing)
-                    if (_valid_float(row[i]) if is_float
-                            else _valid_int(int(row[i]))):
-                        row[i] = (np.float32(row[i]) + np.float32(x)
-                                  if is_float else int(row[i]) + int(x))
-                    else:
-                        row[i] = x
-                    num_valid += 1
-        if num_valid == 0:
-            return None
-        d0_sep = info.length.delimiter(0)
-        d1_sep = info.length.delimiter(1)
-        parts = []
-        for row in result:
-            parts.append(d1_sep.join(
-                formats.format_float_fixed3(x) if is_float else str(int(x))
-                for x in row
-                if (_valid_float(x) if is_float else _valid_int(int(x)))))
-        return d0_sep.join(parts)
+        return elem_sum_2d_core(values, info)
 
     def _histogram_sum(self, bin_name: str, cnt_name: str, variant: Variant,
                        remapped, remapping_needed: bool) -> Optional[str]:
@@ -183,10 +239,7 @@ class CombineToVCF(CombineOperator):
         (broad_combined_gvcf.cc:432-521)."""
         bin_info = self.qc.field_info(bin_name)
         cnt_info = self.qc.field_info(cnt_name)
-        bin_float = bin_info.type == "float"
-        cnt_float = cnt_info.type == "float"
-        hist: List[dict] = []
-        found = False
+        pairs = []
         for qidx, call in variant.valid_calls():
             bv = self.field_src(call, bin_name, remapped, remapping_needed,
                                 qidx)
@@ -194,40 +247,8 @@ class CombineToVCF(CombineOperator):
                                 qidx)
             if bv is None or cv is None:
                 continue
-            found = True
-            for d0 in range(len(bv)):
-                while len(hist) <= d0:
-                    hist.append({})
-                bins = bv[d0]
-                cnts = cv[d0]
-                for b, c in zip(bins, cnts):
-                    okb = _valid_float(b) if bin_float else _valid_int(int(b))
-                    okc = _valid_float(c) if cnt_float else _valid_int(int(c))
-                    if not (okb and okc):
-                        continue
-                    key = float(np.float32(b)) if bin_float else int(b)
-                    if key in hist[d0]:
-                        hist[d0][key] = (
-                            np.float32(hist[d0][key]) + np.float32(c)
-                            if cnt_float else hist[d0][key] + int(c))
-                    else:
-                        hist[d0][key] = (np.float32(c) if cnt_float
-                                         else int(c))
-        if not found:
-            return None
-        d0_sep = bin_info.length.delimiter(0)
-        d1_sep = bin_info.length.delimiter(1)
-        parts = []
-        for m in hist:
-            sub = []
-            for key in sorted(m.keys()):
-                kstr = (formats.format_float_fixed3(key) if bin_float
-                        else str(int(key)))
-                cstr = (formats.format_float_fixed3(m[key]) if cnt_float
-                        else str(int(m[key])))
-                sub.append(kstr + d1_sep + cstr)
-            parts.append(d1_sep.join(sub))
-        return d0_sep.join(parts)
+            pairs.append((bv, cv))
+        return hist_sum_core(pairs, bin_info, cnt_info)
 
     def _render_element(self, x, is_float: bool) -> str:
         if is_float:

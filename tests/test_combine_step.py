@@ -103,10 +103,10 @@ def test_combine_step_dense_matches():
     out = combine_step_dense(
         g["plg"], g["invg"], g["pllg"], g["nrg"], g["adg"], g["adlg"],
         g["gtg"], g["gqg"], g["dpfg"], g["mdpg"], g["dpig"], g["infog"],
-        g["rmqg"], g["valid"], blk.rec_num_merged,
+        g["infoig"], g["infofsg"], g["valid"], blk.rec_num_merged,
         max_merged=4, ploidy=2)
     for key in ("pl", "ad", "gt", "dp_info_sum", "gq", "dp_format",
-                "min_dp", "raw_mq_sum", "info_median"):
+                "min_dp", "info_fsum", "info_imedian", "info_median"):
         a, b = np.asarray(ref[key]), np.asarray(out[key])
         if a.dtype.kind == "f":
             assert np.allclose(a, b, equal_nan=True), key

@@ -18,7 +18,8 @@ from genomicsdb_tpu.parallel.sharded import (make_mesh, pad_block_for_mesh,
                                              sharded_combine_step)
 
 ALL_KEYS = ("pl", "ad", "gt", "gq", "dp_format", "min_dp", "live",
-            "info_median", "info_median_ok", "raw_mq_sum", "raw_mq_ok",
+            "info_median", "info_median_ok", "info_imedian",
+            "info_imedian_ok", "info_fsum", "info_fsum_ok",
             "dp_info_sum")
 
 
@@ -28,7 +29,8 @@ def _assert_outputs_equal(ref, out, b_lim, s_lim):
         a = np.asarray(ref[key])
         b = np.asarray(out[key])
         # trim mesh padding back to the unpadded block shape
-        if key in ("info_median", "info_median_ok"):
+        if key in ("info_median", "info_median_ok", "info_imedian",
+                   "info_imedian_ok", "info_fsum", "info_fsum_ok"):
             b = b[:, :b_lim]
         elif b.ndim >= 1 and b.shape[0] >= b_lim:
             b = b[:b_lim]

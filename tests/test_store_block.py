@@ -45,8 +45,10 @@ def test_store_block_combine_matches_sequential():
     assert ad[b, 2, :4].tolist() == [40, 36, 0, 0]
     # INFO DP = 276 (golden)
     assert dp_sum[b] == 276
-    # median of MQ over valid calls = 31.72 (golden); MQ is info field 4
-    mq_med = med[4, b]
+    # median of MQ over valid calls = 31.72 (golden); slot via the plan
+    from genomicsdb_tpu.query.block_fields import build_block_plan
+    plan = build_block_plan(qc, vid)
+    mq_med = med[plan.med_fields.index("MQ"), b]
     assert abs(float(mq_med) - 31.72) < 1e-4
     # ref-block intervals: live rows match the sequential engine
     for start, v in seq.items():
