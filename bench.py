@@ -77,8 +77,10 @@ def bench_device(num_samples=128, cells_per_sample=2048, region_len=262144,
 
     def chksum(x):
         # int32 wraparound checksum (TPU-native width; int64 reductions
-        # go through emulation and have crashed the axon worker)
-        return jnp.sum(x.astype(jnp.int32))
+        # go through emulation and have crashed the axon worker).
+        # dtype must be explicit: under x64, jnp.sum promotes int32
+        # accumulation to int64 like NumPy.
+        return jnp.sum(x.astype(jnp.int32), dtype=jnp.int32)
 
     @jax.jit
     def run_all(inv_4d, nr_3d, recnm_2d, live_3d, *fixed_args):
@@ -107,6 +109,104 @@ def bench_device(num_samples=128, cells_per_sample=2048, region_len=262144,
         "records": nb,
         "samples": num_samples,
         "seconds": best,
+    }
+
+
+def bench_device_fused(num_samples=128, cells_per_sample=2048,
+                       region_len=262144, chunk=8192, reps=5,
+                       interpret=False):
+    """Fused Pallas path (ops/pallas_combine.py): windowed VMEM gather +
+    remap kernel + XLA reductions, one dispatch over all chunks."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from genomicsdb_tpu.ops.combine_step import (_reduce_math,
+                                                 synthesize_cohort)
+    from genomicsdb_tpu.ops import jax_kernels as K
+    from genomicsdb_tpu.ops import pallas_combine as PC
+    blk = synthesize_cohort(num_samples, cells_per_sample, region_len,
+                            seed=0)
+    S = blk.col.shape[0]
+    nb = len(blk.starts)
+    cfg = PC.FusedConfig(
+        g_in=blk.pl.shape[2],
+        g_out=len(K.genotype_combo_table(4, 2)),
+        a_in=blk.ad.shape[2], m=4, gt_w=blk.gt.shape[2],
+        f_med=blk.info_f.shape[0], f_imed=blk.info_i.shape[0],
+        f_fsum=blk.info_fs.shape[0], ploidy=2, gt_phase=False)
+    pay = PC.build_payload(blk, cfg)
+    C = pay.shape[2]
+    cpad = (-C) % cfg.cb + cfg.cb
+    pay = np.pad(pay, ((0, 0), (0, 0), (0, cpad)),
+                 constant_values=-2**31)
+    pad = (-nb) % chunk
+
+    def padB(x, fill):
+        return np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                      constant_values=fill)
+    live_p = padB(blk.live, -1)
+    inv_p = padB(blk.inv_bs, -1)
+    nr_p = padB(blk.nr_bs, -1)
+    recnm_p = padB(blk.rec_num_merged, 1)
+    n_chunks = len(recnm_p) // chunk
+    T = chunk // cfg.bt
+    w0b = np.zeros((n_chunks, T, S), np.int32)
+    for i in range(n_chunks):
+        w = PC.fused_window_plan(live_p[i * chunk:(i + 1) * chunk], cfg)
+        assert w is not None, "window premise failed on synthetic data"
+        w0b[i] = w
+    # per-chunk kernel-layout stacks
+    live_t = np.ascontiguousarray(
+        live_p.reshape(n_chunks, chunk, S).transpose(0, 2, 1)
+    ).astype(np.int32)[:, :, None]                 # [n, S, 1, chunk]
+    inv_t = np.ascontiguousarray(
+        inv_p.reshape(n_chunks, chunk, S, -1).transpose(0, 2, 3, 1)
+    ).astype(np.int32)                             # [n, S, M, chunk]
+    nr_t = np.ascontiguousarray(
+        nr_p.reshape(n_chunks, chunk, S).transpose(0, 2, 1)
+    ).astype(np.int32)[:, :, None]
+    recnm2 = recnm_p.reshape(n_chunks, 1, chunk).astype(np.int32)
+    recnr2 = np.ones((n_chunks, 1, chunk), np.int32)
+    del_rw = np.zeros((chunk, S), dtype=bool)
+    pay_d = jax.device_put(pay)
+    stacks = tuple(jax.device_put(x) for x in
+                   (w0b, live_t, inv_t, nr_t, recnm2, recnr2))
+    del_rw_d = jax.device_put(del_rw)
+    live_bs = jax.device_put(
+        live_p.reshape(n_chunks, chunk, S).astype(np.int32))
+
+    def chksum(x):
+        return jnp.sum(x.astype(jnp.int32), dtype=jnp.int32)
+
+    @jax.jit
+    def run_all(pay_d, del_rw_d, live_bs, *stacks):
+        def body(args):
+            w, lt, it, nt, rm, rn, lbs = args
+            out = PC.fused_gather_remap(pay_d, lt, it, nt, rm, rn, w,
+                                        cfg=cfg, interpret=interpret)
+            post = PC._fused_post(out, del_rw_d, lbs, cfg, chunk,
+                                  _reduce_math)
+            return (chksum(post["pl"]) + chksum(post["ad"])
+                    + chksum(post["dp_info_sum"]))
+        return jnp.sum(jax.lax.map(body, stacks + (live_bs,)))
+
+    chk = int(np.asarray(run_all(pay_d, del_rw_d, live_bs, *stacks)))
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        chk2 = int(np.asarray(run_all(pay_d, del_rw_d, live_bs,
+                                      *stacks)))
+        dt = time.perf_counter() - t0
+        assert chk2 == chk
+        best = dt if best is None else min(best, dt)
+    return {
+        "positions_per_sec": region_len / best,
+        "records_per_sec": nb / best,
+        "records": nb,
+        "samples": num_samples,
+        "seconds": best,
+        "checksum": chk,
     }
 
 
@@ -144,9 +244,10 @@ def bench_device_dense(num_samples=128, cells_per_sample=2048,
     @jax.jit
     def run(recnm_d, *args):
         out = fn(*args, recnm_d)
-        return (jnp.sum(out["pl"].astype(jnp.int32))
-                + jnp.sum(out["ad"].astype(jnp.int32))
-                + jnp.sum(out["dp_info_sum"].astype(jnp.int32)))
+        return (jnp.sum(out["pl"].astype(jnp.int32), dtype=jnp.int32)
+                + jnp.sum(out["ad"].astype(jnp.int32), dtype=jnp.int32)
+                + jnp.sum(out["dp_info_sum"].astype(jnp.int32),
+                          dtype=jnp.int32))
 
     chk = int(np.asarray(run(recnm_d, *dev)))
     best = None
@@ -439,11 +540,20 @@ def _bench_impl():
         os.environ["JAX_PLATFORMS"] = "cpu"
         platform_note = "tpu-unreachable-cpu-fallback"
     dev = bench_device()
+    import jax as _jax
+    if _jax.default_backend() in ("tpu", "axon"):
+        try:
+            fused = bench_device_fused()
+        except Exception as e:  # window premise / Mosaic regression
+            fused = {"error": str(e)[:200]}
+    else:
+        fused = {"skipped": "compiled pallas needs the TPU backend"}
     dense = bench_device_dense()
     oracle = bench_oracle()
     imp = bench_import()
     e2e = bench_cohort_end_to_end()
-    value = dev["positions_per_sec"]
+    value = max(dev["positions_per_sec"],
+                fused.get("positions_per_sec", 0))
     vs = value / oracle["positions_per_sec"]
     line = {
         "metric": "combine_positions_per_sec_per_chip",
@@ -453,6 +563,9 @@ def _bench_impl():
         "detail": {
             "device": {k: round(v, 2) if isinstance(v, float) else v
                        for k, v in dev.items()},
+            "device_fused_pallas": {
+                k: round(v, 2) if isinstance(v, float) else v
+                for k, v in fused.items()},
             "device_dense_pregathered": {
                 k: round(v, 2) if isinstance(v, float) else v
                 for k, v in dense.items()},

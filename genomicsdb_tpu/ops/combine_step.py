@@ -162,6 +162,16 @@ def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
     gt_out = gt_remap_unrolled(gtg, invg, rec_num_merged, rec_has_nr,
                                gt_phase)
 
+    out = _reduce_math(gqg, dpfg, mdpg, dpig, infog, infoig, infofsg,
+                       valid, axis_name=axis_name)
+    out.update({"pl": pl_out, "ad": ad_out, "gt": gt_out})
+    return out
+
+
+def _reduce_math(gqg, dpfg, mdpg, dpig, infog, infoig, infofsg, valid, *,
+                 axis_name: Optional[str] = None) -> Dict[str, jnp.ndarray]:
+    """Cross-sample INFO reductions over gathered [B, S] inputs (shared
+    by the XLA, fused-Pallas, and sharded paths)."""
     def full(x, axis):
         if axis_name is None:
             return x
@@ -189,7 +199,6 @@ def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
     dp_sum = K.dp_combine(dpi_f, dpf_f, mdp_f, dpi_f != INT_MISSING,
                           dpf_f != INT_MISSING, mdp_f != INT_MISSING)
     return {
-        "pl": pl_out, "ad": ad_out, "gt": gt_out,
         "info_median": med, "info_median_ok": med_ok,
         "info_imedian": imed, "info_imedian_ok": imed_ok,
         "info_fsum": fsum, "info_fsum_ok": fsum_ok,

@@ -1,0 +1,425 @@
+"""Fused Pallas TPU kernel: windowed live-cell gather + allele remaps.
+
+The combine's device cost on the gathered path is dominated by
+[B,S]-indexed gathers over [S,C] cell tensors — XLA lowers them onto the
+TPU scalar core (~70 ms of the 119 ms 8192x128 chunk,
+docs/performance.md).  This kernel exploits the sweep's structure:
+`live[b, s]` is NON-DECREASING in b (records advance through each
+sample's cells in order), so a tile of Bt consecutive records touches a
+narrow window of cells.  Per (record-tile, sample) grid instance it
+
+  1. DMAs the payload window [V, 2*Cb] (all per-cell fields, one int32
+     slab with floats bit-cast) HBM -> VMEM via two scalar-prefetched
+     block indices,
+  2. gathers rows with a LANE-axis take_along_axis (records ride the
+     128-lane axis; Mosaic lowers lane gathers onto the VPU),
+  3. runs the full PL/AD/GT remap math in VMEM ([X, Bt] layout,
+     jax_kernels semantics: variant_field_handler.cc:42-420), and
+  4. writes one stacked [Vout, Bt] output tile.
+
+Cross-sample INFO reductions stay in XLA (combine_step._reduce_math) —
+they read only the small gathered rows this kernel emits.
+
+The window premise is checked on the host (fused_window_plan): chunks
+where some tile advances more than Cb cells fall back to the XLA path.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+
+if sys.getrecursionlimit() < 100000:
+    sys.setrecursionlimit(100000)
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import formats
+from . import jax_kernels as K
+
+INT_MISSING = formats.INT_MISSING
+
+
+@dataclass(frozen=True)
+class FusedConfig:
+    """Static shape/layout configuration of the fused kernel."""
+    g_in: int          # PL input width
+    g_out: int         # PL output width (genotypes of max_merged)
+    a_in: int          # AD input width
+    m: int             # max_merged
+    gt_w: int          # stored GT width (2p-1 when phased)
+    f_med: int         # float-median INFO rows
+    f_imed: int        # int-median INFO rows
+    f_fsum: int        # float-sum INFO rows
+    ploidy: int
+    gt_phase: bool
+    # the Mosaic lane-gather operates within one 128-lane vreg and the
+    # lane dimension of a block must be a multiple of 128: the window is
+    # two 128-cell blocks gathered separately and select-merged
+    bt: int = 128      # records per tile (lane axis, <= 128)
+    cb: int = 128      # window block size (cells, multiple of 128)
+
+    # payload row ranges [start, stop)
+    @property
+    def rows(self) -> Dict[str, Tuple[int, int]]:
+        r, out = 0, {}
+        for name, w in (("pl", self.g_in), ("pl_len", 1),
+                        ("ad", self.a_in), ("ad_len", 1),
+                        ("gt", self.gt_w), ("gq", 1), ("dpf", 1),
+                        ("mdp", 1), ("dpi", 1), ("info_f", self.f_med),
+                        ("info_i", self.f_imed),
+                        ("info_fs", self.f_fsum)):
+            out[name] = (r, r + w)
+            r += w
+        out["__total__"] = (0, r)
+        return out
+
+    @property
+    def v(self) -> int:
+        return self.rows["__total__"][1]
+
+    @property
+    def out_rows(self) -> Dict[str, Tuple[int, int]]:
+        r, out = 0, {}
+        for name, w in (("pl", self.g_out), ("ad", self.m),
+                        ("gt", self.gt_w), ("gq", 1), ("dpf", 1),
+                        ("mdp", 1), ("dpi", 1), ("info_f", self.f_med),
+                        ("info_i", self.f_imed),
+                        ("info_fs", self.f_fsum)):
+            out[name] = (r, r + w)
+            r += w
+        out["__total__"] = (0, r)
+        return out
+
+    @property
+    def vout(self) -> int:
+        return self.out_rows["__total__"][1]
+
+
+def build_payload(blk, cfg: FusedConfig) -> np.ndarray:
+    """[S, V, C] int32 slab of every per-cell field (floats bit-cast)."""
+    S, C = blk.col.shape
+    pay = np.full((S, cfg.v, C), INT_MISSING, dtype=np.int32)
+    r = cfg.rows
+
+    def put(name, arr):
+        lo, hi = r[name]
+        pay[:, lo:hi, :] = arr
+
+    put("pl", np.moveaxis(blk.pl, -1, 1))
+    put("pl_len", blk.pl_len[:, None, :])
+    put("ad", np.moveaxis(blk.ad, -1, 1))
+    put("ad_len", blk.ad_len[:, None, :])
+    put("gt", np.moveaxis(blk.gt, -1, 1))
+    put("gq", blk.gq[:, None, :])
+    put("dpf", blk.dp[:, None, :])
+    put("mdp", blk.min_dp[:, None, :])
+    put("dpi", blk.dp_info[:, None, :])
+    if cfg.f_med:
+        put("info_f", np.moveaxis(blk.info_f, 0, 1).view(np.int32))
+    if cfg.f_imed:
+        put("info_i", np.moveaxis(blk.info_i, 0, 1))
+    if cfg.f_fsum:
+        put("info_fs", np.moveaxis(blk.info_fs, 0, 1).view(np.int32))
+    return pay
+
+
+def fused_window_plan(live: np.ndarray, cfg: FusedConfig):
+    """Per-(tile, sample) window block starts; None when some tile's
+    cell advance exceeds the window (fall back to the XLA gather)."""
+    B, S = live.shape
+    bt, cb = cfg.bt, cfg.cb
+    pad = (-B) % bt
+    lv = np.pad(live, ((0, pad), (0, 0)), constant_values=-1)
+    T = lv.shape[0] // bt
+    lt = lv.reshape(T, bt, S)
+    valid = lt >= 0
+    big = np.int64(1) << 40
+    w0 = np.where(valid, lt, big).min(axis=1)          # [T, S]
+    wmax = np.where(valid, lt, -1).max(axis=1)
+    w0 = np.where(w0 == big, 0, w0)
+    w0b = (w0 // cb).astype(np.int32)
+    if ((wmax - w0b.astype(np.int64) * cb) >= 2 * cb).any():
+        return None
+    return w0b
+
+
+def _make_kernel(cfg: FusedConfig):
+    r = cfg.rows
+    ro = cfg.out_rows
+    combos = K.genotype_combo_table(cfg.m, cfg.ploidy)     # [G_out, P]
+    G = combos.shape[0]
+    assert G == cfg.g_out
+    max_allele = np.max(combos, axis=-1)                   # [G_out]
+
+    def kernel(w0b_ref, live_ref, inv_ref, nr_ref, recnm_ref, recnr_ref,
+               winA_ref, winB_ref, out_ref):
+        t = pl.program_id(0)
+        s = pl.program_id(1)
+        base = w0b_ref[t, s] * jnp.int32(cfg.cb)
+        live = live_ref[0]                         # [1, Bt]
+        valid = live >= 0
+        rel = jnp.where(valid, live - base, 0)     # [1, Bt] in [0, 2Cb)
+        # one lane-gather per 128-cell window block (the Mosaic
+        # dynamic_gather works within a single 128-lane vreg), merged by
+        # which half the index falls in
+        relA = jnp.minimum(rel, jnp.int32(cfg.cb - 1))
+        relB = jnp.minimum(jnp.maximum(rel - jnp.int32(cfg.cb),
+                                       jnp.int32(0)),
+                           jnp.int32(cfg.cb - 1))
+        idxA = jnp.broadcast_to(relA, (cfg.v, cfg.bt))
+        idxB = jnp.broadcast_to(relB, (cfg.v, cfg.bt))
+        gA = jnp.take_along_axis(winA_ref[0], idxA, axis=-1)
+        gB = jnp.take_along_axis(winB_ref[0], idxB, axis=-1)
+        in_b = jnp.broadcast_to(rel >= jnp.int32(cfg.cb),
+                                (cfg.v, cfg.bt))
+        g = jnp.where(in_b, gB, gA)                # [V, Bt]
+        inv = inv_ref[0]                           # [M, Bt]
+        nr = nr_ref[0]                             # [1, Bt]
+        recnm = recnm_ref[:]                       # [1, Bt]
+        recnr = recnr_ref[:]                       # [1, Bt]
+        nr_merged = jnp.where(recnr != 0, recnm - 1, -1)   # [1, Bt]
+
+        def row(name, i=0):
+            lo, _ = r[name]
+            return g[lo + i:lo + i + 1]            # [1, Bt]
+
+        # ---- PL genotype remap (jax_kernels.remap_genotype_fields) ----
+        pll = row("pl_len")
+        slot_alleles = []
+        combo_missing = [None] * G       # int32 0/1 rows (Mosaic cannot
+        for p in range(cfg.ploidy):      # concatenate i1 vregs)
+            rows_a = []
+            for gi in range(G):
+                a = inv[combos[gi, p]:combos[gi, p] + 1]   # [1, Bt]
+                a = jnp.where(a == -1, jnp.where(nr >= 0, nr, -1), a)
+                rows_a.append(a)
+                miss = jnp.where(a == -1, jnp.int32(1), jnp.int32(0))
+                combo_missing[gi] = miss if combo_missing[gi] is None \
+                    else jnp.maximum(combo_missing[gi], miss)
+            slot_alleles.append(jnp.concatenate(rows_a, axis=0))  # [G, Bt]
+        cmiss = jnp.concatenate(combo_missing, axis=0) != 0  # [G, Bt]
+        slots = [jnp.maximum(a, 0) for a in slot_alleles]
+        slots = K._sorting_network(slots)
+        in_gt = jnp.zeros((G, cfg.bt), jnp.int32)
+        for i, a in enumerate(slots):
+            if i == 0:
+                term = a
+            elif i == 1:
+                term = (a + 1) * a // 2
+            elif i == 2:
+                term = (a + 2) * (a + 1) * a // 6
+            elif i == 3:
+                term = (a + 3) * (a + 2) * (a + 1) * a // 24
+            else:
+                raise NotImplementedError("ploidy > 4")
+            in_gt = in_gt + term
+        ok = (~cmiss) & (in_gt < pll)
+        # static per-genotype max allele: scalar compares, no captured
+        # array constants (Pallas kernels cannot close over tensors)
+        in_rec = jnp.concatenate(
+            [jnp.where(jnp.int32(int(max_allele[gi])) < recnm,
+                       jnp.int32(1), jnp.int32(0)) for gi in range(G)],
+            axis=0)
+        ok = ok & (in_rec != 0)
+        pl_lo = r["pl"][0]
+        gathered = jnp.full((G, cfg.bt), INT_MISSING, jnp.int32)
+        for k in range(cfg.g_in):
+            gathered = jnp.where(in_gt == jnp.int32(k),
+                                 g[pl_lo + k:pl_lo + k + 1], gathered)
+        pl_out = jnp.where(ok, gathered, INT_MISSING)
+
+        # ---- AD allele remap (remap_allele_fields, alt_only=False) ----
+        adl = row("ad_len")
+        in_allele = jnp.where(inv == -1,
+                              jnp.where(nr >= 0, nr, -1), inv)  # [M, Bt]
+        ok_a = (in_allele != -1) & (in_allele >= 0) & (in_allele < adl)
+        m_iota = jax.lax.broadcasted_iota(jnp.int32, (cfg.m, cfg.bt), 0)
+        ok_a = ok_a & (m_iota < recnm)
+        ad_lo = r["ad"][0]
+        g_ad = jnp.full((cfg.m, cfg.bt), INT_MISSING, jnp.int32)
+        for k in range(cfg.a_in):
+            g_ad = jnp.where(in_allele == jnp.int32(k),
+                             g[ad_lo + k:ad_lo + k + 1], g_ad)
+        ad_out = jnp.where(ok_a, g_ad, INT_MISSING)
+
+        # ---- GT remap (gt_remap_unrolled semantics) ----
+        gt_rows = []
+        for p in range(cfg.gt_w):
+            a = row("gt", p)
+            a = jnp.where(valid, a, INT_MISSING)
+            if cfg.gt_phase and p % 2 == 1:
+                gt_rows.append(a)
+                continue
+            merged = jnp.full((1, cfg.bt), -1, jnp.int32)
+            for mi in range(cfg.m):
+                merged = jnp.where(inv[mi:mi + 1] == a, mi, merged)
+            okg = (a >= 0) & (a != INT_MISSING)
+            gt_rows.append(jnp.where(
+                okg, jnp.where(merged >= 0, merged, nr_merged), a))
+        gt_out = jnp.concatenate(gt_rows, axis=0)
+
+        # ---- passthrough scalars + INFO rows (masked by validity;
+        # float rows use quiet-NaN bits so -0.0 stays a legal value) ----
+        NAN_BITS = jnp.int32(np.int32(np.float32(np.nan).view(np.int32)))
+
+        def masked(name, i=0, fl=False):
+            fill = NAN_BITS if fl else jnp.int32(INT_MISSING)
+            return jnp.where(valid, row(name, i), fill)
+
+        parts = [pl_out, ad_out, gt_out, masked("gq"), masked("dpf"),
+                 masked("mdp"), masked("dpi")]
+        for blkname, n, fl in (("info_f", cfg.f_med, True),
+                               ("info_i", cfg.f_imed, False),
+                               ("info_fs", cfg.f_fsum, True)):
+            for i in range(n):
+                parts.append(masked(blkname, i, fl))
+        out_ref[0] = jnp.concatenate(parts, axis=0)
+        _ = ro
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def fused_gather_remap(payload, live_t, inv_t, nr_t, recnm2, recnr2, w0b,
+                       *, cfg: FusedConfig, interpret: bool = False):
+    """payload [S, V, Cpad]; live_t/nr_t [S, 1, Bpad]; inv_t
+    [S, M, Bpad]; recnm2/recnr2 [1, Bpad]; w0b [T, S].
+    Returns [S, Vout, Bpad]."""
+    S = payload.shape[0]
+    Bpad = live_t.shape[2]
+    T = Bpad // cfg.bt
+    kernel = _make_kernel(cfg)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T, S),
+        in_specs=[
+            pl.BlockSpec((1, 1, cfg.bt), lambda t, s, w: (s, 0, t)),  # live
+            pl.BlockSpec((1, cfg.m, cfg.bt),
+                         lambda t, s, w: (s, 0, t)),                 # inv
+            pl.BlockSpec((1, 1, cfg.bt), lambda t, s, w: (s, 0, t)),  # nr
+            pl.BlockSpec((1, cfg.bt), lambda t, s, w: (0, t)),       # recnm
+            pl.BlockSpec((1, cfg.bt), lambda t, s, w: (0, t)),       # recnr
+            pl.BlockSpec((1, cfg.v, cfg.cb),
+                         lambda t, s, w: (s, 0, w[t, s])),           # winA
+            pl.BlockSpec((1, cfg.v, cfg.cb),
+                         lambda t, s, w: (s, 0, w[t, s] + 1)),       # winB
+        ],
+        out_specs=pl.BlockSpec((1, cfg.vout, cfg.bt),
+                               lambda t, s, w: (s, 0, t)),
+    )
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((S, cfg.vout, Bpad),
+                                           jnp.int32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(w0b, live_t, inv_t, nr_t, recnm2, recnr2, payload, payload)
+
+
+def combine_step_fused(blk, *, max_merged: int, ploidy: int,
+                       gt_phase: bool = False,
+                       interpret: bool = False):
+    """combine_step built on the fused kernel.  Returns the same output
+    dict, or None when the window premise fails for this block (caller
+    falls back to the XLA path)."""
+    from .combine_step import _reduce_math
+    live = np.asarray(blk.live)
+    B, S = live.shape
+    if S == 0 or B == 0:
+        return None
+    cfg = FusedConfig(
+        g_in=blk.pl.shape[2], g_out=len(K.genotype_combo_table(
+            max_merged, ploidy)), a_in=blk.ad.shape[2], m=max_merged,
+        gt_w=blk.gt.shape[2], f_med=blk.info_f.shape[0],
+        f_imed=blk.info_i.shape[0], f_fsum=blk.info_fs.shape[0],
+        ploidy=ploidy, gt_phase=gt_phase)
+    if ploidy > 4:
+        return None
+    w0b = fused_window_plan(live, cfg)
+    if w0b is None:
+        return None
+    # host-side layout prep (cheap transposes/pads, numpy)
+    pay = build_payload(blk, cfg)
+    C = pay.shape[2]
+    cpad = (-C) % cfg.cb + cfg.cb          # room for the +1 window block
+    pay = np.pad(pay, ((0, 0), (0, 0), (0, cpad)),
+                 constant_values=INT_MISSING)
+    bpad = (-B) % cfg.bt
+    del_rw = blk.del_rw if blk.del_rw is not None \
+        else np.zeros((B, S), dtype=bool)
+    has_nr = blk.rec_has_nr if blk.rec_has_nr is not None \
+        else np.ones(B, dtype=bool)
+
+    def padB(x, fill):
+        return np.pad(x, [(0, bpad)] + [(0, 0)] * (x.ndim - 1),
+                      constant_values=fill)
+
+    live_p = padB(live, -1)
+    live_t = np.ascontiguousarray(live_p.T).astype(np.int32)[:, None]
+    inv_t = np.ascontiguousarray(
+        np.moveaxis(padB(blk.inv_bs, -1), 0, 2)).astype(np.int32)
+    nr_t = np.ascontiguousarray(
+        padB(blk.nr_bs, -1).T).astype(np.int32)[:, None]
+    recnm2 = padB(blk.rec_num_merged, 1)[None].astype(np.int32)
+    recnr2 = padB(has_nr, True)[None].astype(np.int32)
+    out = fused_gather_remap(pay, live_t, inv_t, nr_t, recnm2, recnr2,
+                             w0b, cfg=cfg, interpret=interpret)
+    return _fused_post(out, padB(del_rw, False), live_p, cfg, B,
+                       _reduce_math)
+
+
+@partial(jax.jit, static_argnames=("cfg", "b_real", "reduce_fn"))
+def _fused_post(out, del_rw_p, live_p, cfg: FusedConfig, b_real: int,
+                reduce_fn):
+    """Split the stacked [S, Vout, Bpad] kernel output into the
+    combine_step dict and run the XLA reductions."""
+    ro = cfg.out_rows
+
+    def rows(name):
+        lo, hi = ro[name]
+        return out[:, lo:hi, :]
+
+    def to_bsx(x):                 # [S, W, Bp] -> [B, S, W]
+        return jnp.transpose(x, (2, 0, 1))[:b_real]
+
+    def to_bs(x):                  # [S, 1, Bp] -> [B, S]
+        return jnp.transpose(x[:, 0, :], (1, 0))[:b_real]
+
+    def to_fbs(x):                 # [S, F, Bp] -> [F, B, S]
+        return jnp.transpose(x, (1, 2, 0))[:, :b_real]
+
+    S_n = out.shape[0]
+    gq = to_bs(rows("gq"))
+    dpf = to_bs(rows("dpf"))
+    mdp = to_bs(rows("mdp"))
+    dpi = to_bs(rows("dpi"))
+    empty_f = jnp.zeros((0, b_real, S_n), jnp.float32)
+    infog = jax.lax.bitcast_convert_type(to_fbs(rows("info_f")),
+                                         jnp.float32) \
+        if cfg.f_med else empty_f
+    infoig = to_fbs(rows("info_i")) if cfg.f_imed else \
+        jnp.zeros((0, b_real, S_n), jnp.int32)
+    infofsg = jax.lax.bitcast_convert_type(to_fbs(rows("info_fs")),
+                                           jnp.float32) \
+        if cfg.f_fsum else empty_f
+    # del_rw invalidation for INFO rows
+    iok = ~del_rw_p[None, :b_real]                # [1, B, S]
+    infog = jnp.where(iok, infog, jnp.nan) if cfg.f_med else infog
+    infoig = jnp.where(iok, infoig, INT_MISSING) if cfg.f_imed else infoig
+    infofsg = jnp.where(iok, infofsg, jnp.nan) if cfg.f_fsum else infofsg
+    valid_b = (live_p >= 0)[:b_real]              # [B, S]
+    res = reduce_fn(gq, dpf, mdp, dpi, infog, infoig, infofsg, valid_b)
+    res["pl"] = to_bsx(rows("pl"))
+    res["ad"] = to_bsx(rows("ad"))
+    res["gt"] = to_bsx(rows("gt"))
+    res["live"] = jnp.asarray(live_p[:b_real], jnp.int32)
+    return res

@@ -99,11 +99,24 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
             gt_phase=plan.gt_phase)
         live = np.asarray(blk.live)
     else:
-        use_pallas = (_os.environ.get("GENOMICSDB_TPU_PALLAS") == "1"
-                      and jnp_backend_is_tpu())
-        out = combine_step(*block_to_args(blk), max_merged=max_merged,
-                           ploidy=ploidy, gt_phase=plan.gt_phase,
-                           use_pallas=use_pallas)
+        out = None
+        fused_flag = _os.environ.get("GENOMICSDB_TPU_FUSED")
+        use_fused = (fused_flag == "1"
+                     or (fused_flag != "0" and jnp_backend_is_tpu()))
+        if use_fused:
+            # fused Pallas path (windowed gather + remap in VMEM); falls
+            # back to XLA when the window premise fails for this block
+            from ..ops.pallas_combine import combine_step_fused
+            out = combine_step_fused(blk, max_merged=max_merged,
+                                     ploidy=ploidy,
+                                     gt_phase=plan.gt_phase,
+                                     interpret=not jnp_backend_is_tpu())
+        if out is None:
+            use_pallas = (_os.environ.get("GENOMICSDB_TPU_PALLAS") == "1"
+                          and jnp_backend_is_tpu())
+            out = combine_step(*block_to_args(blk), max_merged=max_merged,
+                               ploidy=ploidy, gt_phase=plan.gt_phase,
+                               use_pallas=use_pallas)
         live = np.asarray(out["live"])
     dev = {k: np.asarray(v) for k, v in out.items()}
     B, S = live.shape
