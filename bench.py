@@ -63,10 +63,12 @@ def bench_device(num_samples=128, cells_per_sample=2048, region_len=262144,
     live_3d = padB(blk.live, -1).reshape(n_chunks, chunk, S)
     inv_4d = padB(blk.inv_bs, -1).reshape(n_chunks, chunk, S, -1)
     nr_3d = padB(blk.nr_bs, -1).reshape(n_chunks, chunk, S)
+    recnr_2d = np.ones((n_chunks, chunk), dtype=bool)
     recnm_2d = jax.device_put(recnm_2d)
     live_3d = jax.device_put(live_3d)
     inv_4d = jax.device_put(inv_4d)
     nr_3d = jax.device_put(nr_3d)
+    recnr_2d = jax.device_put(recnr_2d)
 
     # one dispatch: lax.map over chunks (amortizes the axon tunnel's
     # dispatch latency).  The output reduces to ONE scalar fetched to the
@@ -83,23 +85,24 @@ def bench_device(num_samples=128, cells_per_sample=2048, region_len=262144,
         return jnp.sum(x.astype(jnp.int32), dtype=jnp.int32)
 
     @jax.jit
-    def run_all(inv_4d, nr_3d, recnm_2d, live_3d, *fixed_args):
+    def run_all(inv_4d, nr_3d, recnm_2d, recnr_2d, live_3d, *fixed_args):
         def body(srl):
-            out = fn(*fixed_args, srl[0], srl[1], srl[2], srl[3])
+            out = fn(*fixed_args, srl[0], srl[1], srl[2], srl[3], srl[4])
             # reduce inside the loop: per-chunk scalar, so the map never
             # materializes the full output across all chunks
             return (chksum(out["pl"]) + chksum(out["ad"])
                     + chksum(out["dp_info_sum"]))
         return jnp.sum(jax.lax.map(body, (inv_4d, nr_3d, recnm_2d,
-                                          live_3d)))
+                                          recnr_2d, live_3d)),
+                       dtype=jnp.int32)
 
-    chk = int(np.asarray(run_all(inv_4d, nr_3d, recnm_2d, live_3d,
-                                 *fixed)))
+    chk = int(np.asarray(run_all(inv_4d, nr_3d, recnm_2d, recnr_2d,
+                                 live_3d, *fixed)))
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        chk2 = int(np.asarray(run_all(inv_4d, nr_3d, recnm_2d, live_3d,
-                                      *fixed)))
+        chk2 = int(np.asarray(run_all(inv_4d, nr_3d, recnm_2d, recnr_2d,
+                                      live_3d, *fixed)))
         dt = time.perf_counter() - t0
         assert chk2 == chk
         best = dt if best is None else min(best, dt)
@@ -302,6 +305,66 @@ def bench_oracle(num_samples=128, cells_per_sample=32, region_len=4096):
     dt = time.perf_counter() - t0
     return {"positions_per_sec": region_len / dt, "records": n_rec,
             "seconds": dt}
+
+
+def bench_cpp_baseline(num_samples=128, cells_per_sample=2048,
+                       region_len=262144):
+    """C++-speed sequential combine on the SAME cohort as bench_device
+    (runtime/native/seq_bench.cpp): the reference's per-record per-call
+    hot loop at compiled speed.  This is the primary vs_baseline anchor;
+    the Python oracle stays as a secondary line."""
+    import ctypes
+
+    from genomicsdb_tpu.ops.combine_step import synthesize_cohort
+    from genomicsdb_tpu.runtime import native_loader
+    lib = native_loader.get_lib()
+    if lib is None:
+        return None
+    blk = synthesize_cohort(num_samples, cells_per_sample, region_len,
+                            seed=0)
+    i64 = ctypes.c_int64
+    fn = lib.gdb_seq_combine_bench
+    fn.restype = ctypes.c_int32
+    fn.argtypes = [np.ctypeslib.ndpointer(np.int64),
+                   np.ctypeslib.ndpointer(np.int64), i64, i64,
+                   np.ctypeslib.ndpointer(np.int32), i64,
+                   np.ctypeslib.ndpointer(np.int32),
+                   np.ctypeslib.ndpointer(np.int32), i64,
+                   np.ctypeslib.ndpointer(np.int32),
+                   np.ctypeslib.ndpointer(np.int32),
+                   np.ctypeslib.ndpointer(np.int32), i64,
+                   np.ctypeslib.ndpointer(np.int32),
+                   np.ctypeslib.ndpointer(np.int32),
+                   np.ctypeslib.ndpointer(np.int32),
+                   np.ctypeslib.ndpointer(np.int64),
+                   np.ctypeslib.ndpointer(np.int32), i64]
+    S, C = blk.col.shape
+    B = len(blk.starts)
+    args = (np.ascontiguousarray(blk.col),
+            np.ascontiguousarray(blk.end), S, C,
+            np.ascontiguousarray(blk.pl), blk.pl.shape[2],
+            np.ascontiguousarray(blk.pl_len),
+            np.ascontiguousarray(blk.ad), blk.ad.shape[2],
+            np.ascontiguousarray(blk.ad_len),
+            np.ascontiguousarray(blk.inv_bs),
+            np.ascontiguousarray(blk.nr_bs), blk.inv_bs.shape[2],
+            np.ascontiguousarray(blk.dp_info),
+            np.ascontiguousarray(blk.dp),
+            np.ascontiguousarray(blk.min_dp),
+            np.ascontiguousarray(blk.starts),
+            np.ascontiguousarray(blk.rec_num_merged), B)
+    chk = fn(*args)          # warm
+    t0 = time.perf_counter()
+    chk2 = fn(*args)
+    dt = time.perf_counter() - t0
+    assert chk2 == chk
+    return {
+        "positions_per_sec": region_len / dt,
+        "records_per_sec": B / dt,
+        "records": int(B),
+        "seconds": dt,
+        "checksum": int(chk),
+    }
 
 
 def bench_import(n_records=20000, n_samples=8, tmpdir="/tmp"):
@@ -550,11 +613,16 @@ def _bench_impl():
         fused = {"skipped": "compiled pallas needs the TPU backend"}
     dense = bench_device_dense()
     oracle = bench_oracle()
+    cpp = bench_cpp_baseline()
     imp = bench_import()
     e2e = bench_cohort_end_to_end()
     value = max(dev["positions_per_sec"],
                 fused.get("positions_per_sec", 0))
-    vs = value / oracle["positions_per_sec"]
+    # primary baseline: the C++-speed sequential engine on the same
+    # cohort (runtime/native/seq_bench.cpp); Python oracle is secondary
+    base = cpp["positions_per_sec"] if cpp else \
+        oracle["positions_per_sec"]
+    vs = value / base
     line = {
         "metric": "combine_positions_per_sec_per_chip",
         "value": round(value, 1),
@@ -571,6 +639,11 @@ def _bench_impl():
                 for k, v in dense.items()},
             "oracle_positions_per_sec":
                 round(oracle["positions_per_sec"], 1),
+            "cpp_sequential_baseline": {
+                k: round(v, 1) if isinstance(v, float) else v
+                for k, v in (cpp or {}).items()},
+            "vs_python_oracle":
+                round(value / oracle["positions_per_sec"], 2),
             "import": {k: round(v, 1) if isinstance(v, float) else v
                        for k, v in imp.items()},
             "cohort100_end_to_end": {

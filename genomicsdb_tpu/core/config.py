@@ -81,6 +81,7 @@ class QueryParams:
     max_diploid_alt_alleles_that_can_be_genotyped: int = 50  # gt_common.h:48
     vcf_output_format: str = ""
     vcf_output_filename: str = "-"
+    index_output_VCF: bool = False
     base_dir: str = ""
 
     @classmethod
@@ -124,6 +125,7 @@ class QueryParams:
             doc.get("max_diploid_alt_alleles_that_can_be_genotyped", 50))
         qp.vcf_output_format = doc.get("vcf_output_format", "")
         qp.vcf_output_filename = doc.get("vcf_output_filename", "-")
+        qp.index_output_VCF = bool(doc.get("index_output_VCF", False))
         return qp
 
     def resolve(self, path: str) -> str:

@@ -70,13 +70,17 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                      sequential_fn=None,
                      pad_records: Optional[int] = None,
                      pad_cells_to: int = 1,
-                     filter_name_by_field_idx: Optional[Dict] = None
-                     ) -> List[str]:
+                     filter_name_by_field_idx: Optional[Dict] = None,
+                     mesh=None) -> List[str]:
     """Combined records for `interval` via the device pipeline.
 
     `sequential_fn(lo, hi) -> List[str]`: when given, maximal runs of
     records the plan cannot realize are rendered by the sequential
     engine over [lo, hi] and spliced in.
+
+    `mesh`: a jax.sharding.Mesh with ("pos", "row") axes — the combine
+    runs sharded over the device mesh (parallel/sharded.py); outputs are
+    bit-identical to the single-device path.
     """
     blk, meta = store_to_block(store, qc, interval=interval,
                                max_merged=max_merged, ploidy=ploidy,
@@ -84,7 +88,29 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                                pad_cells_to=pad_cells_to)
     plan = meta.plan
     import os as _os
-    if _os.environ.get("GENOMICSDB_TPU_DENSE") == "1":
+    if mesh is not None:
+        from ..parallel.sharded import (pad_block_for_mesh, shard_block,
+                                        sharded_combine_step)
+        n_pos, n_row = mesh.devices.shape
+        pblk = pad_block_for_mesh(blk, n_pos, n_row)
+        args = shard_block(mesh, pblk)
+        step = sharded_combine_step(mesh, max_merged=max_merged,
+                                    ploidy=ploidy,
+                                    gt_phase=plan.gt_phase)
+        out_s = step(*args)
+        B0, S0 = blk.live.shape
+        out = {}
+        for k, v in out_s.items():
+            a = np.asarray(v)
+            if k in ("pl", "ad", "gt", "gq", "dp_format", "min_dp",
+                     "live"):
+                out[k] = a[:B0, :S0]
+            elif k.startswith("info_"):
+                out[k] = a[:, :B0]
+            else:
+                out[k] = a[:B0]
+        live = out["live"]
+    elif _os.environ.get("GENOMICSDB_TPU_DENSE") == "1":
         # PCIe-host configuration: live-cell gather on the host, device
         # runs only dense math (docs/performance.md; ~4x on-chip)
         from ..ops.combine_step import (combine_step_dense,

@@ -91,7 +91,8 @@ def run_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
                         template_path: Optional[str] = None,
                         reference_path: Optional[str] = None,
                         max_merged: int = 4,
-                        max_records_per_block: int = 65536) -> str:
+                        max_records_per_block: int = 65536,
+                        mesh=None) -> str:
     """--produce-Broad-GVCF via the batched device pipeline.
 
     Field handling is vid-driven (query/block_fields.BlockPlan); records
@@ -148,7 +149,7 @@ def run_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
             out_lines.extend(render_block_vcf(
                 store, qc, vid, civ, ref_genome=ref_genome,
                 max_merged=max_merged, sequential_fn=make_seq_fn(),
-                filter_name_by_field_idx=filter_names,
+                filter_name_by_field_idx=filter_names, mesh=mesh,
                 **pad_kw))
     if not out_lines:
         return ""

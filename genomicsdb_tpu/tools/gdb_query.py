@@ -118,6 +118,13 @@ def run_rank(args, rank: int) -> str:
             fn = qdriver.run_java_vcf_query
         elif args.engine == "block":
             fn = qdriver.run_vcf_query_block
+            if args.mesh:
+                n_pos, n_row = (int(x) for x in
+                                args.mesh.lower().split("x"))
+                from ..parallel.sharded import make_mesh
+                return fn(store, qc, qp, vid, template_path=tmpl,
+                          reference_path=refg,
+                          mesh=make_mesh(n_pos, n_row))
         else:
             fn = qdriver.run_vcf_query
         return fn(store, qc, qp, vid, template_path=tmpl,
@@ -170,6 +177,11 @@ def main(argv=None):
     p.add_argument("--end", type=int, default=None)
     p.add_argument("--java-vcf", dest="java_vcf", action="store_true",
                    help="htsjdk-style rendering for --produce-Broad-GVCF")
+    p.add_argument("--mesh", default=None, metavar="POSxROW",
+                   help="run the block-engine combine sharded over an "
+                        "n_pos x n_row device mesh (e.g. 4x2): position "
+                        "axis = column partitions, row axis = samples; "
+                        "outputs are bit-identical to single-device")
     p.add_argument("--engine", choices=["sequential", "block"],
                    default="sequential",
                    help="combined-VCF engine: 'block' renders "
@@ -207,7 +219,8 @@ def main(argv=None):
     if qp0.vcf_output_filename and qp0.vcf_output_filename != "-":
         from ..vcf.bgzf import open_output
         with open_output(qp0.resolve(qp0.vcf_output_filename),
-                         qp0.vcf_output_format) as f:
+                         qp0.vcf_output_format,
+                         index=qp0.index_output_VCF) as f:
             f.write(text)
     else:
         sys.stdout.write(text)

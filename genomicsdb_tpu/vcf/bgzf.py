@@ -45,18 +45,27 @@ def compress(data: bytes) -> bytes:
 
 
 class BGZFWriter:
-    """Streaming BGZF file writer."""
+    """Streaming BGZF file writer.  Tracks the compressed file offset so
+    wrappers can compute BGZF virtual offsets
+    ((file_offset << 16) | position_in_uncompressed_block)."""
 
     def __init__(self, path: str):
         self._f = open(path, "wb")
         self._buf = bytearray()
+        self._foff = 0
+
+    def file_offset(self) -> int:
+        """Compressed-file offset of the block currently buffering."""
+        return self._foff
 
     def write(self, data) -> int:
         if isinstance(data, str):
             data = data.encode()
         self._buf += data
         while len(self._buf) >= MAX_BLOCK:
-            self._f.write(_block(bytes(self._buf[:MAX_BLOCK])))
+            blk = _block(bytes(self._buf[:MAX_BLOCK]))
+            self._f.write(blk)
+            self._foff += len(blk)
             del self._buf[:MAX_BLOCK]
         return len(data)
 
@@ -64,9 +73,12 @@ class BGZFWriter:
         if self._f is None:
             return
         if self._buf:
-            self._f.write(_block(bytes(self._buf)))
+            blk = _block(bytes(self._buf))
+            self._f.write(blk)
+            self._foff += len(blk)
             self._buf.clear()
         self._f.write(BGZF_EOF)
+        self._foff += len(BGZF_EOF)
         self._f.close()
         self._f = None
 
@@ -176,13 +188,18 @@ class BCFFileWriter:
         self.close()
 
 
-def open_output(path: str, fmt: str = ""):
+def open_output(path: str, fmt: str = "", index: bool = False):
     """File object for VCF text output honoring the reference's
     vcf_output_format knob ("z"/"bgzf" or a .gz/.bgz filename -> BGZF
     text; "b"/"bcf" or a .bcf filename -> BGZF-framed BCF2.2 binary;
-    otherwise plain text)."""
+    otherwise plain text).  `index` emits a tabix .tbi alongside
+    compressed text output (index_output_VCF,
+    genomicsdb_config_base.h:90)."""
     if fmt in ("b", "bcf") or path.endswith(".bcf"):
         return BCFFileWriter(path)
     if fmt in ("z", "bgzf", "gz") or path.endswith((".gz", ".bgz")):
+        if index:
+            from .tabix import IndexedVCFWriter
+            return IndexedVCFWriter(path)
         return BGZFWriter(path)
     return open(path, "w")

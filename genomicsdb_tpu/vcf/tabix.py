@@ -1,0 +1,293 @@
+"""Tabix (.tbi) index emission + from-spec region reader.
+
+The reference's VCFAdapter can produce a TBI/CSI index alongside
+compressed VCF output (vcf_adapter.h:89-133, index_output_VCF knob in
+genomicsdb_config_base.h:90).  This module implements the tabix index
+from the htslib specification (tabix.pdf / htslib tbx.c):
+
+  * UCSC R-tree binning of records (reg2bin, 6 levels, 14-bit leaves)
+  * BGZF virtual file offsets (coffset << 16 | uoffset)
+  * the 16 kb linear index
+  * "TBI\\1" container, itself BGZF-compressed
+
+`IndexedVCFWriter` wraps the streaming BGZF writer and grows the index
+record by record; `TabixReader` is an independent from-spec reader used
+as the conformance oracle (no htslib/pysam in this environment) and as
+the random-access query path for .vcf.gz workspaces.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from typing import Dict, List, Optional, Tuple
+
+from .bgzf import BGZF_EOF, MAX_BLOCK, BGZFWriter, compress
+
+TBI_MAGIC = b"TBI\x01"
+FMT_VCF = 2
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """UCSC binning: smallest bin containing [beg, end), zero-based."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def reg2bins(beg: int, end: int) -> List[int]:
+    """All bins overlapping [beg, end), zero-based (htslib reg2bins)."""
+    out = [0]
+    end -= 1
+    for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585),
+                        (14, 4681)):
+        out.extend(range(base + (beg >> shift), base + (end >> shift) + 1))
+    return out
+
+
+class TabixIndex:
+    """Accumulates per-record placements; serializes the .tbi payload."""
+
+    def __init__(self):
+        self.names: List[str] = []
+        self.rid: Dict[str, int] = {}
+        # rid -> bin -> list of (voff_beg, voff_end)
+        self.bins: List[Dict[int, List[Tuple[int, int]]]] = []
+        self.linear: List[Dict[int, int]] = []
+
+    def add(self, contig: str, beg0: int, end0: int, voff_beg: int,
+            voff_end: int):
+        rid = self.rid.get(contig)
+        if rid is None:
+            rid = len(self.names)
+            self.rid[contig] = rid
+            self.names.append(contig)
+            self.bins.append({})
+            self.linear.append({})
+        b = reg2bin(beg0, end0 + 1)
+        chunks = self.bins[rid].setdefault(b, [])
+        if chunks and chunks[-1][1] == voff_beg:
+            chunks[-1] = (chunks[-1][0], voff_end)    # merge adjacent
+        else:
+            chunks.append((voff_beg, voff_end))
+        lin = self.linear[rid]
+        for w in range(beg0 >> 14, (end0 >> 14) + 1):
+            if w not in lin:
+                lin[w] = voff_beg
+    def serialize(self) -> bytes:
+        out = bytearray(TBI_MAGIC)
+        out += struct.pack("<i", len(self.names))
+        out += struct.pack("<6i", FMT_VCF, 1, 2, 0, ord("#"), 0)
+        names_blob = b"".join(n.encode() + b"\x00" for n in self.names)
+        out += struct.pack("<i", len(names_blob)) + names_blob
+        for rid in range(len(self.names)):
+            bins = self.bins[rid]
+            out += struct.pack("<i", len(bins))
+            for b in sorted(bins):
+                chunks = bins[b]
+                out += struct.pack("<Ii", b, len(chunks))
+                for cb, ce in chunks:
+                    out += struct.pack("<QQ", cb, ce)
+            lin = self.linear[rid]
+            n_intv = (max(lin) + 1) if lin else 0
+            out += struct.pack("<i", n_intv)
+            prev = 0
+            for w in range(n_intv):
+                prev = lin.get(w, prev)
+                out += struct.pack("<Q", prev)
+        return bytes(out)
+
+    def write(self, path: str):
+        with open(path, "wb") as f:
+            f.write(compress(self.serialize()))
+
+
+class IndexedVCFWriter:
+    """Streaming BGZF VCF text writer that emits `path`.tbi on close.
+
+    Tracks BGZF virtual offsets per record: voffset =
+    (compressed_block_start << 16) | offset_in_uncompressed_block."""
+
+    def __init__(self, path: str):
+        self._path = path
+        self._w = BGZFWriter(path)
+        self._idx = TabixIndex()
+        self._tail = ""
+
+    def _virtual_offset(self) -> int:
+        return (self._w.file_offset() << 16) | len(self._w._buf)
+
+    def write(self, data) -> int:
+        if isinstance(data, bytes):
+            data = data.decode()
+        n = len(data)
+        data = self._tail + data
+        lines = data.split("\n")
+        self._tail = lines.pop()
+        for ln in lines:
+            self._write_line(ln)
+        return n
+
+    def _write_line(self, ln: str):
+        if not ln:
+            return
+        voff = self._virtual_offset()
+        self._w.write(ln + "\n")
+        if ln.startswith("#"):
+            return
+        cols = ln.split("\t", 8)
+        contig, pos = cols[0], int(cols[1])
+        end = pos + len(cols[3]) - 1
+        if len(cols) > 7 and cols[7] != ".":
+            for kv in cols[7].split(";"):
+                if kv.startswith("END="):
+                    end = int(kv[4:])
+                    break
+        self._idx.add(contig, pos - 1, end - 1, voff,
+                      self._virtual_offset())
+
+    def close(self):
+        if self._path is None:
+            return
+        if self._tail:
+            self._write_line(self._tail)
+            self._tail = ""
+        self._w.close()
+        self._idx.write(self._path + ".tbi")
+        self._path = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# ---------------------------------------------------------------------------
+# From-spec reader (conformance oracle + random-access query path)
+# ---------------------------------------------------------------------------
+
+def _bgzf_block_at(f, coffset: int) -> Tuple[bytes, int]:
+    """Decompress the BGZF member starting at `coffset`; returns
+    (payload, compressed_size)."""
+    f.seek(coffset)
+    header = f.read(18)
+    if len(header) < 18:
+        return b"", 0
+    bsize = struct.unpack_from("<H", header, 16)[0] + 1
+    f.seek(coffset)
+    member = f.read(bsize)
+    import zlib
+    payload = zlib.decompress(member[18:-8], -15)
+    return payload, bsize
+
+
+class TabixReader:
+    """Minimal from-spec .tbi + .vcf.gz region reader."""
+
+    def __init__(self, path: str):
+        self.path = path
+        raw = gzip.decompress(open(path + ".tbi", "rb").read())
+        assert raw[:4] == TBI_MAGIC, "not a TBI index"
+        o = 4
+        n_ref, fmt, col_seq, col_beg, col_end, meta, skip = \
+            struct.unpack_from("<7i", raw, o)
+        o += 28
+        (l_nm,) = struct.unpack_from("<i", raw, o)
+        o += 4
+        names = raw[o:o + l_nm].split(b"\x00")[:-1]
+        o += l_nm
+        self.names = [n.decode() for n in names]
+        self.rid = {n: i for i, n in enumerate(self.names)}
+        self.bins: List[Dict[int, List[Tuple[int, int]]]] = []
+        self.linear: List[List[int]] = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", raw, o)
+            o += 4
+            bd: Dict[int, List[Tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                b, n_chunk = struct.unpack_from("<Ii", raw, o)
+                o += 8
+                cl = []
+                for _ in range(n_chunk):
+                    cb, ce = struct.unpack_from("<QQ", raw, o)
+                    o += 16
+                    cl.append((cb, ce))
+                bd[b] = cl
+            (n_intv,) = struct.unpack_from("<i", raw, o)
+            o += 4
+            lin = list(struct.unpack_from(f"<{n_intv}Q", raw, o))
+            o += 8 * n_intv
+            self.bins.append(bd)
+            self.linear.append(lin)
+
+    def query(self, contig: str, beg1: int, end1: int) -> List[str]:
+        """Records overlapping [beg1, end1] (1-based inclusive)."""
+        rid = self.rid.get(contig)
+        if rid is None:
+            return []
+        beg0, end0 = beg1 - 1, end1
+        chunks = []
+        for b in reg2bins(beg0, end0):
+            chunks.extend(self.bins[rid].get(b, []))
+        if not chunks:
+            return []
+        # linear-index lower bound prunes chunks entirely before beg
+        lin = self.linear[rid]
+        min_off = lin[min(beg0 >> 14, len(lin) - 1)] if lin else 0
+        chunks = sorted((cb, ce) for cb, ce in chunks if ce > min_off)
+        out = []
+        with open(self.path, "rb") as f:
+            for cb, ce in chunks:
+                for ln in self._lines_between(f, max(cb, min_off), ce):
+                    cols = ln.split("\t", 8)
+                    if cols[0] != contig:
+                        continue
+                    pos = int(cols[1])
+                    rec_end = pos + len(cols[3]) - 1
+                    if len(cols) > 7:
+                        for kv in cols[7].split(";"):
+                            if kv.startswith("END="):
+                                rec_end = int(kv[4:])
+                                break
+                    if pos <= end1 and rec_end >= beg1:
+                        out.append(ln)
+        # chunks may overlap: dedupe, keep file order
+        seen = set()
+        uniq = []
+        for ln in out:
+            if ln not in seen:
+                seen.add(ln)
+                uniq.append(ln)
+        return uniq
+
+    def _lines_between(self, f, voff_beg: int, voff_end: int):
+        coff, uoff = voff_beg >> 16, voff_beg & 0xFFFF
+        text = bytearray()
+        while True:
+            payload, csize = _bgzf_block_at(f, coff)
+            if not payload and csize == 0:
+                break
+            if coff == voff_beg >> 16:
+                at_end = coff == (voff_end >> 16)
+                hi = (voff_end & 0xFFFF) if at_end else len(payload)
+                text += payload[uoff:hi]
+            else:
+                at_end = coff == (voff_end >> 16)
+                hi = (voff_end & 0xFFFF) if at_end else len(payload)
+                text += payload[:hi]
+            if coff >= (voff_end >> 16):
+                break
+            coff += csize
+        for ln in bytes(text).decode().split("\n"):
+            if ln:
+                yield ln

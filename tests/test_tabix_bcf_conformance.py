@@ -1,0 +1,179 @@
+"""Output-edge conformance: tabix (.tbi) index emission + from-spec
+random-access reads, and bit-level BCF2.2 checks written from the
+htslib vcf.h / tabix specifications (NOT from the encoder — the round-1
+BCF tests only self-round-tripped)."""
+
+import gzip
+import os
+import struct
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+from golden_utils import (REF_TESTS, VCF_ATTRIBUTES_ORDER, load_setup,
+                          make_query_params)
+
+from genomicsdb_tpu.query import driver
+from genomicsdb_tpu.vcf import bcf
+from genomicsdb_tpu.vcf.tabix import (IndexedVCFWriter, TabixReader,
+                                      reg2bin, reg2bins)
+
+
+def _combined_vcf():
+    vid, store = load_setup("inputs/callsets/t0_1_2.json")
+    qp = make_query_params(VCF_ATTRIBUTES_ORDER, [(0, 1000000000)])
+    qc = driver.make_query_config(qp, vid)
+    return driver.run_vcf_query(
+        store, qc, qp, vid,
+        template_path=os.path.join(REF_TESTS,
+                                   "inputs/template_vcf_header.vcf"),
+        reference_path=os.path.join(REF_TESTS,
+                                    "inputs/chr1_10MB.fasta.gz"))
+
+
+class TestTabix:
+    def test_binning_matches_spec(self):
+        # values computed by hand from the tabix paper's reg2bin
+        assert reg2bin(0, 1) == 4681
+        assert reg2bin(0, 1 << 14) == 4681
+        assert reg2bin(0, (1 << 14) + 1) == 585
+        assert reg2bin(1 << 14, (1 << 14) + 5) == 4682
+        assert reg2bin(0, 1 << 29) == 0
+        assert 4681 in reg2bins(0, 100)
+        assert 0 in reg2bins(0, 100)
+
+    def test_index_emission_and_query(self, tmp_path):
+        text = _combined_vcf()
+        p = str(tmp_path / "out.vcf.gz")
+        with IndexedVCFWriter(p) as w:
+            # awkward chunk boundaries
+            for i in range(0, len(text), 997):
+                w.write(text[i:i + 997])
+        assert os.path.exists(p + ".tbi")
+        # .tbi is valid BGZF (gzip-decompressible) with the TBI magic
+        raw = gzip.decompress(open(p + ".tbi", "rb").read())
+        assert raw[:4] == b"TBI\x01"
+        n_ref, fmt = struct.unpack_from("<2i", raw, 4)
+        assert fmt == 2 and n_ref >= 1
+        # whole file round-trips through gzip
+        body = gzip.decompress(open(p, "rb").read()).decode()
+        assert body == text
+        # region queries through the index match a linear scan
+        rdr = TabixReader(p)
+        records = [ln for ln in text.splitlines()
+                   if ln and not ln.startswith("#")]
+
+        def scan(contig, b1, e1):
+            out = []
+            for ln in records:
+                cols = ln.split("\t", 8)
+                if cols[0] != contig:
+                    continue
+                pos = int(cols[1])
+                end = pos + len(cols[3]) - 1
+                for kv in cols[7].split(";"):
+                    if kv.startswith("END="):
+                        end = int(kv[4:])
+                out.append((pos, end, ln))
+            return [ln for pos, end, ln in out
+                    if pos <= e1 and end >= b1]
+
+        for (b1, e1) in [(1, 10_000_000), (12141, 12141),
+                         (17385, 17385), (12100, 12300),
+                         (1, 100), (8029500, 8029510)]:
+            got = rdr.query("1", b1, e1)
+            want = scan("1", b1, e1)
+            assert got == want, (b1, e1)
+
+    def test_multiblock_offsets(self, tmp_path):
+        # >64KB of records: virtual offsets must cross BGZF blocks
+        lines = ["##fileformat=VCFv4.1",
+                 "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"]
+        for i in range(3000):
+            lines.append(f"1\t{i * 50 + 1}\t.\tA\tT\t.\t.\t"
+                         f"END={i * 50 + 40};X={'y' * 40}")
+        text = "\n".join(lines) + "\n"
+        p = str(tmp_path / "big.vcf.gz")
+        with IndexedVCFWriter(p) as w:
+            w.write(text)
+        rdr = TabixReader(p)
+        got = rdr.query("1", 100_001, 100_001)
+        assert len(got) == 1 and got[0].startswith("1\t100001\t")
+        got = rdr.query("1", 1, 150_000)
+        assert len(got) == 3000
+
+
+class TestBCFSpecBits:
+    """Bit-level assertions from the BCF2.2 spec (htslib vcf.h/vcf.c),
+    independent of the encoder implementation."""
+
+    def test_typed_descriptor_layout(self):
+        # 3 int8 values: descriptor byte = (3 << 4) | 1
+        blob = bcf._typed_int_vec([1, 2, 3])
+        assert blob[0] == (3 << 4) | 1
+        assert blob[1:] == b"\x01\x02\x03"
+
+    def test_missing_and_eov_sentinels(self):
+        INT32_MISSING = -(2**31)
+        INT32_EOV = -(2**31) + 1
+        blob = bcf._typed_int_vec([5, INT32_MISSING, INT32_EOV])
+        # int8 width: missing = 0x80, EOV = 0x81 (vcf.h bcf_int8_missing)
+        assert blob[0] == (3 << 4) | 1
+        assert blob[1:] == b"\x05\x80\x81"
+
+    def test_int16_widths(self):
+        blob = bcf._typed_int_vec([300])
+        assert blob[0] == (1 << 4) | 2
+        assert struct.unpack("<h", blob[1:])[0] == 300
+        # htslib picks int16 down to -32760, int32 below
+        blob = bcf._typed_int_vec([-32760])
+        assert blob[0] & 0xF == 2
+        blob = bcf._typed_int_vec([-32761])
+        assert blob[0] & 0xF == 3
+
+    def test_long_vector_descriptor(self):
+        vals = list(range(20))
+        blob = bcf._typed_int_vec(vals)
+        # n >= 15: descriptor 0xF<<4 | type, then typed int count
+        assert blob[0] == (15 << 4) | 1
+        assert blob[1] == (1 << 4) | 1      # count as 1 int8
+        assert blob[2] == 20
+
+    def test_float_missing_bits(self):
+        blob = bcf._typed_float_vec([bcf.FLOAT_MISSING_BITS])
+        assert blob[0] == (1 << 4) | 5
+        assert struct.unpack("<I", blob[1:])[0] == 0x7F800001
+
+    def test_gt_encoding(self):
+        # htslib: (allele+1)<<1 | phased ; '.' -> 0
+        assert bcf._encode_gt_tok("0/1") == [2, 4]
+        assert bcf._encode_gt_tok("0|1") == [2, 5]
+        assert bcf._encode_gt_tok("./.") == [0, 0]
+        assert bcf._encode_gt_tok(".") == [0]
+        assert bcf._encode_gt_tok("2") == [6]
+
+    def test_record_shared_block_layout(self):
+        text = ("##fileformat=VCFv4.1\n"
+                "##contig=<ID=7,length=100>\n"
+                '##INFO=<ID=DP,Number=1,Type=Integer,Description="">\n'
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+                "7\t13\trs1\tAC\tA\t29.5\t.\tDP=7\n")
+        body = bcf.text_to_bcf(text)
+        assert body[:5] == b"BCF\x02\x02"
+        (l_hdr,) = struct.unpack_from("<I", body, 5)
+        o = 9 + l_hdr
+        l_shared, l_indiv = struct.unpack_from("<II", body, o)
+        o += 8
+        rec = body[o:o + l_shared]
+        chrom, pos, rlen = struct.unpack_from("<3i", rec, 0)
+        assert chrom == 0 and pos == 12 and rlen == 2
+        (qbits,) = struct.unpack_from("<I", rec, 12)
+        assert abs(np.uint32(qbits).view(np.float32) - 29.5) < 1e-6
+        (n_allele_info,) = struct.unpack_from("<I", rec, 16)
+        assert n_allele_info >> 16 == 2      # n_allele
+        assert n_allele_info & 0xFFFF == 1   # n_info
+        # ID follows as typed string "rs1"
+        assert rec[24] == (3 << 4) | 7
+        assert rec[25:28] == b"rs1"
+        assert l_indiv == 0
