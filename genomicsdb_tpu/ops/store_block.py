@@ -92,10 +92,17 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     plan = build_block_plan(qc, qc.vid)
     rows = qc.rows_to_query
     S = len(rows)
-    # --- dense per-row cell layout (one stable row-sort, not S scans) ---
-    row_sorted = np.argsort(store.row, kind="stable") \
-        if store.num_cells else np.zeros(0, dtype=np.int64)
-    sorted_rows = store.row[row_sorted] if store.num_cells else row_sorted
+    # --- dense per-row cell layout (one stable row-sort, not S scans;
+    # the sort is store-wide, so chunked queries reuse it) ---
+    cached = getattr(store, "_row_sort_cache", None)
+    if cached is None:
+        row_sorted = np.argsort(store.row, kind="stable") \
+            if store.num_cells else np.zeros(0, dtype=np.int64)
+        sorted_rows = store.row[row_sorted] if store.num_cells \
+            else row_sorted
+        store._row_sort_cache = (row_sorted, sorted_rows)
+    else:
+        row_sorted, sorted_rows = cached
     per_row_idx: List[np.ndarray] = []
     for r in rows:
         lo_i = np.searchsorted(sorted_rows, r, side="left")
@@ -534,11 +541,17 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     extras: Dict[str, ExtraField] = {}
     eff_cache: Dict[str, np.ndarray] = {}
 
+    # effective validity is a store-wide property: cache it on the
+    # store so genome-scale chunked queries compute it once per field
+    store_cache = getattr(store, "_eff_valid_cache", None)
+    if store_cache is None:
+        store_cache = store._eff_valid_cache = {}
+
     def eff_valid_bs(name):
-        ev = eff_cache.get(name)
+        ev = store_cache.get(name)
         if ev is None:
             ev = effective_valid(store.fields.get(name), N)
-            eff_cache[name] = ev
+            store_cache[name] = ev
         if N == 0:
             return np.zeros((B, S), dtype=bool)
         return live_ok & ev[safe_cm]

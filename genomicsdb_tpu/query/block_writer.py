@@ -205,6 +205,40 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                               filter_name_by_field_idx or {}) \
         if plan.produce_filter else None
     dpsum = dev["dp_info_sum"]
+    # per-spec validity is sparse (gVCF ref blocks carry no INFO):
+    # compute rendered strings only where a spec fires, in spec order
+    info_txt: Dict[int, List[str]] = {}
+    in_block = np.zeros(B, dtype=bool)
+    if block_bs:
+        in_block[np.asarray(block_bs)] = True
+    for spec in plan.info_specs:
+        if spec.source == "med":
+            okv = dev["info_median_ok"][spec.slot]
+        elif spec.source == "imed":
+            okv = dev["info_imedian_ok"][spec.slot]
+        elif spec.source == "fsum":
+            okv = dev["info_fsum_ok"][spec.slot]
+        else:
+            ex = meta.extras.get(spec.name)
+            okv = ex.valid.any(axis=1) if ex is not None \
+                else np.zeros(B, dtype=bool)
+        for b in np.nonzero(okv & in_block)[0]:
+            piece = host_info.render_spec(spec, int(b), dev)
+            if piece is not None:
+                info_txt.setdefault(int(b), []).append(piece)
+    for parent, bin_f, cnt_f in plan.hist_specs:
+        exb = meta.extras.get(bin_f)
+        exc = meta.extras.get(cnt_f)
+        if exb is None or exc is None:
+            continue
+        okv = (exb.valid & exc.valid).any(axis=1)
+        for b in np.nonzero(okv & in_block)[0]:
+            piece = host_info.render_hist(parent, bin_f, cnt_f, int(b))
+            if piece is not None:
+                info_txt.setdefault(int(b), []).append(piece)
+    dp_hit = (dpsum > 0) & ~meta.is_ref_block_only & in_block
+    for b in np.nonzero(dp_hit)[0]:
+        info_txt.setdefault(int(b), []).append(f"DP={int(dpsum[b])}")
     # ---------------- FORMAT presence flags ----------------
     fmt_specs = _render_order(plan)
     present: Dict[str, np.ndarray] = {}
@@ -230,76 +264,184 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                 else np.zeros(B, dtype=bool)
         present[nm] = p
     have_dp_col = (dev["dp_format"] != INT_MISSING).any(axis=1)
-    # ---------------- prefix assembly ----------------
+    # ---------------- line assembly ----------------
     lines: List[str] = []
-    groups: dict = {}
-    order: list = []
-    for b in block_bs:
-        start = starts_l[b]
-        rec_end = ends_l[b]
-        ci = c_idx_l[b]
-        contig = c_names[ci]
-        cpos = start - c_offs_l[ci]
-        ref = meta.refs[b]
-        if ref is None or (len(ref) == 1 and ref == "N"):
-            base = ref_genome.base_at(contig, cpos) if ref_genome else "N"
-            ref = base if base in LEGAL else "N"
+    nb = len(block_bs)
+    if nb == 0:
+        for item in plan_items:
+            if item[0] != "block":
+                lines.extend(sequential_fn(item[1], item[2]))
+        return lines
+    bs_arr = np.asarray(block_bs, dtype=np.int64)
+    # per-record FORMAT signature codes (vectorized bit-pack)
+    sig_codes = np.zeros(nb, dtype=np.int64)
+    for k, sp in enumerate(fmt_specs):
+        sig_codes |= present[sp.name][bs_arr].astype(np.int64) << k
+    sig_codes |= have_dp_col[bs_arr].astype(np.int64) << len(fmt_specs)
+
+    def sig_of(code):
+        return tuple(bool((code >> k) & 1)
+                     for k in range(len(fmt_specs) + 1))
+
+    # REF: fasta lookup only where the merge produced no concrete base
+    refs: List[str] = [""] * nb
+    for i, b in enumerate(block_bs):
+        r = meta.refs[b]
+        if r is None or (len(r) == 1 and r == "N"):
+            if ref_genome is not None:
+                ci = c_idx_l[b]
+                base = ref_genome.base_at(c_names[ci],
+                                          starts_l[b] - c_offs_l[ci])
+                r = base if base in LEGAL else "N"
+            else:
+                r = "N"
+        refs[i] = r
+    # ALT: ref-only records are the constant <NON_REF>
+    alt_txts: List[str] = [""] * nb
+    for i, b in enumerate(block_bs):
         alts = meta.alts[b]
-        alt_txt = ",".join("<NON_REF>" if a.startswith("&") else a
-                           for a in alts) or "."
-        info_parts = []
-        if rec_end > start:
-            info_parts.append(f"END={cpos + 1 + (rec_end - start)}")
-        for spec in plan.info_specs:
-            piece = host_info.render_spec(spec, b, dev)
-            if piece is not None:
-                info_parts.append(piece)
-        for parent, bin_f, cnt_f in plan.hist_specs:
-            piece = host_info.render_hist(parent, bin_f, cnt_f, b)
-            if piece is not None:
-                info_parts.append(piece)
-        if dpsum[b] > 0 and not meta.is_ref_block_only[b]:
-            info_parts.append(f"DP={int(dpsum[b])}")
-        sig = tuple(bool(present[sp.name][b]) for sp in fmt_specs) \
-            + (bool(have_dp_col[b]),)
-        cols = [contig, str(cpos + 1),
-                id_txt[b] if id_txt is not None else ".",
-                ref, alt_txt,
-                qual_txt[b] if qual_txt is not None else ".",
-                filt_txt[b] if filt_txt is not None else ".",
-                ";".join(info_parts) if info_parts else "."]
-        if not plan.sites_only and S:
-            fmt_names = [sp.vcf_name for sp, pr in zip(fmt_specs, sig)
-                         if pr]
-            if sig[-1]:
-                fmt_names.append("DP")
-            cols.append(":".join(fmt_names) if fmt_names else ".")
-        prefix = "\t".join(cols)
-        groups.setdefault(sig, []).append(len(order))
-        order.append((b, prefix, sig))
-    # ---------------- sample columns ----------------
-    rec_text: List[Optional[str]] = [None] * len(order)
-    if not plan.sites_only and S:
+        if len(alts) == 1 and alts[0].startswith("&"):
+            alt_txts[i] = "<NON_REF>"
+        else:
+            alt_txts[i] = ",".join("<NON_REF>" if a.startswith("&")
+                                   else a for a in alts) or "."
+    # sample columns + FORMAT dictionary per signature group
+    rec_text: List[Optional[str]] = [None] * nb
+    fmt_strings: Dict[int, str] = {}
+    groups: Dict[int, List[int]] = {}
+    with_fmt = not plan.sites_only and S
+    for i, code in enumerate(sig_codes.tolist()):
+        groups.setdefault(code, []).append(i)
+    if with_fmt:
         renderer = _SampleRenderer(plan, fmt_specs, meta, blk, dev, live,
                                    ploidy, store)
-        for sig, ois in groups.items():
-            bs = np.array([order[oi][0] for oi in ois])
-            texts = renderer.render_group(sig, bs)
-            for oi, t in zip(ois, texts):
-                rec_text[oi] = t
-    block_lines = {}
-    for oi in range(len(order)):
-        b, prefix, sig = order[oi]
-        if plan.sites_only or not S:
-            block_lines[b] = prefix
-        else:
-            block_lines[b] = prefix + "\t" + rec_text[oi]
+        for code, idxs in groups.items():
+            sig = sig_of(code)
+            texts = renderer.render_group(sig, bs_arr[idxs])
+            for i, t in zip(idxs, texts):
+                rec_text[i] = t
+            names = [sp.vcf_name for sp, pr in zip(fmt_specs, sig) if pr]
+            if sig[-1]:
+                names.append("DP")
+            fmt_strings[code] = ":".join(names) if names else "."
+    block_lines_text = _assemble_block_lines(
+        nb, block_bs, bs_arr, c_idx, c_names, c_offsets, starts, meta,
+        refs, alt_txts, info_txt, id_txt, qual_txt, filt_txt,
+        fmt_strings, sig_codes, rec_text, with_fmt)
+    if isinstance(block_lines_text, tuple):   # native (blob, offsets)
+        blob, offs = block_lines_text
+        pos_of_b = {int(b): i for i, b in enumerate(block_bs)}
+        run_start = run_end = -1
+        for item in plan_items:
+            if item[0] == "block":
+                i = pos_of_b[item[1]]
+                if run_start < 0:
+                    run_start = i
+                run_end = i
+                continue
+            if run_start >= 0:
+                lines.extend(blob[offs[run_start]:offs[run_end + 1]]
+                             .decode()[:-1].split("\n"))
+                run_start = -1
+            lines.extend(sequential_fn(item[1], item[2]))
+        if run_start >= 0:
+            lines.extend(blob[offs[run_start]:offs[run_end + 1]]
+                         .decode()[:-1].split("\n"))
+        return lines
+    # python fallback produced a per-record list
+    block_lines = {int(b): block_lines_text[i]
+                   for i, b in enumerate(block_bs)}
     for item in plan_items:
         if item[0] == "block":
             lines.append(block_lines[item[1]])
         else:
             lines.extend(sequential_fn(item[1], item[2]))
     return lines
+
+
+def _strs_to_col(strings: List, dot_is_empty: bool = False):
+    """List of per-record strings/bytes -> (bytes, offsets); '.' entries
+    become empty spans when dot_is_empty (native renders '.')."""
+    if dot_is_empty:
+        strings = ["" if s == "." else s for s in strings]
+    parts = [s if isinstance(s, bytes) else s.encode() for s in strings]
+    blob = b"".join(parts)
+    lens = np.fromiter((len(b) for b in parts), dtype=np.int64,
+                       count=len(parts))
+    offs = np.zeros(len(parts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return blob, offs
+
+
+def _assemble_block_lines(nb, block_bs, bs_arr, c_idx, c_names, c_offsets,
+                          starts, meta, refs, alt_txts, info_txt, id_txt,
+                          qual_txt, filt_txt, fmt_strings, sig_codes,
+                          rec_text, with_fmt):
+    """Assemble the block records' full lines: native kernel
+    (gdb_assemble_lines) when available, Python loop otherwise.
+    Native returns (blob, offsets[nb+1]) of newline-terminated lines;
+    Python returns List[str]."""
+    cidx_b = c_idx[bs_arr]
+    pos1 = starts[bs_arr] - c_offsets[np.maximum(cidx_b, 0)] + 1
+    ends_b = meta.ends[bs_arr]
+    info_end = np.where(ends_b > starts[bs_arr],
+                        pos1 + (ends_b - starts[bs_arr]), -1)
+    if native_loader.get_lib() is not None:
+        names_blob, name_offs = _strs_to_col(c_names)
+        extra_col = None
+        if info_txt:
+            extra_col = _strs_to_col(
+                [";".join(info_txt[int(b)]) if int(b) in info_txt else ""
+                 for b in block_bs])
+        if with_fmt:
+            code_order = {c: i for i, c in enumerate(fmt_strings)}
+            fmt_blob, fmt_offs = _strs_to_col(
+                [fmt_strings[c] for c in code_order])
+            fmt_idx = np.fromiter(
+                (code_order[c] for c in sig_codes.tolist()),
+                dtype=np.int32, count=nb)
+            samp_col = _strs_to_col([t or "" for t in rec_text])
+        else:
+            fmt_blob, fmt_offs = b"", np.zeros(1, dtype=np.int64)
+            fmt_idx = np.full(nb, -1, dtype=np.int32)
+            samp_col = None
+        got = native_loader.assemble_lines(
+            cidx_b, pos1, names_blob, name_offs,
+            _strs_to_col([id_txt[int(b)] for b in block_bs], True)
+            if id_txt is not None else None,
+            _strs_to_col(refs), _strs_to_col(alt_txts),
+            _strs_to_col([qual_txt[int(b)] for b in block_bs], True)
+            if qual_txt is not None else None,
+            _strs_to_col([filt_txt[int(b)] for b in block_bs], True)
+            if filt_txt is not None else None,
+            info_end, extra_col,
+            np.full(nb, -1, dtype=np.int64),   # DP already in info_txt
+            fmt_blob, fmt_offs, fmt_idx, samp_col)
+        if got is not None:
+            return got
+    # ---- Python fallback ----
+    out = []
+    pos1_l = pos1.tolist()
+    for i, b in enumerate(block_bs):
+        extra = info_txt.get(int(b))
+        if info_end[i] >= 0:
+            info_parts = [f"END={info_end[i]}"]
+            if extra:
+                info_parts.extend(extra)
+        else:
+            info_parts = extra or []
+        cols = [c_names[c_idx[b]], str(pos1_l[i]),
+                id_txt[b] if id_txt is not None else ".",
+                refs[i], alt_txts[i],
+                qual_txt[b] if qual_txt is not None else ".",
+                filt_txt[b] if filt_txt is not None else ".",
+                ";".join(info_parts) if info_parts else "."]
+        if with_fmt:
+            cols.append(fmt_strings[int(sig_codes[i])])
+            t = rec_text[i]
+            cols.append(t.decode() if isinstance(t, bytes) else t)
+        out.append("\t".join(cols))
+    return out
 
 
 def _render_order(plan):
@@ -664,7 +806,7 @@ class _SampleRenderer:
                                                              b":")
             recs, rec_offs = native_loader.join_rows(entries, entry_offs,
                                                      S, b"\t")
-            return [recs[rec_offs[r]:rec_offs[r + 1]].decode("ascii")
+            return [recs[rec_offs[r]:rec_offs[r + 1]]
                     for r in range(R)]
         # pure-Python join
         texts = []

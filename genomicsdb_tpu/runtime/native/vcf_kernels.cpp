@@ -355,3 +355,125 @@ int64_t gdb_join_columns(const char** cols_values,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Combined-VCF line assembler (the text-edge prefix kernel).
+//
+// Builds complete VCF record lines from columnar inputs:
+//   CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO[\tFORMAT\tsamples]
+// INFO = "END=<e>" (when info_end >= 0) + ";"-joined pre-rendered extra
+// text + ";DP=<d>" (when info_dp >= 0), "." when empty — the
+// BroadCombinedGVCFOperator prefix layout (broad_combined_gvcf.cc:765-
+// 910) whose per-record Python rendering dominates genome-scale output.
+//
+// Ragged text columns are (blob, offsets[n+1]); a null blob renders ".".
+// fmt_idx selects a FORMAT string from the (small) fmt dictionary, -1
+// meaning no FORMAT/sample columns for that record.
+// Returns total bytes written or -1 on overflow of `cap`.
+// ---------------------------------------------------------------------------
+namespace {
+inline char* put_int(char* w, int64_t v) {
+  if (v < 0) { *w++ = '-'; v = -v; }
+  char tmp[24];
+  int k = 0;
+  do { tmp[k++] = static_cast<char>('0' + v % 10); v /= 10; } while (v);
+  while (k) *w++ = tmp[--k];
+  return w;
+}
+inline char* put_span(char* w, const char* b, int64_t lo, int64_t hi) {
+  std::memcpy(w, b + lo, static_cast<size_t>(hi - lo));
+  return w + (hi - lo);
+}
+}  // namespace
+
+extern "C" int64_t gdb_assemble_lines(
+    int64_t n, const char* names, const int64_t* name_offs,
+    const int32_t* cidx, const int64_t* pos1,
+    const char* id_b, const int64_t* id_o,
+    const char* ref_b, const int64_t* ref_o,
+    const char* alt_b, const int64_t* alt_o,
+    const char* qual_b, const int64_t* qual_o,
+    const char* filt_b, const int64_t* filt_o,
+    const int64_t* info_end,
+    const char* ex_b, const int64_t* ex_o,
+    const int64_t* info_dp,
+    const char* fmt_b, const int64_t* fmt_o, const int32_t* fmt_idx,
+    const char* samp_b, const int64_t* samp_o,
+    char* out, int64_t cap, int64_t* out_offs) {
+  char* w = out;
+  char* lim = out + cap;
+  out_offs[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    // worst-case bound for the fixed pieces of this line
+    int64_t need = 96;
+    if (id_b) need += id_o[i + 1] - id_o[i];
+    need += ref_o[i + 1] - ref_o[i];
+    need += alt_o[i + 1] - alt_o[i];
+    if (qual_b) need += qual_o[i + 1] - qual_o[i];
+    if (filt_b) need += filt_o[i + 1] - filt_o[i];
+    if (ex_b) need += ex_o[i + 1] - ex_o[i];
+    const int32_t fi = fmt_idx ? fmt_idx[i] : -1;
+    if (fi >= 0) {
+      need += fmt_o[fi + 1] - fmt_o[fi];
+      if (samp_b) need += samp_o[i + 1] - samp_o[i];
+    }
+    const int32_t ci = cidx[i];
+    need += name_offs[ci + 1] - name_offs[ci];
+    if (w + need > lim) return -1;
+    w = put_span(w, names, name_offs[ci], name_offs[ci + 1]);
+    *w++ = '\t';
+    w = put_int(w, pos1[i]);
+    *w++ = '\t';
+    if (id_b && id_o[i + 1] > id_o[i]) {
+      w = put_span(w, id_b, id_o[i], id_o[i + 1]);
+    } else {
+      *w++ = '.';
+    }
+    *w++ = '\t';
+    w = put_span(w, ref_b, ref_o[i], ref_o[i + 1]);
+    *w++ = '\t';
+    w = put_span(w, alt_b, alt_o[i], alt_o[i + 1]);
+    *w++ = '\t';
+    if (qual_b && qual_o[i + 1] > qual_o[i]) {
+      w = put_span(w, qual_b, qual_o[i], qual_o[i + 1]);
+    } else {
+      *w++ = '.';
+    }
+    *w++ = '\t';
+    if (filt_b && filt_o[i + 1] > filt_o[i]) {
+      w = put_span(w, filt_b, filt_o[i], filt_o[i + 1]);
+    } else {
+      *w++ = '.';
+    }
+    *w++ = '\t';
+    // INFO
+    char* info_start = w;
+    if (info_end[i] >= 0) {
+      std::memcpy(w, "END=", 4);
+      w += 4;
+      w = put_int(w, info_end[i]);
+    }
+    if (ex_b && ex_o[i + 1] > ex_o[i]) {
+      if (w != info_start) *w++ = ';';
+      w = put_span(w, ex_b, ex_o[i], ex_o[i + 1]);
+    }
+    if (info_dp[i] >= 0) {
+      if (w != info_start) *w++ = ';';
+      std::memcpy(w, "DP=", 3);
+      w += 3;
+      w = put_int(w, info_dp[i]);
+    }
+    if (w == info_start) *w++ = '.';
+    if (fi >= 0) {
+      *w++ = '\t';
+      w = put_span(w, fmt_b, fmt_o[fi], fmt_o[fi + 1]);
+      if (samp_b && samp_o[i + 1] > samp_o[i]) {
+        *w++ = '\t';
+        w = put_span(w, samp_b, samp_o[i], samp_o[i + 1]);
+      }
+    }
+    *w++ = '\n';
+    out_offs[i + 1] = w - out;
+  }
+  return w - out;
+}

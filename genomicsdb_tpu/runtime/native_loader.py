@@ -90,6 +90,87 @@ def _bind_render(lib):
         np.ctypeslib.ndpointer(np.int64)]
 
 
+def _bind_assemble(lib):
+    import ctypes
+    i64 = ctypes.c_int64
+    ptr_i64 = np.ctypeslib.ndpointer(np.int64)
+    ptr_i32 = np.ctypeslib.ndpointer(np.int32)
+    lib.gdb_assemble_lines.restype = i64
+    lib.gdb_assemble_lines.argtypes = [
+        i64, ctypes.c_char_p, ptr_i64, ptr_i32, ptr_i64,
+        ctypes.c_char_p, ctypes.c_void_p,   # id (offsets via void_p)
+        ctypes.c_char_p, ptr_i64,           # ref
+        ctypes.c_char_p, ptr_i64,           # alt
+        ctypes.c_char_p, ctypes.c_void_p,   # qual
+        ctypes.c_char_p, ctypes.c_void_p,   # filt
+        ptr_i64,                            # info_end
+        ctypes.c_char_p, ctypes.c_void_p,   # extra
+        ptr_i64,                            # info_dp
+        ctypes.c_char_p, ptr_i64, ptr_i32,  # fmt dict + idx
+        ctypes.c_char_p, ctypes.c_void_p,   # samples
+        ctypes.c_char_p, i64, ptr_i64]
+
+
+def _offs_ptr(arr):
+    import ctypes
+    if arr is None:
+        return None
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def assemble_lines(cidx, pos1, names_blob, name_offs, id_col, ref_col,
+                   alt_col, qual_col, filt_col, info_end, extra_col,
+                   info_dp, fmt_blob, fmt_offs, fmt_idx, samp_col):
+    """Assemble complete newline-terminated VCF record lines.
+
+    Ragged columns are (bytes, offsets[n+1]) or None (renders '.').
+    Returns (bytes, offsets[n+1]) with offsets PAST each trailing
+    newline, or None without the native lib."""
+    import ctypes
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_assemble_bound"):
+        _bind_assemble(lib)
+        lib._assemble_bound = True
+    n = len(pos1)
+
+    def blob(col):
+        if col is None:
+            return None, None
+        return col[0], np.ascontiguousarray(col[1], dtype=np.int64)
+
+    id_b, id_o = blob(id_col)
+    ref_b, ref_o = blob(ref_col)
+    alt_b, alt_o = blob(alt_col)
+    qual_b, qual_o = blob(qual_col)
+    filt_b, filt_o = blob(filt_col)
+    ex_b, ex_o = blob(extra_col)
+    samp_b, samp_o = blob(samp_col)
+    cap = int(
+        64 * n + len(names_blob) * 0 + sum(
+            len(b) for b in (id_b, ref_b, alt_b, qual_b, filt_b, ex_b,
+                             samp_b) if b is not None)
+        + n * (int(fmt_offs.max()) if len(fmt_offs) else 0) + 1024)
+    out = ctypes.create_string_buffer(cap)
+    out_offs = np.empty(n + 1, dtype=np.int64)
+    w = lib.gdb_assemble_lines(
+        n, names_blob, np.ascontiguousarray(name_offs, dtype=np.int64),
+        np.ascontiguousarray(cidx, dtype=np.int32),
+        np.ascontiguousarray(pos1, dtype=np.int64),
+        id_b, _offs_ptr(id_o), ref_b, ref_o, alt_b, alt_o,
+        qual_b, _offs_ptr(qual_o), filt_b, _offs_ptr(filt_o),
+        np.ascontiguousarray(info_end, dtype=np.int64),
+        ex_b, _offs_ptr(ex_o),
+        np.ascontiguousarray(info_dp, dtype=np.int64),
+        fmt_blob, np.ascontiguousarray(fmt_offs, dtype=np.int64),
+        np.ascontiguousarray(fmt_idx, dtype=np.int32),
+        samp_b, _offs_ptr(samp_o), out, cap, out_offs)
+    if w < 0:
+        raise RuntimeError("assemble_lines overflow")
+    return out.raw[:w], out_offs
+
+
 def render_int_lists(values: np.ndarray, offsets: np.ndarray,
                      delim: bytes = b","):
     """Ragged int32 rows -> delimited decimal text (missing -> '.')."""
