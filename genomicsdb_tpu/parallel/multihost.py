@@ -39,25 +39,44 @@ def my_partitions(num_partitions: int) -> List[int]:
                                             num_partitions))]
 
 
+# per-transfer ceiling: keeps any single collective payload far below
+# the 2 GB int32 offsets limit (the reference needs BigMPI for this,
+# gt_mpi_gather.cc:172-217; here large blobs just take more rounds)
+GATHER_CHUNK = 1 << 30
+
+
 def gather_blobs_to_root(blob: bytes) -> Optional[List[bytes]]:
-    """All-gather variable-length byte blobs; returns the ordered list on
-    process 0, None elsewhere.  (MPI_Gather lengths + MPI_Gatherv payload,
-    gt_mpi_gather.cc:167-263, on fixed-width padded device arrays.)"""
+    """Gather variable-length byte blobs to process 0 with gatherv
+    semantics (MPI_Gather lengths + MPI_Gatherv payload,
+    gt_mpi_gather.cc:167-263): each process's payload moves at its OWN
+    size — no max-size padding, so root memory is O(sum(len)) rather
+    than O(n_hosts * max_len) — and blobs above GATHER_CHUNK move in
+    bounded slices (>2 GB safe, the reference's BigMPI case)."""
     import jax
     if jax.process_count() == 1:
         return [blob]
     from jax.experimental import multihost_utils
     n = jax.process_count()
+    pid = jax.process_index()
     length = np.asarray([len(blob)], dtype=np.int64)
     all_lengths = multihost_utils.process_allgather(length).reshape(n)
-    max_len = int(all_lengths.max())
-    padded = np.zeros(max_len, dtype=np.uint8)
-    padded[:len(blob)] = np.frombuffer(blob, dtype=np.uint8)
-    gathered = multihost_utils.process_allgather(padded)
-    if jax.process_index() != 0:
+    src = np.frombuffer(blob, dtype=np.uint8)
+    pieces: List[bytes] = []
+    for i in range(n):
+        li = int(all_lengths[i])
+        parts = []
+        for off in range(0, max(li, 1), GATHER_CHUNK):
+            m = min(GATHER_CHUNK, li - off) if li else 0
+            chunk = src[off:off + m] if pid == i                 else np.zeros(m, dtype=np.uint8)
+            got = multihost_utils.broadcast_one_to_all(
+                chunk, is_source=(pid == i))
+            if pid == 0:
+                parts.append(np.asarray(got).tobytes())
+        if pid == 0:
+            pieces.append(b"".join(parts))
+    if pid != 0:
         return None
-    return [bytes(gathered[i][:int(all_lengths[i])].tobytes())
-            for i in range(n)]
+    return pieces
 
 
 def run_partitioned_query(run_rank: Callable[[int], bytes],

@@ -1,4 +1,4 @@
-"""On-disk workspace: persistent columnar arrays with fragments.
+"""Workspace storage: persistent columnar arrays with fragments.
 
 Replaces the reference's TileDB workspace/array layout
 (variant_storage_manager.cc:99-620): a workspace directory holds arrays;
@@ -8,10 +8,16 @@ the equivalent of consolidate_tiledb_array (tools/src/consolidate_tiledb_array.c
 
 Fragment payload is a single .npz of the columnar SoA — loads straight into
 host RAM and uploads to HBM without per-cell decoding.
+
+Workspace paths may carry a URI scheme (hdfs://, s3://, gs://,
+memory://, ...): those route through fsspec, the reference's
+USE_HDFS/TileDB-cloud-FS analog (reference CMakeLists.txt:45,264-266,
+tests/run_spark_hdfs.py).  Plain paths stay on POSIX syscalls.
 """
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import shutil
@@ -25,7 +31,25 @@ from .columnar import ColumnarStore, FieldData
 WORKSPACE_MARKER = "__genomicsdb_tpu_workspace__"
 
 
+def _fs_for(path: str):
+    """(fsspec filesystem, normalized path) for URI paths, else None."""
+    if "://" not in path:
+        return None
+    import fsspec
+    fs, p = fsspec.core.url_to_fs(path)
+    return fs, p
+
+
 def create_workspace(path: str, overwrite: bool = False):
+    fsp = _fs_for(path)
+    if fsp is not None:
+        fs, p = fsp
+        if fs.isdir(p) and overwrite:
+            fs.rm(p, recursive=True)
+        fs.makedirs(p, exist_ok=True)
+        with fs.open(p.rstrip("/") + "/" + WORKSPACE_MARKER, "w") as f:
+            f.write(json.dumps({"version": 1}))
+        return
     if os.path.isdir(path) and overwrite:
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
@@ -35,15 +59,27 @@ def create_workspace(path: str, overwrite: bool = False):
 
 
 def is_workspace(path: str) -> bool:
+    fsp = _fs_for(path)
+    if fsp is not None:
+        fs, p = fsp
+        return fs.isfile(p.rstrip("/") + "/" + WORKSPACE_MARKER)
     return os.path.isfile(os.path.join(path, WORKSPACE_MARKER))
 
 
 def _array_dir(workspace: str, array_name: str) -> str:
+    if "://" in workspace:
+        return workspace.rstrip("/") + "/" + array_name
     return os.path.join(workspace, array_name)
 
 
 def delete_array(workspace: str, array_name: str):
     d = _array_dir(workspace, array_name)
+    fsp = _fs_for(d)
+    if fsp is not None:
+        fs, p = fsp
+        if fs.isdir(p):
+            fs.rm(p, recursive=True)
+        return
     if os.path.isdir(d):
         shutil.rmtree(d)
 
@@ -66,8 +102,18 @@ def _store_to_npz_dict(store: ColumnarStore) -> Dict[str, np.ndarray]:
 def write_fragment(workspace: str, array_name: str, store: ColumnarStore,
                    metadata: Optional[dict] = None) -> str:
     adir = _array_dir(workspace, array_name)
-    os.makedirs(adir, exist_ok=True)
+    fsp = _fs_for(adir)
     frag_name = f"fragment_{time.time_ns()}"
+    if fsp is not None:
+        fs, p = fsp
+        fs.makedirs(p, exist_ok=True)
+        frag_path = p.rstrip("/") + "/" + frag_name + ".npz"
+        buf = io.BytesIO()
+        np.savez_compressed(buf, **_store_to_npz_dict(store))
+        with fs.open(frag_path, "wb") as f:
+            f.write(buf.getvalue())
+        return _finish_fragment_meta(fs, p, store, metadata, frag_path)
+    os.makedirs(adir, exist_ok=True)
     frag_path = os.path.join(adir, frag_name + ".npz")
     np.savez_compressed(frag_path, **_store_to_npz_dict(store))
     meta = {
@@ -102,16 +148,57 @@ def write_fragment(workspace: str, array_name: str, store: ColumnarStore,
     return frag_path
 
 
+def _finish_fragment_meta(fs, adir, store, metadata, frag_path) -> str:
+    """URI-backend metadata update (mirrors the POSIX tail of
+    write_fragment, incl. the schema guard)."""
+    meta = {
+        "attribute_order": store.attribute_order,
+        "num_rows": store.num_rows,
+        "lb_row": store.lb_row,
+        "field_meta": {name: {"kind": fd.kind, "dtype": fd.dtype}
+                       for name, fd in store.fields.items()},
+    }
+    if metadata:
+        meta.update(metadata)
+    meta_path = adir.rstrip("/") + "/metadata.json"
+    existing = {}
+    if fs.isfile(meta_path):
+        with fs.open(meta_path) as f:
+            existing = json.load(f)
+    if existing.get("attribute_order") is not None and \
+            list(existing["attribute_order"]) != meta["attribute_order"]:
+        raise ValueError(
+            f"fragment attribute set {meta['attribute_order']} does not "
+            f"match the array's existing schema "
+            f"{existing['attribute_order']}")
+    if "num_rows" in existing:
+        meta["num_rows"] = max(existing["num_rows"], meta["num_rows"])
+    with fs.open(meta_path, "w") as f:
+        json.dump(meta, f, indent=1)
+    return frag_path
+
+
 def _fragment_paths(workspace: str, array_name: str) -> List[str]:
     adir = _array_dir(workspace, array_name)
+    fsp = _fs_for(adir)
+    if fsp is not None:
+        fs, p = fsp
+        if not fs.isdir(p):
+            return []
+        return sorted(f for f in fs.ls(p, detail=False)
+                      if f.endswith(".npz"))
     if not os.path.isdir(adir):
         return []
     return sorted(os.path.join(adir, f) for f in os.listdir(adir)
                   if f.endswith(".npz"))
 
 
-def _load_fragment(path: str, meta: dict) -> ColumnarStore:
-    data = np.load(path)
+def _load_fragment(path: str, meta: dict, fs=None) -> ColumnarStore:
+    if fs is not None:
+        with fs.open(path, "rb") as f:
+            data = np.load(io.BytesIO(f.read()))
+    else:
+        data = np.load(path)
     store = ColumnarStore(num_rows=meta["num_rows"],
                           lb_row=meta.get("lb_row", 0))
     store.attribute_order = list(meta["attribute_order"])
@@ -135,6 +222,16 @@ def _load_fragment(path: str, meta: dict) -> ColumnarStore:
 def open_array(workspace: str, array_name: str) -> ColumnarStore:
     """Load an array, merging fragments column-major if more than one."""
     adir = _array_dir(workspace, array_name)
+    fsp = _fs_for(adir)
+    if fsp is not None:
+        fs, p = fsp
+        with fs.open(p.rstrip("/") + "/metadata.json") as f:
+            meta = json.load(f)
+        frags = _fragment_paths(workspace, array_name)
+        if not frags:
+            raise FileNotFoundError(f"no fragments in {adir}")
+        stores = [_load_fragment(fp, meta, fs=fs) for fp in frags]
+        return stores[0] if len(stores) == 1 else merge_stores(stores)
     meta_path = os.path.join(adir, "metadata.json")
     with open(meta_path) as f:
         meta = json.load(f)
@@ -225,6 +322,10 @@ def consolidate_array(workspace: str, array_name: str):
     if len(frags) <= 1:
         return
     store = open_array(workspace, array_name)
+    fsp = _fs_for(_array_dir(workspace, array_name))
     for p in frags:
-        os.remove(p)
+        if fsp is not None:
+            fsp[0].rm(p)
+        else:
+            os.remove(p)
     write_fragment(workspace, array_name, store)

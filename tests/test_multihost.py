@@ -73,7 +73,10 @@ from genomicsdb_tpu.store.import_pipeline import import_callsets
 import os.path as osp
 multihost.initialize(coordinator="localhost:%PORT%", num_processes=2,
                      process_id=pid)
-BOUNDS = [(0, 12201), (12202, None)]
+# boundary at column 12277 = the start of the golden's third record, so
+# the stitched 2-partition output must be BYTE-IDENTICAL to the
+# single-scan golden records
+BOUNDS = [(0, 12276), (12277, None)]
 
 def run_rank(p):
     vid = VidMapper.from_files(
@@ -84,18 +87,21 @@ def run_rank(p):
     qp = make_query_params(VCF_ATTRIBUTES_ORDER,
                            [(lo, hi if hi is not None else 1000000000)])
     qc = driver.make_query_config(qp, vid)
-    return driver.run_vcf_query(store, qc, qp, vid).encode()
+    return driver.run_vcf_query(
+        store, qc, qp, vid,
+        reference_path=osp.join(REF_TESTS,
+                                "inputs/chr1_10MB.fasta.gz")).encode()
 
 parts = multihost.my_partitions(2)
 out = multihost.run_partitioned_query(run_rank, parts)
 if pid == 0:
-    # stitched per-partition outputs == the reference's concatenated-rank
-    # model (validated against goldens elsewhere); check content sanity
+    # stitched per-partition records must equal the golden byte-exactly
     text = out.decode()
-    assert "17385" in text and "12141" in text
-    n = len([l for l in text.splitlines() if l])
-    assert n >= 5, n
-    print("REAL_GATHER_OK", n)
+    with open(osp.join(REF_TESTS, "golden_outputs/t0_1_2_vcf_at_0")) as f:
+        golden_records = "".join(l for l in f
+                                 if not l.startswith("#"))
+    assert text == golden_records, (text[:400], golden_records[:400])
+    print("REAL_GATHER_OK golden-exact")
 """
 
 

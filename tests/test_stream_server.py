@@ -1,0 +1,69 @@
+"""Query-stream socket endpoint: an external process's view of the
+BCF2 byte contract (the reference's GenomicsDBQueryStream JNI
+InputStream, reader/GenomicsDBQueryStream.java:38)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+from golden_utils import REF_TESTS, VCF_ATTRIBUTES_ORDER
+
+from genomicsdb_tpu.query.stream_server import (QueryStreamServer,
+                                                read_query_stream)
+from genomicsdb_tpu.vcf import bcf
+
+
+def _query_doc():
+    return {
+        "workspace": "", "array_name": "",
+        "vid_mapping_file": f"{REF_TESTS}/inputs/vid.json",
+        "callset_mapping_file": f"{REF_TESTS}/inputs/callsets/t0_1_2.json",
+        "vcf_header_filename": [
+            f"{REF_TESTS}/inputs/template_vcf_header.vcf"],
+        "reference_genome": f"{REF_TESTS}/inputs/chr1_10MB.fasta.gz",
+        "attributes": list(VCF_ATTRIBUTES_ORDER),
+        "query_column_ranges": [
+            {"range_list": [{"low": 0, "high": 1000000000}]}],
+        "query_row_ranges": [{"range_list": [{"low": 0, "high": 3}]}],
+    }
+
+
+def test_stream_server_bcf_round_trip():
+    srv = QueryStreamServer(port=0)
+    srv.start_background()
+    try:
+        host, port = srv.address
+        data = read_query_stream(host, port, _query_doc())
+        assert data[:5] == b"BCF\x02\x02"
+        text = bcf.bcf_to_text(data)
+        recs = [ln for ln in text.splitlines()
+                if ln and not ln.startswith("#")]
+        with open(os.path.join(REF_TESTS,
+                               "golden_outputs/t0_1_2_vcf_at_0")) as f:
+            golden_recs = [ln.rstrip("\n") for ln in f
+                           if not ln.startswith("#")]
+        assert len(recs) == len(golden_recs)
+        # positions and alleles survive the BCF2 wire round trip
+        for got, want in zip(recs, golden_recs):
+            gc, wc = got.split("\t"), want.split("\t")
+            assert gc[:5] == wc[:5], (got, want)
+        # second connection reuses the cached store
+        data2 = read_query_stream(host, port, _query_doc())
+        assert data2 == data
+    finally:
+        srv.shutdown()
+
+
+def test_stream_server_reports_errors():
+    srv = QueryStreamServer(port=0)
+    srv.start_background()
+    try:
+        host, port = srv.address
+        try:
+            read_query_stream(host, port,
+                              {"vid_mapping_file": "/does/not/exist"})
+            raise AssertionError("expected GDBERR")
+        except RuntimeError as e:
+            assert "GDBERR" in str(e)
+    finally:
+        srv.shutdown()

@@ -1,0 +1,80 @@
+"""URI-scheme (object-store) workspace backend: the reference's HDFS
+workspace support (CMakeLists.txt:45,264-266, tests/run_spark_hdfs.py)
+mapped onto fsspec.  memory:// exercises the full non-POSIX path in
+CI; hdfs://, s3://, gs:// route identically through the same code."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from golden_utils import (REF_TESTS, VCF_ATTRIBUTES_ORDER, golden,
+                          load_setup, make_query_params)
+
+from genomicsdb_tpu.query import driver
+from genomicsdb_tpu.store import workspace as ws
+
+
+@pytest.fixture
+def mem_ws():
+    path = "memory://gdb_test_ws"
+    ws.create_workspace(path, overwrite=True)
+    yield path
+    import fsspec
+    fs = fsspec.filesystem("memory")
+    try:
+        fs.rm("/gdb_test_ws", recursive=True)
+    except FileNotFoundError:
+        pass
+
+
+def test_uri_workspace_round_trip(mem_ws):
+    vid, store = load_setup("inputs/callsets/t0_1_2.json")
+    assert ws.is_workspace(mem_ws)
+    ws.write_fragment(mem_ws, "arr", store)
+    got = ws.open_array(mem_ws, "arr")
+    assert got.num_cells == store.num_cells
+    np.testing.assert_array_equal(got.col, store.col)
+    # queries over the re-opened store reproduce the golden
+    qp = make_query_params(VCF_ATTRIBUTES_ORDER, [(0, 1000000000)])
+    qc = driver.make_query_config(qp, vid)
+    out = driver.run_vcf_query(
+        got, qc, qp, vid,
+        template_path=os.path.join(REF_TESTS,
+                                   "inputs/template_vcf_header.vcf"),
+        reference_path=os.path.join(REF_TESTS,
+                                    "inputs/chr1_10MB.fasta.gz"))
+    assert out == golden("t0_1_2_vcf_at_0")
+
+
+def test_uri_workspace_fragments_consolidate(mem_ws):
+    vid, store = load_setup("inputs/callsets/t0_1_2.json")
+    half = store.num_cells // 2
+    import copy
+
+    def slice_store(lo, hi):
+        sub = copy.deepcopy(store)
+        sel = slice(lo, hi)
+        sub.row, sub.col = store.row[sel], store.col[sel]
+        sub.end, sub.eff_end = store.end[sel], store.eff_end[sel]
+        for name, fd in store.fields.items():
+            sfd = sub.fields[name]
+            sfd.valid = fd.valid[sel]
+            if fd.kind == "fixed":
+                sfd.values = fd.values[sel]
+            elif fd.offsets is not None and fd.kind != "ragged2d":
+                sfd.values = fd.values[fd.offsets[lo]:fd.offsets[hi]]
+                sfd.offsets = fd.offsets[lo:hi + 1] - fd.offsets[lo]
+        return sub
+
+    ws.write_fragment(mem_ws, "arr", slice_store(0, half))
+    ws.write_fragment(mem_ws, "arr", slice_store(half, store.num_cells))
+    assert len(ws._fragment_paths(mem_ws, "arr")) == 2
+    merged = ws.open_array(mem_ws, "arr")
+    assert merged.num_cells == store.num_cells
+    ws.consolidate_array(mem_ws, "arr")
+    assert len(ws._fragment_paths(mem_ws, "arr")) == 1
+    again = ws.open_array(mem_ws, "arr")
+    assert again.num_cells == store.num_cells
