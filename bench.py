@@ -585,6 +585,9 @@ def main():
     except subprocess.TimeoutExpired:
         pass
     env["JAX_PLATFORMS"] = "cpu"
+    # a wedged axon tunnel blocks backend DISCOVERY even under
+    # JAX_PLATFORMS=cpu: the fallback child must not register the plugin
+    env["PALLAS_AXON_POOL_IPS"] = ""
     env["GENOMICSDB_TPU_BENCH_NOTE"] = "tpu-hung-cpu-fallback"
     r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                        capture_output=True, timeout=1800, env=env,
@@ -601,6 +604,7 @@ def _bench_impl():
     if not _probe_device():
         # dead tunnel: fall back to CPU so the round still records a line
         os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
         platform_note = "tpu-unreachable-cpu-fallback"
     dev = bench_device()
     import jax as _jax

@@ -219,21 +219,6 @@ def dp_combine(dp_info: jnp.ndarray, dp_format: jnp.ndarray,
     return sum_dp
 
 
-def interval_sweep(col: jnp.ndarray, eff_end: jnp.ndarray,
-                   max_breakpoints: int):
-    """Breakpoints of the aligned-interval sweep: unique(col ∪ eff_end+1).
-
-    Static-size variant (padded with int64 max) of the event sweep the
-    reference runs with an END-ordered PQ (query_variants.cc:296-332).
-    Returns (starts [B], valid [B])."""
-    events = jnp.concatenate([col, eff_end + 1])
-    events = jnp.sort(events)
-    uniq = jnp.concatenate([events[:1], jnp.where(
-        events[1:] != events[:-1], events[1:], jnp.iinfo(jnp.int64).max)])
-    uniq = jnp.sort(uniq)[:max_breakpoints]
-    return uniq, uniq < jnp.iinfo(jnp.int64).max
-
-
 @jax.jit
 def live_cells_at(starts: jnp.ndarray, col_by_row: jnp.ndarray,
                   end_by_row: jnp.ndarray) -> jnp.ndarray:

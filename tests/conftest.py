@@ -23,6 +23,24 @@ REFERENCE_TESTS = "/root/reference/tests"
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: runs on the real TPU chip (select with -m tpu)")
+
+
+def pytest_collection_modifyitems(config, items):
+    # the real-TPU lane only runs when explicitly selected: the chip sits
+    # behind a wedgeable tunnel and must not slow/flake the default suite
+    markexpr = config.getoption("-m", default="") or ""
+    if "tpu" in markexpr:
+        return
+    skip_tpu = pytest.mark.skip(
+        reason="real-TPU lane (run: pytest -m tpu tests/test_tpu_lane.py)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip_tpu)
+
+
 @pytest.fixture(scope="session")
 def ref_tests_dir():
     return REFERENCE_TESTS

@@ -130,11 +130,3 @@ def test_live_cells_at():
     expected = np.array([
         [0, -1], [0, 0], [1, -1], [-1, 1], [2, -1]])
     np.testing.assert_array_equal(out, expected)
-
-
-def test_interval_sweep():
-    col = np.array([0, 5, 10], dtype=np.int64)
-    end = np.array([9, 14, 19], dtype=np.int64)
-    starts, valid = K.interval_sweep(col, end, 8)
-    starts = np.asarray(starts)[np.asarray(valid)]
-    np.testing.assert_array_equal(starts, [0, 5, 10, 15, 20])

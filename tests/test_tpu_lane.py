@@ -1,0 +1,108 @@
+"""Real-TPU CI lane: a small marked subset that runs on the actual chip
+(kernel equivalence, the compiled fused Pallas kernel, one block query)
+so device correctness is not only checked at bench time.
+
+Run with `pytest -m tpu`.  Each test executes in a SUBPROCESS on the
+axon/TPU backend with a hard timeout — the tunnel can wedge, and a
+wedged dispatch cannot be interrupted in-process (bench.py's supervisor
+model).  Unreachable device => skip; wrong results => fail.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+TIMEOUT = 420
+
+
+def _run_on_tpu(script: str) -> str:
+    env = dict(os.environ)
+    # run on the real device alongside a cpu backend for oracles
+    env["JAX_PLATFORMS"] = "axon,cpu"
+    env.pop("XLA_FLAGS", None)
+    try:
+        r = subprocess.run([sys.executable, "-c", script],
+                           capture_output=True, text=True, env=env,
+                           timeout=TIMEOUT, cwd="/root/repo")
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU tunnel unreachable/wedged (timeout)")
+    if "TPU_UNAVAILABLE" in r.stdout:
+        pytest.skip("no TPU backend in this environment")
+    assert r.returncode == 0, r.stderr[-3000:]
+    return r.stdout
+
+
+PREAMBLE = r"""
+import sys
+sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tests")
+import numpy as np
+import jax
+try:
+    tpu = [d for d in jax.devices() if d.platform != "cpu"][0]
+except Exception:
+    print("TPU_UNAVAILABLE"); raise SystemExit(0)
+cpu = jax.devices("cpu")[0]
+"""
+
+
+def test_combine_step_chip_equals_cpu():
+    out = _run_on_tpu(PREAMBLE + r"""
+from genomicsdb_tpu.ops.combine_step import (block_to_args, combine_step,
+                                             synthesize_cohort)
+blk = synthesize_cohort(num_samples=8, cells_per_sample=48,
+                        region_len=4096, seed=5)
+args = block_to_args(blk)
+with jax.default_device(tpu):
+    dev = combine_step(*args, max_merged=4, ploidy=2)
+    dev = {k: np.asarray(v) for k, v in dev.items()}
+with jax.default_device(cpu):
+    ref = combine_step(*args, max_merged=4, ploidy=2)
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+for k in ("pl", "ad", "gt", "gq", "dp_format", "min_dp", "dp_info_sum",
+          "info_imedian"):
+    assert np.array_equal(dev[k], ref[k]), k
+for k in ("info_median", "info_fsum"):
+    a, b = dev[k], ref[k]
+    assert np.array_equal(np.isnan(a), np.isnan(b)), k
+    assert np.array_equal(np.where(np.isnan(a), 0, a),
+                          np.where(np.isnan(b), 0, b)), k
+print("CHIP_EQ_OK")
+""")
+    assert "CHIP_EQ_OK" in out
+
+
+def test_fused_pallas_compiled_on_chip():
+    out = _run_on_tpu(PREAMBLE + r"""
+from genomicsdb_tpu.ops.combine_step import (block_to_args, combine_step,
+                                             synthesize_cohort)
+from genomicsdb_tpu.ops import pallas_combine as PC
+blk = synthesize_cohort(num_samples=8, cells_per_sample=64,
+                        region_len=4096, seed=21)
+with jax.default_device(tpu):
+    fused = PC.combine_step_fused(blk, max_merged=4, ploidy=2)
+    assert fused is not None, "window premise failed"
+    fused = {k: np.asarray(v) for k, v in fused.items()}
+    ref = combine_step(*block_to_args(blk), max_merged=4, ploidy=2)
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+for k in ("pl", "ad", "gt", "gq", "dp_format", "min_dp", "dp_info_sum"):
+    assert np.array_equal(fused[k], ref[k]), k
+print("FUSED_CHIP_OK")
+""")
+    assert "FUSED_CHIP_OK" in out
+
+
+def test_block_query_golden_on_chip():
+    out = _run_on_tpu(PREAMBLE + r"""
+import os
+with jax.default_device(tpu):
+    import golden_utils as gu
+    got = gu.run_vcf_block("inputs/callsets/t0_1_2.json",
+                           gu.VCF_ATTRIBUTES_ORDER, [(0, 1000000000)])
+assert got == gu.golden("t0_1_2_vcf_at_0"), "chip block query != golden"
+print("CHIP_GOLDEN_OK")
+""")
+    assert "CHIP_GOLDEN_OK" in out
