@@ -227,3 +227,94 @@ def test_hybrid_block_engine_fuzz(seed, tmp_path):
                                      template_path=None,
                                      reference_path=None)
     assert hyb.splitlines() == seq.splitlines()
+
+
+DEL_VID_DOC = {
+    "fields": {
+        "END": {"vcf_field_class": ["INFO"], "type": "int"},
+        "DP": {"vcf_field_class": ["INFO", "FORMAT"], "type": "int"},
+        "GQ": {"vcf_field_class": ["FORMAT"], "type": "int"},
+        "AD": {"vcf_field_class": ["FORMAT"], "type": "int",
+               "length": "R"},
+        "PL": {"vcf_field_class": ["FORMAT"], "type": "int",
+               "length": "G"},
+        "GT": {"vcf_field_class": ["FORMAT"], "type": "int",
+               "length": "PP"},
+    },
+    "contigs": {"1": {"length": 10_000_000, "tiledb_column_offset": 0}},
+}
+
+
+def _random_deletion_store(vid, rng, n_rows=5, max_cells=25,
+                           phased=True):
+    """Random gVCF-shaped cohort with spanning deletions and phased GT."""
+    cells = []
+    for r in range(n_rows):
+        pos = 0
+        for _ in range(rng.integers(4, max_cells)):
+            pos += int(rng.integers(1, 40))
+            kind = rng.random()
+            gt2 = [int(rng.integers(0, 2)), int(rng.integers(0, 2))]
+            gt = [gt2[0], int(rng.integers(0, 2)), gt2[1]] if phased \
+                else gt2
+            if kind < 0.15:            # spanning deletion
+                span = int(rng.integers(2, 7))
+                cell = {"row": r, "col": pos, "end": pos + span - 1,
+                        "REF": "C" + "AT" * ((span + 1) // 2),
+                        "ALT": "C|&", "FILTER": [],
+                        "PL": np.asarray(rng.integers(0, 200, size=6),
+                                         dtype=np.int32),
+                        "AD": np.asarray(rng.integers(0, 40, size=3),
+                                         dtype=np.int32)}
+                pos_next = pos + span
+            elif kind < 0.35:          # SNP
+                cell = {"row": r, "col": pos, "end": pos,
+                        "REF": "C", "ALT": "A|&", "FILTER": [],
+                        "PL": np.asarray(rng.integers(0, 200, size=6),
+                                         dtype=np.int32),
+                        "AD": np.asarray(rng.integers(0, 40, size=3),
+                                         dtype=np.int32)}
+                pos_next = pos + 1
+            else:                      # ref block
+                end = pos + int(rng.integers(0, 60))
+                cell = {"row": r, "col": pos, "end": end,
+                        "REF": "C", "ALT": "&", "FILTER": [],
+                        "PL": np.asarray([0, 0, 0], dtype=np.int32)}
+                pos_next = end + 1
+            cell["GT"] = np.asarray(gt, dtype=np.int32)
+            cell["GQ"] = np.asarray([int(rng.integers(0, 99))],
+                                    dtype=np.int32)
+            cell["DP_FORMAT"] = np.asarray([int(rng.integers(1, 99))],
+                                           dtype=np.int32)
+            cells.append(cell)
+            pos = pos_next
+    cells.sort(key=lambda c: (c["col"], c["row"]))
+    specs = field_specs_for_vid(vid, False)
+    attrs = [a for a in vid.schema_attribute_names(False) if a != "END"]
+    return build_store(cells, attrs, specs, num_rows=n_rows)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 11, 23])
+@pytest.mark.parametrize("mode", ["plain", "gt", "gt_minpl"])
+def test_block_deletions_produce_gt_fuzz(seed, mode):
+    """Block engine == sequential engine, byte-exact, on random cohorts
+    with spanning deletions, phased GT, produce_GT and min-PL GT."""
+    rng = np.random.default_rng(seed)
+    vid = VidMapper()
+    vid.parse_vid(DEL_VID_DOC)
+    vid.parse_callsets({"callsets": {
+        f"S{r}": {"row_idx": r, "idx_in_file": r, "filename": "x"}
+        for r in range(5)}})
+    store = _random_deletion_store(vid, rng)
+    qp = QueryParams()
+    qp.scan_full = True
+    qp.attributes = []
+    if mode in ("gt", "gt_minpl"):
+        qp.produce_GT_field = True
+    if mode == "gt_minpl":
+        qp.produce_GT_with_min_PL_value_for_spanning_deletions = True
+    qc = driver.make_query_config(qp, vid)
+    seq = driver.run_vcf_query(store, qc, qp, vid)
+    qc2 = driver.make_query_config(qp, vid)
+    blk = driver.run_vcf_query_block(store, qc2, qp, vid)
+    assert blk.splitlines() == seq.splitlines()

@@ -24,6 +24,8 @@ def _run_on_tpu(script: str) -> str:
     # run on the real device alongside a cpu backend for oracles
     env["JAX_PLATFORMS"] = "axon,cpu"
     env.pop("XLA_FLAGS", None)
+    # remote compiles dominate (~1-2 min each); persist them
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
     try:
         r = subprocess.run([sys.executable, "-c", script],
                            capture_output=True, text=True, env=env,
