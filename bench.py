@@ -576,8 +576,10 @@ def main():
     # persistent compile cache cuts repeated-run compile time
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
     try:
+        # cold remote-AOT compiles of the big-chunk programs take several
+        # minutes each; the persistent compile cache makes reruns fast
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           capture_output=True, timeout=1200, env=env,
+                           capture_output=True, timeout=2700, env=env,
                            text=True)
         if r.returncode == 0 and r.stdout.strip():
             print(r.stdout.strip().splitlines()[-1])

@@ -78,6 +78,11 @@ class CellBlock:
     del_rw: np.ndarray = None  # [B, S] bool: call was spanning-deletion-
     # rewritten -> its INFO combine contributions are invalidated
     # (broad_combined_gvcf.cc:1066-1075)
+    gt_len_bs: np.ndarray = None  # [B, S] int32 stored GT length of the
+    # live call (0 = missing); drives per-call ploidy for general-ploidy
+    # cohorts
+    ploidy: int = 2            # max ploidy the block is sized for
+    gt_phase: bool = False     # GT stored with interleaved phase slots
 
 
 def _gather_cells(x: jnp.ndarray, live: jnp.ndarray) -> jnp.ndarray:
@@ -90,7 +95,8 @@ def _gather_cells(x: jnp.ndarray, live: jnp.ndarray) -> jnp.ndarray:
 def gt_remap_unrolled(gtg: jnp.ndarray, invg: jnp.ndarray,
                       rec_num_merged: jnp.ndarray,
                       rec_has_nr: jnp.ndarray,
-                      gt_phase: bool = False) -> jnp.ndarray:
+                      gt_phase: bool = False,
+                      gt_lens=None) -> jnp.ndarray:
     """GT remap: input allele -> merged allele (invert inv_bs).  Ploidy
     and merged-allele axes are unrolled statically so every tensor stays
     [B, S] (a [B,S,A,M] one-hot costs ~4x the whole step in HBM traffic).
@@ -105,13 +111,19 @@ def gt_remap_unrolled(gtg: jnp.ndarray, invg: jnp.ndarray,
     for p in range(P_dim):
         a = gtg[..., p]                                 # [B, S]
         if gt_phase and p % 2 == 1:
-            gt_cols.append(a)                           # phase flag slot
-            continue
-        merged = jnp.full_like(a, -1)
-        for m in range(M_dim):
-            merged = jnp.where(invg[..., m] == a, m, merged)
-        ok = (a >= 0) & (a != INT_MISSING)
-        out_p = jnp.where(ok, jnp.where(merged >= 0, merged, nr_merged), a)
+            out_p = a                                   # phase flag slot
+        else:
+            merged = jnp.full_like(a, -1)
+            for m in range(M_dim):
+                merged = jnp.where(invg[..., m] == a, m, merged)
+            ok = (a >= 0) & (a != INT_MISSING)
+            out_p = jnp.where(ok, jnp.where(merged >= 0, merged,
+                                            nr_merged), a)
+        if gt_lens is not None:
+            # slots past the call's stored GT length are VECTOR_END so
+            # the renderer stops there (variable-ploidy cohorts)
+            out_p = jnp.where(jnp.int32(p) < gt_lens, out_p,
+                              formats.INT_VECTOR_END)
         gt_cols.append(out_p)
     return jnp.stack(gt_cols, axis=-1)
 
@@ -135,8 +147,9 @@ def masked_seq_sum_float(vals: jnp.ndarray, ok: jnp.ndarray):
 
 def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
                   dpig, infog, infoig, infofsg, valid, rec_num_merged,
-                  rec_has_nr, *,
+                  rec_has_nr, gt_lens=None, *,
                   max_merged: int, ploidy: int, gt_phase: bool = False,
+                  mixed_ploidy: bool = False,
                   use_pallas: bool = False,
                   axis_name: Optional[str] = None
                   ) -> Dict[str, jnp.ndarray]:
@@ -147,7 +160,26 @@ def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
     then run the identical local math — results are bit-identical to the
     unsharded path by construction.
     """
-    if use_pallas:
+    if mixed_ploidy and gt_lens is not None:
+        # general ploidy: remap once per ploidy class (static 1..pmax)
+        # and select per call by its GT-derived ploidy — the batched
+        # form of the reference's per-call genotype enumeration
+        # (variant_field_handler.cc:199-296)
+        ploidy_bs = (gt_lens + 1) // 2 if gt_phase else gt_lens
+        g_max = len(K.genotype_combo_table(max_merged, ploidy))
+        pl_out = jnp.full(plg.shape[:2] + (g_max,),
+                          formats.INT_VECTOR_END, jnp.int32)
+        for p in range(1, ploidy + 1):
+            v = K.remap_genotype_fields(plg, invg, pllg, nrg,
+                                        rec_num_merged,
+                                        num_merged_alleles=max_merged,
+                                        ploidy=p)
+            pad = g_max - v.shape[-1]
+            if pad:
+                v = jnp.pad(v, ((0, 0), (0, 0), (0, pad)),
+                            constant_values=formats.INT_VECTOR_END)
+            pl_out = jnp.where((ploidy_bs == p)[..., None], v, pl_out)
+    elif use_pallas:
         from .pallas_remap import remap_genotype_fields_pallas
         pl_out = remap_genotype_fields_pallas(
             plg, invg, pllg, nrg, rec_num_merged,
@@ -160,7 +192,8 @@ def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
     ad_out = K.remap_allele_fields(adg, invg, adlg, nrg, rec_num_merged,
                                    alt_only=False)
     gt_out = gt_remap_unrolled(gtg, invg, rec_num_merged, rec_has_nr,
-                               gt_phase)
+                               gt_phase,
+                               gt_lens if mixed_ploidy else None)
 
     out = _reduce_math(gqg, dpfg, mdpg, dpig, infog, infoig, infofsg,
                        valid, axis_name=axis_name)
@@ -243,11 +276,13 @@ def gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp, dp_info,
 
 
 @partial(jax.jit, static_argnames=("max_merged", "ploidy", "gt_phase",
-                                   "use_pallas"))
+                                   "mixed_ploidy", "use_pallas"))
 def combine_step(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                  dp_info, info_f, info_i, info_fs, inv_bs, nr_bs,
-                 rec_num_merged, rec_has_nr, live, del_rw=None, *,
+                 rec_num_merged, rec_has_nr, live, del_rw=None,
+                 gt_len_bs=None, *,
                  max_merged: int, ploidy: int, gt_phase: bool = False,
+                 mixed_ploidy: bool = False,
                  use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
     g = gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                          dp_info, info_f, info_i, info_fs, live, del_rw)
@@ -255,9 +290,10 @@ def combine_step(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                         g["adlg"], g["gtg"], g["gqg"], g["dpfg"],
                         g["mdpg"], g["dpig"], g["infog"], g["infoig"],
                         g["infofsg"], g["valid"], rec_num_merged,
-                        rec_has_nr,
+                        rec_has_nr, gt_len_bs,
                         max_merged=max_merged, ploidy=ploidy,
-                        gt_phase=gt_phase, use_pallas=use_pallas)
+                        gt_phase=gt_phase, mixed_ploidy=mixed_ploidy,
+                        use_pallas=use_pallas)
     out["live"] = live
     return out
 
@@ -323,10 +359,13 @@ def block_to_args(blk: CellBlock):
         else np.zeros(blk.live.shape, dtype=bool)
     has_nr = blk.rec_has_nr if blk.rec_has_nr is not None \
         else np.ones(len(blk.rec_num_merged), dtype=bool)
+    gt_w = blk.gt.shape[2]
+    gt_lens = blk.gt_len_bs if blk.gt_len_bs is not None \
+        else np.full(blk.live.shape, gt_w, dtype=np.int32)
     return (blk.pl, blk.pl_len, blk.ad, blk.ad_len,
             blk.gt, blk.gq, blk.dp, blk.min_dp, blk.dp_info, blk.info_f,
             blk.info_i, blk.info_fs, blk.inv_bs, blk.nr_bs,
-            blk.rec_num_merged, has_nr, blk.live, del_rw)
+            blk.rec_num_merged, has_nr, blk.live, del_rw, gt_lens)
 
 
 def live_cells_at_host(starts: np.ndarray, col: np.ndarray,

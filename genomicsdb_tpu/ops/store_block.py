@@ -26,6 +26,10 @@ from .combine_step import CellBlock
 
 INT_MISSING = formats.INT_MISSING
 INT64_MAX = np.iinfo(np.int64).max
+# hard ceiling on merged alleles per record on the device path; records
+# merging more alleles splice to the sequential engine (mirrors the
+# reference's own too-many-alt cutoff, broad_combined_gvcf.cc)
+MAX_MERGED_CAP = 16
 
 
 def record_starts(store: ColumnarStore, qc: QueryConfig,
@@ -175,14 +179,26 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             out[sel] = fd.values[fd.offsets[:-1][safe_cells[sel]]]
         return out.reshape(S, C)
 
-    G_in = M.genotype_combinations(max_merged, ploidy)
-    G_in = len(G_in)
-    pl, pl_len = ragged_matrix("PL", G_in)
-    ad, ad_len = ragged_matrix("AD", max_merged)
+    # general ploidy: size the block to the cohort's MAX ploidy (derived
+    # from stored GT lengths); per-call ploidy rides along so haploid /
+    # triploid calls remap with their own genotype enumeration
+    # (variant_field_handler.cc:199-296 general-ploidy path)
+    gt_fd0 = store.fields.get("GT")
+    gt_info0 = qc.vid.get_field_info("GT")
+    if gt_fd0 is not None and gt_info0 is not None and store.num_cells \
+            and gt_fd0.valid.any():
+        glens0 = np.diff(gt_fd0.offsets)
+        pl_max = max(int(gt_info0.length.ploidy(int(g)))
+                     for g in glens0[gt_fd0.valid] if g > 0) \
+            if (gt_fd0.valid & (glens0 > 0)).any() else ploidy
+        if 0 < pl_max <= 4:
+            ploidy = max(ploidy, pl_max)
+    # (PL/AD matrices are allocated AFTER the allele-merge loop, once
+    # the block's effective max_merged is known — see below)
     # phased GT ("PP" descriptor) stores 2p-1 interleaved elements
     # (broad_combined_gvcf.cc:650-652); phase slots ride along unremapped
     gt_w = 2 * ploidy - 1 if plan.gt_phase else ploidy
-    gt, _ = ragged_matrix("GT", gt_w, fill=-1)
+    gt, gt_len_sc = ragged_matrix("GT", gt_w, fill=-1)
     gq = scalar_matrix("GQ")
     dp = scalar_matrix("DP_FORMAT")
     min_dp = scalar_matrix("MIN_DP")
@@ -390,6 +406,11 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     # kernels consume.  A per-record LUT (not per-cell) is required for
     # multi-position variant cells (e.g. MNPs): the same cell can merge
     # against a different variant set in each record it spans.
+    # inv_bs starts at the requested max_merged and GROWS (bucketed to
+    # powers of two, capped at MAX_MERGED_CAP) when a record merges more
+    # alleles — replacing the old splice-at->max_merged behaviour.
+    # Only records beyond the cap still splice (the reference's own
+    # too-many-alleles territory, broad_combined_gvcf.cc 50-alt cutoff).
     inv_bs = np.full((B, S, max_merged), -1, dtype=np.int32)
     nr_bs = np.full((B, S), -1, dtype=np.int32)
     # identity LUT for every live slot of a ref-only record (all such
@@ -468,7 +489,13 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             del_rw[b, s_var[np.asarray(rewritten)]] = True
         rec_has_nr[b] = non_ref
         nm = len(merged_alts) + 1
-        rec_num_merged[b] = min(nm, max_merged)
+        if inv_bs.shape[2] < nm <= MAX_MERGED_CAP:
+            grow = min(MAX_MERGED_CAP,
+                       max(max_merged, 1 << (nm - 1).bit_length()))
+            inv_bs = np.pad(inv_bs,
+                            ((0, 0), (0, 0), (0, grow - inv_bs.shape[2])),
+                            constant_values=-1)
+        rec_num_merged[b] = min(nm, inv_bs.shape[2])
         if merged_ref is not None:
             rec_refs[b] = merged_ref
         elif start_here[b].any():
@@ -476,14 +503,14 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             rec_refs[b] = (chr(ref_first[c0]) if ref_len[c0] == 1
                            else get_ref(c0))
         rec_alts[b] = list(merged_alts)
-        if nm > max_merged:
-            # more merged alleles than the block arrays hold: the device
-            # remap would silently truncate -> sequential splice
+        if nm > MAX_MERGED_CAP:
+            # more merged alleles than the cap: the device remap would
+            # silently truncate -> sequential splice (rare)
             rec_overflow.append(b)
-        W = min(nm, max_merged)
+        W = min(nm, inv_bs.shape[2])
         # variant samples: their index in var_cells IS their position
         # among var-selected srows (one cell belongs to one row)
-        inv_w = inv_rows[:, :max_merged]
+        inv_w = inv_rows[:, :inv_bs.shape[2]]
         inv_bs[b, s_var[:, None],
                np.arange(inv_w.shape[1])[None, :]] = inv_w
         if non_ref:
@@ -500,7 +527,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         # the merge (broad_combined_gvcf.cc:912-1078 + GA4GH GT remap);
         # the composed device remap cannot express the argmin, so the
         # handful of rewritten calls get host-computed overrides
-        if plan.produce_gt and any(rewritten) and nm <= max_merged:
+        if plan.produce_gt and any(rewritten) and nm <= MAX_MERGED_CAP:
             for i, (c, rw) in enumerate(zip(var_cells, rewritten)):
                 if not rw:
                     continue
@@ -509,6 +536,12 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                     gt_fd, pl_fd, gt_info, pl_q)
                 if ov is not None:
                     gt_override[(b, int(s_var[i]))] = ov
+    # effective block width after any allele-merge growth; the PL/AD
+    # matrices are sized to it so no merged record truncates
+    max_merged = inv_bs.shape[2]
+    G_in = len(M.genotype_combinations(max_merged, ploidy))
+    pl, pl_len = ragged_matrix("PL", G_in)
+    ad, ad_len = ragged_matrix("AD", max_merged)
     # splice decision is plan-driven: records carrying a valid queried
     # field the block path cannot realize go to the sequential engine
     handled = plan.handled
@@ -518,22 +551,36 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     for name, fd in store.fields.items():
         if name in handled or fd.valid is None or not fd.valid.any():
             continue
+        if not qc.is_queried(name):
+            # stored but unqueried fields never render (the sequential
+            # writer only consumes qc.attributes) -> no splice needed
+            continue
         if N:
             rec_hasother |= (live_ok & fd.valid[safe_cm]).any(axis=1)
-    # non-diploid / phased GT (stored length != ploidy) and invalid-GT
-    # cells: the batched GT path assumes a dense unphased [.., ploidy]
-    # layout -> splice those records (general ploidy stays host-side)
+    # ploidy beyond the closed-form genotype-index terms (>4): splice
+    # (the reference's own 50-alt cutoff territory; rare)
     if N and gt_fd is not None and qc.is_queried("GT"):
         glens = np.diff(gt_fd.offsets)
-        cell_gt_bad = (~gt_fd.valid) | (glens != gt_w)
+        pls = np.array([gt_info.length.ploidy(int(g)) if g else 0
+                        for g in glens]) if gt_info is not None \
+            else glens
+        cell_gt_bad = gt_fd.valid & (pls > 4)
         rec_hasother |= (live_ok & cell_gt_bad[safe_cm]).any(axis=1)
+    gt_len_bs = np.where(live_ok, gt_len_sc[s_grid, live_k],
+                         0).astype(np.int32)
+    if N and gt_fd is not None:
+        # invalid GT -> length 0 (renders '.', matching CallView rules)
+        gt_len_bs = np.where(
+            live_ok & effective_valid(gt_fd, N)[safe_cm], gt_len_bs, 0)
     blk = CellBlock(col=col, end=end, pl=pl, pl_len=pl_len, ad=ad,
                     ad_len=ad_len, gt=gt, gq=gq, dp=dp, min_dp=min_dp,
                     dp_info=dp_info, info_f=info_f, info_i=info_i,
                     info_fs=info_fs,
                     inv_bs=inv_bs, nr_bs=nr_bs, starts=starts,
                     rec_num_merged=rec_num_merged, rec_has_nr=rec_has_nr,
-                    live=live.astype(np.int32), del_rw=del_rw)
+                    live=live.astype(np.int32), del_rw=del_rw,
+                    gt_len_bs=gt_len_bs, ploidy=ploidy,
+                    gt_phase=plan.gt_phase)
     if not return_meta:
         return blk
     # --- gathered extras + effective-validity masks for the writer ---

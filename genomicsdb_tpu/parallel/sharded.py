@@ -56,7 +56,7 @@ def sharded_combine_step(mesh: Mesh, max_merged: int, ploidy: int,
 
     def step(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp, dp_info, info_f,
              info_i, info_fs, inv_bs, nr_bs, rec_num_merged, rec_has_nr,
-             live, del_rw) -> Dict[str, jnp.ndarray]:
+             live, del_rw, gt_lens) -> Dict[str, jnp.ndarray]:
         g = gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                              dp_info, info_f, info_i, info_fs, live,
                              del_rw)
@@ -106,6 +106,7 @@ def _input_specs():
         P("pos"),                          # rec_has_nr [B]
         P("pos", "row"),                   # live [B, S]
         P("pos", "row"),                   # del_rw [B, S]
+        P("pos", "row"),                   # gt_len_bs [B, S]
     )
 
 
@@ -145,6 +146,8 @@ def pad_block_for_mesh(blk: CellBlock, n_pos: int, n_row: int) -> CellBlock:
         out.live = padS(blk.live, -1, axis=1)
         if out.del_rw is not None:
             out.del_rw = padS(blk.del_rw, False, axis=1)
+        if out.gt_len_bs is not None:
+            out.gt_len_bs = padS(blk.gt_len_bs, 0, axis=1)
     if B_pad:
         def padB(x, fill):
             pad_width = [(0, B_pad)] + [(0, 0)] * (x.ndim - 1)
@@ -158,6 +161,8 @@ def pad_block_for_mesh(blk: CellBlock, n_pos: int, n_row: int) -> CellBlock:
         out.live = padB(out.live, -1)
         if out.del_rw is not None:
             out.del_rw = padB(out.del_rw, False)
+        if out.gt_len_bs is not None:
+            out.gt_len_bs = padB(out.gt_len_bs, 0)
     return out
 
 

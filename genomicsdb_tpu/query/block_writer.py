@@ -87,7 +87,18 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                                return_meta=True, pad_records=pad_records,
                                pad_cells_to=pad_cells_to)
     plan = meta.plan
+    ploidy = blk.ploidy          # block is sized to the cohort max
+    max_merged = blk.inv_bs.shape[2]   # after any allele-merge growth
+    gt_w = blk.gt.shape[2]
+    mixed_ploidy = bool(blk.gt_len_bs is not None
+                        and not (((blk.gt_len_bs == gt_w)
+                                  | (blk.live < 0)).all()))
     import os as _os
+    if mesh is not None and mixed_ploidy:
+        # general-ploidy cohorts run the single-device path (the shard
+        # step does not carry the per-call ploidy select); correctness
+        # over distribution for these rare cohorts
+        mesh = None
     if mesh is not None:
         from ..parallel.sharded import (pad_block_for_mesh, shard_block,
                                         sharded_combine_step)
@@ -110,7 +121,8 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
             else:
                 out[k] = a[:B0]
         live = out["live"]
-    elif _os.environ.get("GENOMICSDB_TPU_DENSE") == "1":
+    elif _os.environ.get("GENOMICSDB_TPU_DENSE") == "1" \
+            and not mixed_ploidy:
         # PCIe-host configuration: live-cell gather on the host, device
         # runs only dense math (docs/performance.md; ~4x on-chip)
         from ..ops.combine_step import (combine_step_dense,
@@ -128,7 +140,8 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
         out = None
         fused_flag = _os.environ.get("GENOMICSDB_TPU_FUSED")
         use_fused = (fused_flag == "1"
-                     or (fused_flag != "0" and jnp_backend_is_tpu()))
+                     or (fused_flag != "0" and jnp_backend_is_tpu())) \
+            and not mixed_ploidy
         if use_fused:
             # fused Pallas path (windowed gather + remap in VMEM); falls
             # back to XLA when the window premise fails for this block
@@ -142,6 +155,7 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                           and jnp_backend_is_tpu())
             out = combine_step(*block_to_args(blk), max_merged=max_merged,
                                ploidy=ploidy, gt_phase=plan.gt_phase,
+                               mixed_ploidy=mixed_ploidy,
                                use_pallas=use_pallas)
         live = np.asarray(out["live"])
     dev = {k: np.asarray(v) for k, v in out.items()}
@@ -314,7 +328,8 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
         groups.setdefault(code, []).append(i)
     if with_fmt:
         renderer = _SampleRenderer(plan, fmt_specs, meta, blk, dev, live,
-                                   ploidy, store)
+                                   ploidy, store,
+                                   mixed_ploidy=mixed_ploidy)
         for code, idxs in groups.items():
             sig = sig_of(code)
             texts = renderer.render_group(sig, bs_arr[idxs])
@@ -757,6 +772,21 @@ def _num_genotypes(nm, ploidy: int):
     return n_alt + 1
 
 
+def _num_genotypes_ploidy(nm, p):
+    """C(nm + p - 1, p) elementwise (genotype count for nm alleles at
+    ploidy p; p == 0 -> 0 elements, the no-GT '.' case)."""
+    nm = np.asarray(nm)
+    p = np.asarray(p)
+    out = np.ones(np.broadcast_shapes(nm.shape, p.shape), dtype=np.int64)
+    pmax = int(p.max()) if p.size else 0
+    # multiplicative C(n+k-1, k) built up over k, masked per element
+    val = np.ones_like(out)
+    for k in range(1, pmax + 1):
+        val = val * (nm + k - 1) // k
+        out = np.where(p == k, val, out)
+    return np.where(p <= 0, 0, out)
+
+
 def _ragged_offsets(lengths: np.ndarray) -> np.ndarray:
     out = np.zeros(lengths.size + 1, dtype=np.int64)
     np.cumsum(lengths.ravel(), out=out[1:])
@@ -777,7 +807,7 @@ class _SampleRenderer:
     rare float/char columns."""
 
     def __init__(self, plan, fmt_specs, meta, blk, dev, live, ploidy,
-                 store):
+                 store, mixed_ploidy=False):
         self.plan = plan
         self.fmt_specs = fmt_specs
         self.meta = meta
@@ -786,6 +816,13 @@ class _SampleRenderer:
         self.live = live
         self.ploidy = ploidy
         self.store = store
+        self.mixed = mixed_ploidy
+        if mixed_ploidy:
+            gl = blk.gt_len_bs
+            self.ploidy_bs = ((gl + 1) // 2 if plan.gt_phase
+                              else gl).astype(np.int64)
+        else:
+            self.ploidy_bs = None
         self.native = native_loader.get_lib() is not None
 
     def render_group(self, sig, bs) -> List[str]:
@@ -852,7 +889,8 @@ class _SampleRenderer:
             produce = self.plan.produce_gt
             phase = self.plan.gt_phase
             if not produce and not phase:
-                gt_len = np.where(mask, self.ploidy, 0)
+                per_p = self.ploidy_bs[bs] if self.mixed else self.ploidy
+                gt_len = np.where(mask, per_p, 0)
                 gt_vals = np.full(int(gt_len.sum()), INT_MISSING,
                                   dtype=np.int32)
                 if self.native:
@@ -894,13 +932,20 @@ class _SampleRenderer:
                                      np.where(valid, nmm[:, None], 0),
                                      mask)
         if nm == "PL":
-            ng = _num_genotypes(self.blk.rec_num_merged[bs], self.ploidy)
+            nmm = self.blk.rec_num_merged[bs]
+            if self.mixed:
+                # per-call genotype count C(nm+p-1, p) from per-call
+                # ploidy (general-ploidy cohorts)
+                ng = _num_genotypes_ploidy(nmm[:, None],
+                                           self.ploidy_bs[bs])
+            else:
+                ng = _num_genotypes(nmm, self.ploidy)[:, None]
             valid = mask & self.meta.valid_core["PL"][bs]
             pl = self.dev["pl"]
-            sel = (np.arange(pl.shape[2]) < ng[:, None, None]) \
+            sel = (np.arange(pl.shape[2]) < ng[:, :, None]) \
                 & valid[:, :, None]
             return self._ragged_ints(pl[bs][sel],
-                                     np.where(valid, ng[:, None], 0),
+                                     np.where(valid, ng, 0),
                                      mask)
         # ---- extras ----
         ex = self.meta.extras[nm]
