@@ -44,7 +44,8 @@ def make_mesh(n_pos: int, n_row: int, devices=None) -> Mesh:
 
 
 def sharded_combine_step(mesh: Mesh, max_merged: int, ploidy: int,
-                         gt_phase: bool = False):
+                         gt_phase: bool = False,
+                         mixed_ploidy: bool = False):
     """Build the pjit-ed sharded combine step for a mesh.
 
     Records are sharded over "pos"; samples (cells) over "row".  Each
@@ -64,9 +65,10 @@ def sharded_combine_step(mesh: Mesh, max_merged: int, ploidy: int,
                             g["adlg"], g["gtg"], g["gqg"], g["dpfg"],
                             g["mdpg"], g["dpig"], g["infog"], g["infoig"],
                             g["infofsg"], g["valid"], rec_num_merged,
-                            rec_has_nr,
+                            rec_has_nr, gt_lens,
                             max_merged=max_merged, ploidy=ploidy,
-                            gt_phase=gt_phase, axis_name="row")
+                            gt_phase=gt_phase, mixed_ploidy=mixed_ploidy,
+                            axis_name="row")
         out["live"] = live
         return out
 

@@ -94,11 +94,6 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                         and not (((blk.gt_len_bs == gt_w)
                                   | (blk.live < 0)).all()))
     import os as _os
-    if mesh is not None and mixed_ploidy:
-        # general-ploidy cohorts run the single-device path (the shard
-        # step does not carry the per-call ploidy select); correctness
-        # over distribution for these rare cohorts
-        mesh = None
     if mesh is not None:
         from ..parallel.sharded import (pad_block_for_mesh, shard_block,
                                         sharded_combine_step)
@@ -107,7 +102,8 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
         args = shard_block(mesh, pblk)
         step = sharded_combine_step(mesh, max_merged=max_merged,
                                     ploidy=ploidy,
-                                    gt_phase=plan.gt_phase)
+                                    gt_phase=plan.gt_phase,
+                                    mixed_ploidy=mixed_ploidy)
         out_s = step(*args)
         B0, S0 = blk.live.shape
         out = {}
