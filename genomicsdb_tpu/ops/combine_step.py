@@ -335,12 +335,13 @@ def gather_block_host(blk: CellBlock, live: np.ndarray) -> Dict[str,
 
 
 @partial(jax.jit, static_argnames=("max_merged", "ploidy", "gt_phase",
-                                   "use_pallas"))
+                                   "mixed_ploidy", "use_pallas"))
 def combine_step_dense(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg,
                        mdpg, dpig, infog, infoig, infofsg, valid,
-                       rec_num_merged, rec_has_nr=None, *,
+                       rec_num_merged, rec_has_nr=None, gt_lens=None, *,
                        max_merged: int, ploidy: int,
                        gt_phase: bool = False,
+                       mixed_ploidy: bool = False,
                        use_pallas: bool = False
                        ) -> Dict[str, jnp.ndarray]:
     """combine_step on HOST-pre-gathered dense inputs (gather_block_host):
@@ -349,9 +350,10 @@ def combine_step_dense(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg,
         rec_has_nr = jnp.ones(rec_num_merged.shape, dtype=bool)
     return _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg,
                          mdpg, dpig, infog, infoig, infofsg, valid,
-                         rec_num_merged, rec_has_nr,
+                         rec_num_merged, rec_has_nr, gt_lens,
                          max_merged=max_merged, ploidy=ploidy,
-                         gt_phase=gt_phase, use_pallas=use_pallas)
+                         gt_phase=gt_phase, mixed_ploidy=mixed_ploidy,
+                         use_pallas=use_pallas)
 
 
 def block_to_args(blk: CellBlock):

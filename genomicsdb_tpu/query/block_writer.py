@@ -117,8 +117,7 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
             else:
                 out[k] = a[:B0]
         live = out["live"]
-    elif _os.environ.get("GENOMICSDB_TPU_DENSE") == "1" \
-            and not mixed_ploidy:
+    elif _os.environ.get("GENOMICSDB_TPU_DENSE") == "1":
         # PCIe-host configuration: live-cell gather on the host, device
         # runs only dense math (docs/performance.md; ~4x on-chip)
         from ..ops.combine_step import (combine_step_dense,
@@ -128,9 +127,9 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
             g["plg"], g["invg"], g["pllg"], g["nrg"], g["adg"],
             g["adlg"], g["gtg"], g["gqg"], g["dpfg"], g["mdpg"],
             g["dpig"], g["infog"], g["infoig"], g["infofsg"], g["valid"],
-            blk.rec_num_merged, blk.rec_has_nr,
+            blk.rec_num_merged, blk.rec_has_nr, blk.gt_len_bs,
             max_merged=max_merged, ploidy=ploidy,
-            gt_phase=plan.gt_phase)
+            gt_phase=plan.gt_phase, mixed_ploidy=mixed_ploidy)
         live = np.asarray(blk.live)
     else:
         out = None
