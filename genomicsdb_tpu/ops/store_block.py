@@ -187,10 +187,14 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     gt_info0 = qc.vid.get_field_info("GT")
     if gt_fd0 is not None and gt_info0 is not None and store.num_cells \
             and gt_fd0.valid.any():
-        glens0 = np.diff(gt_fd0.offsets)
-        pl_max = max(int(gt_info0.length.ploidy(int(g)))
-                     for g in glens0[gt_fd0.valid] if g > 0) \
-            if (gt_fd0.valid & (glens0 > 0)).any() else ploidy
+        pl_max = getattr(store, "_gt_ploidy_max_cache", None)
+        if pl_max is None:
+            # distinct stored GT lengths are a handful; never loop cells
+            glens0 = np.diff(gt_fd0.offsets)
+            uniq = np.unique(glens0[gt_fd0.valid & (glens0 > 0)])
+            pl_max = max((int(gt_info0.length.ploidy(int(g)))
+                          for g in uniq), default=ploidy)
+            store._gt_ploidy_max_cache = pl_max
         if 0 < pl_max <= 4:
             ploidy = max(ploidy, pl_max)
     # (PL/AD matrices are allocated AFTER the allele-merge loop, once
@@ -561,9 +565,15 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     # (the reference's own 50-alt cutoff territory; rare)
     if N and gt_fd is not None and qc.is_queried("GT"):
         glens = np.diff(gt_fd.offsets)
-        pls = np.array([gt_info.length.ploidy(int(g)) if g else 0
-                        for g in glens]) if gt_info is not None \
-            else glens
+        if gt_info is not None:
+            # map stored length -> ploidy via the few distinct lengths
+            # (searchsorted lookup; never a per-cell Python loop)
+            uniq = np.unique(glens)
+            pl_u = np.array([gt_info.length.ploidy(int(g)) if g else 0
+                             for g in uniq], dtype=np.int64)
+            pls = pl_u[np.searchsorted(uniq, glens)]
+        else:
+            pls = glens
         cell_gt_bad = gt_fd.valid & (pls > 4)
         rec_hasother |= (live_ok & cell_gt_bad[safe_cm]).any(axis=1)
     gt_len_bs = np.where(live_ok, gt_len_sc[s_grid, live_k],

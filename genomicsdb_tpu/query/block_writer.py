@@ -6,9 +6,10 @@ fixed-layout device output buffers".  Field handling is vid/query-driven
 (query/block_fields.BlockPlan): the hot remaps and scalar INFO
 reductions come from the device step, the rare long-tail (element-wise
 sums, 2-D allele-specific fields, histograms, ID/QUAL combining, chars)
-is computed here from host-gathered arrays.  Records the plan cannot
-realize (allele overflow, non-diploid GT) splice maximal runs of the
-sequential engine.
+is computed here from host-gathered arrays.  General (mixed) ploidy and
+up to 16 merged alleles run on the device path; only records beyond
+that cap, or carrying a queried field the plan cannot realize, splice
+maximal runs of the sequential engine.
 
 Byte-compatible with CombineToVCF (tests/test_block_golden_matrix.py
 replays every combined-VCF golden through this writer).
