@@ -38,8 +38,15 @@ LEGAL = {"A", "T", "G", "C"}
 
 
 def jnp_backend_is_tpu() -> bool:
+    """True when jit-compiled calls will actually land on the TPU.
+    Honors a contextual `jax.default_device(...)` override (used to pin
+    host-side stages to CPU on debug-tunnel setups) — the global
+    default_backend() alone would misreport inside that context."""
     import jax
     try:
+        d = getattr(jax.config, "jax_default_device", None)
+        if d is not None:
+            return getattr(d, "platform", "") in ("tpu", "axon")
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
