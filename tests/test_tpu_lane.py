@@ -97,6 +97,23 @@ print("FUSED_CHIP_OK")
     assert "FUSED_CHIP_OK" in out
 
 
+def test_block_query_mixed_ploidy_golden_on_chip():
+    # general-ploidy cohorts run batched on the chip too (per-call GT
+    # lengths select the genotype enumeration)
+    out = _run_on_tpu(PREAMBLE + r"""
+with jax.default_device(tpu):
+    import golden_utils as gu
+    got = gu.run_vcf_block(
+        "inputs/callsets/t0_haploid_triploid_1_2_3_triploid_deletion.json",
+        gu.VCF_ATTRIBUTES_ORDER, [(0, 1000000000)],
+        vid_file="inputs/vid_DS_ID_phased_GT.json")
+want = gu.golden("t0_haploid_triploid_1_2_3_triploid_deletion_vcf")
+assert got == want, "chip mixed-ploidy block query != golden"
+print("CHIP_MIXED_OK")
+""", timeout=1500)
+    assert "CHIP_MIXED_OK" in out
+
+
 def test_block_query_golden_on_chip():
     # the full query compiles several distinct programs through the
     # remote AOT service (~1 min each, cached afterwards): bigger budget
