@@ -103,15 +103,17 @@ class FusedConfig:
         return self.out_rows["__total__"][1]
 
 
-def build_payload(blk, cfg: FusedConfig) -> np.ndarray:
-    """[S, V, C] int32 slab of every per-cell field (floats bit-cast)."""
+def build_payload(blk, cfg: FusedConfig, cpad: int = 0) -> np.ndarray:
+    """[S, V, C+cpad] int32 slab of every per-cell field (floats
+    bit-cast); `cpad` window padding is allocated up front so no
+    whole-slab copy happens afterwards."""
     S, C = blk.col.shape
-    pay = np.full((S, cfg.v, C), INT_MISSING, dtype=np.int32)
+    pay = np.full((S, cfg.v, C + cpad), INT_MISSING, dtype=np.int32)
     r = cfg.rows
 
     def put(name, arr):
         lo, hi = r[name]
-        pay[:, lo:hi, :] = arr
+        pay[:, lo:hi, :C] = arr
 
     put("pl", np.moveaxis(blk.pl, -1, 1))
     put("pl_len", blk.pl_len[:, None, :])
@@ -348,11 +350,9 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
     if w0b is None:
         return None
     # host-side layout prep (cheap transposes/pads, numpy)
-    pay = build_payload(blk, cfg)
-    C = pay.shape[2]
+    C = blk.col.shape[1]
     cpad = (-C) % cfg.cb + cfg.cb          # room for the +1 window block
-    pay = np.pad(pay, ((0, 0), (0, 0), (0, cpad)),
-                 constant_values=INT_MISSING)
+    pay = build_payload(blk, cfg, cpad)
     bpad = (-B) % cfg.bt
     del_rw = blk.del_rw if blk.del_rw is not None \
         else np.zeros((B, S), dtype=bool)
