@@ -299,47 +299,90 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     gt_fd = store.fields.get("GT")
     pl_fd = store.fields.get("PL")
     gt_info = qc.vid.get_field_info("GT")
-    for ci in np.nonzero(present & ref_ok & alt_ok & (ref_len > 1))[0]:
-        ci = int(ci)
-        r, a = get_ref(ci), get_alts(ci)
-        if r is None or a is None:
-            continue
-        # contains_deletion (known_field_info.cc:310-319): '*' is
-        # symbolic and does NOT trigger the rewrite by itself
-        if not any((not M.is_symbolic_allele(x)) and len(x) < len(r)
-                   for x in a):
-            continue
-        cell_hasdel[ci] = True
-        ploidy_c = 0
-        if gt_q and gt_fd is not None and gt_fd.valid[ci] \
-                and gt_info is not None:
-            glen = int(gt_fd.offsets[ci + 1] - gt_fd.offsets[ci])
-            ploidy_c = gt_info.length.ploidy(glen)
-        pl_vals = None
-        if pl_q and pl_fd is not None and pl_fd.valid[ci]:
-            pl_vals = pl_fd.values[pl_fd.offsets[ci]:pl_fd.offsets[ci + 1]]
-        lut_row1 = np.full(len(a) + 1, M.LUT_MISSING, dtype=np.int32)
-        lut_row1[0] = 0
-        lowest_del, lowest_pl, has_nr = -1, 2**31 - 1, False
-        for i, alt in enumerate(a):
-            allele_idx = i + 1
-            is_del = alt == "*" or (not M.is_symbolic_allele(alt)
-                                    and len(alt) < len(r))
-            if is_del:
-                if lowest_del < 0:
-                    lowest_del = allele_idx
-                if pl_vals is not None:
-                    g_i = M.genotype_index([allele_idx] * ploidy_c)
-                    if g_i < len(pl_vals) and pl_vals[g_i] < lowest_pl:
-                        lowest_pl = int(pl_vals[g_i])
-                        lowest_del = allele_idx
-            elif alt.startswith("&"):
-                lut_row1[allele_idx] = 2
-                has_nr = True
-        lut_row1[lowest_del] = 1
-        new_alts = ["*", "&"] if has_nr else ["*"]
-        inv1 = M.inverse_lut(lut_row1, 3)   # reduced -> input
-        del_state[ci] = (new_alts, lut_row1, inv1)
+    cand = np.nonzero(present & ref_ok & alt_ok & (ref_len > 1))[0]
+    if len(cand):
+        # Candidate cells are grouped by their (REF, ALT) byte signature
+        # — cohorts carry few distinct allele strings, so each signature
+        # is parsed ONCE and only the per-cell min-PL deletion choice is
+        # computed, vectorized.  (A deletion-heavy 100-sample cohort has
+        # ~N_samples identical cells per deletion site; the old per-cell
+        # loop dominated store_to_block.)
+        ploidy_cell = np.zeros(N, dtype=np.int64)
+        if gt_q and gt_fd is not None and gt_info is not None:
+            glens_all = np.diff(gt_fd.offsets)
+            uniq_gl = np.unique(glens_all)
+            pu = np.array([gt_info.length.ploidy(int(g)) if g else 0
+                           for g in uniq_gl], dtype=np.int64)
+            ploidy_cell = np.where(
+                gt_fd.valid, pu[np.searchsorted(uniq_gl, glens_all)], 0)
+        pl_have = np.zeros(N, dtype=bool)
+        if pl_q and pl_fd is not None:
+            pl_have = np.asarray(pl_fd.valid, dtype=bool)
+        ro, ao = ref_fd.offsets, alt_fd.offsets
+        rb, ab = ref_bytes.tobytes(), alt_bytes.tobytes()
+        groups: Dict[bytes, List[int]] = {}
+        for ci in cand.tolist():
+            key = rb[ro[ci]:ro[ci + 1]] + b"\x00" + ab[ao[ci]:ao[ci + 1]]
+            groups.setdefault(key, []).append(ci)
+        INT32_TOP = np.int64(2**31 - 1)
+        for key, cis in groups.items():
+            rs, as_ = key.split(b"\x00", 1)
+            r = rs.decode()
+            a = as_.decode().split("|")
+            # contains_deletion (known_field_info.cc:310-319): '*' is
+            # symbolic and does NOT trigger the rewrite by itself
+            if not any((not M.is_symbolic_allele(x)) and len(x) < len(r)
+                       for x in a):
+                continue
+            cia = np.asarray(cis, dtype=np.int64)
+            cell_hasdel[cia] = True
+            base = np.full(len(a) + 1, M.LUT_MISSING, dtype=np.int32)
+            base[0] = 0
+            has_nr = False
+            dels: List[int] = []
+            for i, alt in enumerate(a):
+                if alt == "*" or (not M.is_symbolic_allele(alt)
+                                  and len(alt) < len(r)):
+                    dels.append(i + 1)
+                elif alt.startswith("&"):
+                    base[i + 1] = 2
+                    has_nr = True
+            new_alts = ["*", "&"] if has_nr else ["*"]
+            # "lowest deletion": argmin PL at the homozygous-deletion
+            # genotype, first deletion on ties / no valid PL
+            lowest = np.full(len(cia), dels[0], dtype=np.int64)
+            have = pl_have[cia]
+            if have.any():
+                pv = np.asarray(pl_fd.values)
+                po = pl_fd.offsets
+                dela = np.asarray(dels, dtype=np.int64)
+                pls_c = ploidy_cell[cia]
+                for p in np.unique(pls_c[have]).tolist():
+                    sel = have & (pls_c == p)
+                    rows = cia[sel]
+                    gidx = np.array([M.genotype_index([d] * int(p))
+                                     for d in dels], dtype=np.int64)
+                    plen = po[rows + 1] - po[rows]
+                    ok = gidx[None, :] < plen[:, None]
+                    src = po[rows][:, None] + np.minimum(
+                        gidx[None, :], np.maximum(plen[:, None] - 1, 0))
+                    src = np.minimum(src, max(len(pv) - 1, 0))
+                    vals = np.where(ok, pv[src].astype(np.int64),
+                                    INT32_TOP)
+                    pick = np.argmin(vals, axis=1)
+                    upd = vals[np.arange(len(rows)), pick] < INT32_TOP
+                    lowest[sel] = np.where(upd, dela[pick], dels[0])
+            # one shared (alts, lut, inv) per distinct lowest-del choice
+            var_cache: Dict[int, Tuple[List[str], np.ndarray,
+                                       np.ndarray]] = {}
+            for ci, ld in zip(cis, lowest.tolist()):
+                st = var_cache.get(ld)
+                if st is None:
+                    row = base.copy()
+                    row[ld] = 1
+                    st = (new_alts, row, M.inverse_lut(row, 3))
+                    var_cache[ld] = st
+                del_state[ci] = st
 
     # --- record starts: events, expanded to SINGLE POSITIONS while any
     # live call contains a deletion (the scan's single-position stepping,
