@@ -251,6 +251,41 @@ void gdb_split_field(const char* text, const int64_t* starts,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Multi-field splitter: like gdb_split_field but resolves ALL requested
+// field indices in ONE scan per span (a sample column "GT:AD:DP:..." is
+// scanned once for every FORMAT field instead of once per field).
+// field_idxs must be ascending; outputs are [k, n] row-major.
+// Missing fields -> start==end==0 (matches gdb_split_field).
+// ---------------------------------------------------------------------------
+void gdb_split_fields_multi(const char* text, const int64_t* starts,
+                            const int64_t* ends, int64_t n, char delim,
+                            const int32_t* field_idxs, int32_t k,
+                            int64_t* out_starts, int64_t* out_ends) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t s = starts[i];
+    const int64_t e = ends[i];
+    int32_t fld = 0;
+    int32_t ki = 0;
+    int64_t fs = s;
+    for (int64_t j = s; j <= e && ki < k; ++j) {
+      if (j == e || text[j] == delim) {
+        while (ki < k && field_idxs[ki] == fld) {
+          out_starts[ki * n + i] = fs;
+          out_ends[ki * n + i] = j;
+          ++ki;
+        }
+        ++fld;
+        fs = j + 1;
+      }
+    }
+    for (; ki < k; ++ki) {  // fields past the span's last sub-field
+      out_starts[ki * n + i] = 0;
+      out_ends[ki * n + i] = 0;
+    }
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -25,12 +25,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.isfile(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "vcf_kernels.cpp")
+    stale = (os.path.isfile(_LIB_PATH) and os.path.isfile(src)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if not os.path.isfile(_LIB_PATH) or stale:
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR],
+            subprocess.run(["make", "-C", _NATIVE_DIR] +
+                           (["-B"] if stale else []),
                            capture_output=True, check=True)
         except Exception:
-            return None
+            if not os.path.isfile(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -66,6 +71,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int64), i64, ctypes.c_char,
         ctypes.c_int32, np.ctypeslib.ndpointer(np.int64),
         np.ctypeslib.ndpointer(np.int64)]
+    if hasattr(lib, "gdb_split_fields_multi"):
+        lib.gdb_split_fields_multi.restype = None
+        lib.gdb_split_fields_multi.argtypes = [
+            ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64), i64, ctypes.c_char,
+            np.ctypeslib.ndpointer(np.int32), ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64)]
     _lib = lib
     return _lib
 
@@ -299,6 +312,28 @@ def parse_gt(text: bytes, starts: np.ndarray, ends: np.ndarray,
     if total < 0:
         raise RuntimeError("GT parse overflow")
     return values[:total], offsets
+
+
+def split_fields_multi(text: bytes, starts: np.ndarray, ends: np.ndarray,
+                       delim: bytes, field_idxs):
+    """One-pass split of n spans at `delim` for several (ascending) field
+    indices.  Returns (starts[k, n], ends[k, n])."""
+    lib = get_lib()
+    n = len(starts)
+    k = len(field_idxs)
+    idxs = np.ascontiguousarray(field_idxs, dtype=np.int32)
+    if k > 1:
+        assert bool(np.all(idxs[1:] > idxs[:-1])), "field_idxs ascending"
+    out_s = np.empty((k, n), dtype=np.int64)
+    out_e = np.empty((k, n), dtype=np.int64)
+    if not hasattr(lib, "gdb_split_fields_multi"):
+        for j, fi in enumerate(idxs):
+            out_s[j], out_e[j] = split_field(text, starts, ends, delim,
+                                             int(fi))
+        return out_s, out_e
+    lib.gdb_split_fields_multi(text, starts, ends, n, delim, idxs, k,
+                               out_s, out_e)
+    return out_s, out_e
 
 
 def split_field(text: bytes, starts: np.ndarray, ends: np.ndarray,

@@ -300,64 +300,115 @@ def fast_import_file(path: str, vid: VidMapper,
         groups[sig] = np.nonzero(
             np.array([k == sig for k in fmt_keys]))[0]
     _ = sig_arr
+    # Parse jobs: one per (FORMAT signature, mapped sample).  Each job
+    # scans its sample column ONCE for every requested field
+    # (gdb_split_fields_multi) and parses natively; ctypes releases the
+    # GIL, so jobs run in parallel across host cores.
+    field_meta = {}
     for name in fmt_names:
         info = vid.fields[name]
-        vcfn = info.vcf_name
-        is_gt = vcfn == "GT"
-        is_float = info.type == "float"
-        is_char = info.type in ("char", "string")
-        kind, dtype, flen = specs[name]
-        lens = np.zeros(n_cells, dtype=np.int64)
-        # chunk list: (cell_ids, chunk_lens, values, src_offsets)
-        chunks: List[Tuple[np.ndarray, np.ndarray, np.ndarray,
-                           np.ndarray]] = []
-        per_cell_vals: List[Optional[np.ndarray]] = \
-            [None] * n_cells if is_char else []
-        for sig, recs in groups.items():
-            if vcfn not in sig:
+        field_meta[name] = (info, info.vcf_name == "GT",
+                            info.type == "float",
+                            info.type in ("char", "string"))
+    lens_by_field = {name: np.zeros(n_cells, dtype=np.int64)
+                     for name in fmt_names}
+    chunks_by_field: Dict[str, List[Tuple[np.ndarray, np.ndarray,
+                                          np.ndarray, np.ndarray]]] = \
+        {name: [] for name in fmt_names}
+    per_cell_by_field: Dict[str, Optional[List[Optional[np.ndarray]]]] = {
+        name: ([None] * n_cells if field_meta[name][3] else None)
+        for name in fmt_names}
+
+    def parse_sample(recs, present, fidxs, k_pos, local_idx):
+        scol = 9 + local_idx
+        s_starts = offs[recs, scol].copy()
+        s_ends = (offs[recs, scol + 1] - 1).copy()
+        fs_all, fe_all = nl.split_fields_multi(records, s_starts, s_ends,
+                                               b":", fidxs)
+        out = []
+        for (name, (info, is_gt, is_float, is_char)), fs, fe in zip(
+                present, fs_all, fe_all):
+            if is_char:
+                # strings: python per record (rare fields)
+                items = []
+                for j, ri in enumerate(recs):
+                    s = records[fs[j]:fe[j]].decode()
+                    if s and s != ".":
+                        items.append((int(ri), np.frombuffer(
+                            s.encode(), dtype=np.uint8)))
+                out.append((name, "char", k_pos, items))
                 continue
-            fidx = sig.index(vcfn)
-            for k_pos, (local_idx, row) in enumerate(mapped):
-                scol = 9 + local_idx
-                # spans of this sample column for these records
-                s_starts = offs[recs, scol].copy()
-                s_ends = (offs[recs, scol + 1] - 1).copy()
-                fs, fe = nl.split_field(records, s_starts, s_ends, b":",
-                                        fidx)
-                cids = recs * K_s + k_pos
-                if is_gt:
-                    vals2, off2 = nl.parse_gt(
-                        records, fs, fe, info.length.contains_phase())
-                elif is_char:
-                    # strings: python per record (rare fields)
-                    for j, ri in enumerate(recs):
-                        s = records[fs[j]:fe[j]].decode()
-                        if s and s != ".":
-                            arr = np.frombuffer(s.encode(), dtype=np.uint8)
-                            cid = ri * K_s + k_pos
-                            per_cell_vals[cid] = arr
-                            lens[cid] = len(arr)
-                    continue
-                elif is_float:
-                    vals2, off2 = nl.parse_float_lists(records, fs, fe)
+            if is_gt:
+                vals2, off2 = nl.parse_gt(
+                    records, fs, fe, info.length.contains_phase())
+            elif is_float:
+                vals2, off2 = nl.parse_float_lists(records, fs, fe)
+            else:
+                vals2, off2 = nl.parse_int_lists(records, fs, fe)
+            seg_lens = np.diff(off2)
+            # all-missing segments are invalid
+            # (variant_field_data.h:360-384)
+            if not is_gt and len(vals2):
+                if is_float:
+                    miss_elem = (vals2.view(np.uint32)
+                                 == formats.FLOAT_MISSING_BITS)
                 else:
-                    vals2, off2 = nl.parse_int_lists(records, fs, fe)
-                seg_lens = np.diff(off2)
-                # all-missing segments are invalid
-                # (variant_field_data.h:360-384)
-                if not is_gt and len(vals2):
-                    if is_float:
-                        miss_elem = (vals2.view(np.uint32)
-                                     == formats.FLOAT_MISSING_BITS)
-                    else:
-                        miss_elem = vals2 == INT_MISSING
-                    any_valid = np.logical_or.reduceat(
-                        ~miss_elem, np.minimum(off2[:-1],
-                                               max(len(vals2) - 1, 0)))
-                    any_valid = any_valid & (seg_lens > 0)
-                    seg_lens = np.where(any_valid, seg_lens, 0)
-                lens[cids] = seg_lens
-                chunks.append((cids, seg_lens, vals2, off2[:-1]))
+                    miss_elem = vals2 == INT_MISSING
+                any_valid = np.logical_or.reduceat(
+                    ~miss_elem, np.minimum(off2[:-1],
+                                           max(len(vals2) - 1, 0)))
+                any_valid = any_valid & (seg_lens > 0)
+                seg_lens = np.where(any_valid, seg_lens, 0)
+            out.append((name, "num", recs * K_s + k_pos, seg_lens, vals2,
+                        off2[:-1]))
+        return out
+
+    jobs = []
+    for sig, recs in groups.items():
+        present = []
+        for name in fmt_names:
+            vcfn = vid.fields[name].vcf_name
+            if vcfn in sig:
+                present.append(((name, field_meta[name]), sig.index(vcfn)))
+        if not present:
+            continue
+        present.sort(key=lambda t: t[1])
+        fidxs = np.asarray([fi for _, fi in present], dtype=np.int32)
+        pres = [p for p, _ in present]
+        for k_pos, (local_idx, _row) in enumerate(mapped):
+            jobs.append((recs, pres, fidxs, k_pos, local_idx))
+
+    if len(jobs) >= 4 and n_cells >= 4096:
+        import concurrent.futures as cf
+        import os as _os
+        workers = min(8, _os.cpu_count() or 1, len(jobs))
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            job_results = list(ex.map(lambda a: parse_sample(*a), jobs))
+    else:
+        job_results = [parse_sample(*a) for a in jobs]
+
+    for items in job_results:
+        for it in items:
+            if it[1] == "char":
+                name, _, k_pos, cell_items = it
+                pcv = per_cell_by_field[name]
+                lens = lens_by_field[name]
+                for ri, arr in cell_items:
+                    cid = ri * K_s + k_pos
+                    pcv[cid] = arr
+                    lens[cid] = len(arr)
+            else:
+                name, _, cids, seg_lens, vals2, src_off = it
+                lens_by_field[name][cids] = seg_lens
+                chunks_by_field[name].append((cids, seg_lens, vals2,
+                                              src_off))
+
+    for name in fmt_names:
+        info, is_gt, is_float, is_char = field_meta[name]
+        kind, dtype, flen = specs[name]
+        lens = lens_by_field[name]
+        chunks = chunks_by_field[name]
+        per_cell_vals = per_cell_by_field[name]
         valid = lens > 0
         if kind == "fixed":
             fill = formats.FLOAT_MISSING if is_float else INT_MISSING

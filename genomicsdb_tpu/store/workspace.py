@@ -247,6 +247,21 @@ def open_array(workspace: str, array_name: str) -> ColumnarStore:
 def merge_stores(stores: List[ColumnarStore]) -> ColumnarStore:
     """k-way column-major merge of fragments (consolidation kernel)."""
     base = stores[0]
+    if len(stores) == 1 and base.num_cells:
+        # single already-(col,row)-sorted fragment: skip the full
+        # re-sort + per-field gather (lexsort is stable, so identity
+        # order is a no-op) — just recompute effective ENDs
+        r, c = base.row, base.col
+        if bool(np.all((c[1:] > c[:-1])
+                       | ((c[1:] == c[:-1]) & (r[1:] >= r[:-1])))):
+            from .columnar import compute_eff_end
+            out = ColumnarStore(num_rows=base.num_rows,
+                                lb_row=base.lb_row)
+            out.attribute_order = list(base.attribute_order)
+            out.row, out.col, out.end = r, c, base.end
+            out.eff_end = compute_eff_end(out.row, out.col, out.end)
+            out.fields = dict(base.fields)
+            return out
     n_total = sum(s.num_cells for s in stores)
     out = ColumnarStore(num_rows=max(s.num_rows for s in stores),
                         lb_row=min(s.lb_row for s in stores))
