@@ -92,7 +92,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     field is gathered into `meta.extras` for the generalized writer.
     """
     from ..query.block_fields import (build_block_plan, effective_valid,
-                                      remap_allele_np)
+                                      remap_allele_np, remap_genotype_np)
     plan = build_block_plan(qc, qc.vid)
     rows = qc.rows_to_query
     S = len(rows)
@@ -662,6 +662,41 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         lens_bs = np.where(live_ok, lens[s_grid, live_k], 0)
         return vals, lens_bs
 
+    # per-call ploidy for G-length extras: derived from the stored GT
+    # length exactly like the sequential engine (CombineOperator: ploidy
+    # is 0 unless GT is queried AND the call's GT is valid)
+    _ploidy_ext = None
+
+    def ploidy_ext():
+        nonlocal _ploidy_ext
+        if _ploidy_ext is None:
+            if qc.is_queried("GT") and gt_info is not None:
+                gl = gt_len_bs.astype(np.int64)
+                uniq = np.unique(gl)
+                pl_u = np.array(
+                    [gt_info.length.ploidy(int(g)) if g else 0
+                     for g in uniq], dtype=np.int64)
+                _ploidy_ext = pl_u[np.searchsorted(uniq, gl)]
+            else:
+                _ploidy_ext = np.zeros((B, S), dtype=np.int64)
+        return _ploidy_ext
+
+    def remap_g(vals, lens_bs, v_bs, fill):
+        """G-length remap with the sequential operator's record rule:
+        ref-block-only records render RAW values (remapping_needed is
+        False there), all others the genotype-remapped view."""
+        vals_r, ng = remap_genotype_np(vals, lens_bs, inv_bs, nr_bs,
+                                       rec_num_merged, ploidy_ext(),
+                                       fill)
+        ro = rec_refonly[:, None]
+        W = max(vals.shape[2], vals_r.shape[2])
+
+        def padw(x):
+            return np.pad(x, ((0, 0), (0, 0), (0, W - x.shape[2])),
+                          constant_values=fill)
+        out = np.where(ro[..., None], padw(vals), padw(vals_r))
+        return out, np.where(v_bs, np.where(ro, lens_bs, ng), 0)
+
     for spec in plan.format_specs:
         if spec.name in CORE_FMT:
             continue
@@ -687,7 +722,13 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             w = int(np.diff(fd.offsets).max()) if fd.kind == "ragged" \
                 and len(fd.offsets) > 1 else 1
             vals, lens_bs = gather_vals(spec.name, max(w, 1), dtype, fill)
-        else:   # G-length non-PL: plan marks unsupported, never here
+        elif spec.wkind == "G":   # G-length non-PL (e.g. float GL)
+            w = int(np.diff(fd.offsets).max()) if fd.kind == "ragged" \
+                and len(fd.offsets) > 1 else \
+                (fd.values.shape[1] if fd.kind == "fixed" else 1)
+            vals, lens_bs = gather_vals(spec.name, max(w, 1), dtype, fill)
+            vals, lens_bs = remap_g(vals, lens_bs, v_bs, fill)
+        else:
             continue
         extras[spec.name] = ExtraField(spec, vals, v_bs, lens_bs)
     for spec in plan.info_specs:
@@ -715,6 +756,8 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             lens_bs = np.where(
                 v_bs, rec_num_merged[:, None]
                 - (1 if spec.length_code == kf.VL_A else 0), 0)
+        elif spec.length_code == kf.VL_G:
+            vals, lens_bs = remap_g(vals, lens_bs, v_bs, fill)
         extras[spec.name] = ExtraField(spec, vals, v_bs, lens_bs)
     for parent, bin_f, cnt_f in plan.hist_specs:
         for nm_h in (bin_f, cnt_f):

@@ -118,10 +118,10 @@ def build_block_plan(qc: QueryConfig, vid: VidMapper) -> BlockPlan:
         if is_char:
             spec = FormatSpec(name, info.vcf_name, "char", "VAR")
         elif ld.is_genotype_dependent():
-            if name != "PL":
-                plan.unsupported.add(name)   # general G fields: host only
-                continue
-            spec = FormatSpec(name, info.vcf_name, "int", "G")
+            # PL takes the device remap kernel; any other G-length field
+            # goes through the vectorized host twin (remap_genotype_np)
+            spec = FormatSpec(name, info.vcf_name,
+                              "float" if is_float else "int", "G")
         elif ld.is_allele_dependent():
             spec = FormatSpec(name, info.vcf_name,
                               "float" if is_float else "int",
@@ -244,3 +244,68 @@ def remap_allele_np(vals: np.ndarray, lens: np.ndarray,
     m = np.arange(inv.shape[-1])[None, None, :]
     ok &= m < (rec_nm[:, None, None] - offset)
     return np.where(ok, gathered, missing)
+
+
+def remap_genotype_np(vals: np.ndarray, lens: np.ndarray,
+                      inv_bs: np.ndarray, nr_bs: np.ndarray,
+                      rec_nm: np.ndarray, ploidy_bs: np.ndarray,
+                      missing) -> Tuple[np.ndarray, np.ndarray]:
+    """numpy twin of jax_kernels.remap_genotype_fields with per-call
+    ploidy: G-length (genotype-dependent) field remap for the extras
+    path (variant_field_handler.cc:84-296; PL takes the device kernel).
+
+    vals [B,S,K] raw gathered values, lens [B,S] valid input counts,
+    inv_bs [B,S,M] merged->input allele LUT, nr_bs [B,S] input NON_REF
+    index (-1 none), rec_nm [B] merged allele counts, ploidy_bs [B,S]
+    per-call ploidy (0 = no GT -> empty output, matching
+    genotype_combinations(nm, 0) == ()).
+
+    Returns (out [B,S,G_max], ng [B,S]): ng is the per-call output
+    genotype count C(nm + p - 1, p); out rows are missing-filled past it.
+    Relies on the same canonical-order prefix property as the device
+    kernel: genotypes over nm alleles are the first C(nm+p-1,p) rows of
+    the max-width combo table.
+    """
+    import math
+    from ..ops.jax_kernels import genotype_combo_table
+    B, S, K = vals.shape
+    Mw = inv_bs.shape[2]
+    ploidies = sorted(int(p) for p in np.unique(ploidy_bs) if p > 0)
+    if not ploidies or K == 0:
+        return (np.full((B, S, 1), missing, dtype=vals.dtype),
+                np.zeros((B, S), dtype=np.int64))
+    tables = {p: genotype_combo_table(Mw, p) for p in ploidies}
+    g_max = max(t.shape[0] for t in tables.values())
+    out = np.full((B, S, g_max), missing, dtype=vals.dtype)
+    ng = np.zeros((B, S), dtype=np.int64)
+    for p in ploidies:
+        combos = tables[p]                       # [Gp, p] ascending rows
+        sel = ploidy_bs == p
+        bi, si = np.nonzero(sel)
+        if len(bi) == 0:
+            continue
+        inv = inv_bs[bi, si]                     # [n, Mw]
+        a = inv[:, combos]                       # [n, Gp, p]
+        nr_c = nr_bs[bi, si][:, None, None]
+        a = np.where((a == -1) & (nr_c >= 0), nr_c, a)
+        bad = (a == -1).any(axis=2)              # unmappable combo
+        a = np.sort(np.maximum(a, 0), axis=2).astype(np.int64)
+        # canonical genotype index: sum_i C(i + a_i, i + 1)
+        in_gt = np.zeros(a.shape[:2], dtype=np.int64)
+        for i in range(p):
+            ai = a[:, :, i]
+            t = np.ones_like(ai)
+            for j in range(i + 1):
+                t = t * (ai + i - j)
+            in_gt += t // math.factorial(i + 1)
+        ok = ~bad & (in_gt < lens[bi, si][:, None])
+        # genotypes touching alleles beyond the record's merged count
+        # stay missing (the render also stops at ng)
+        ok &= combos.max(axis=1)[None, :] < rec_nm[bi][:, None]
+        gathered = np.take_along_axis(
+            vals[bi, si], np.clip(in_gt, 0, K - 1), axis=1)
+        out[bi, si, :combos.shape[0]] = np.where(ok, gathered, missing)
+        ng_lut = np.array([math.comb(n + p - 1, p)
+                           for n in range(Mw + 1)], dtype=np.int64)
+        ng[bi, si] = ng_lut[np.clip(rec_nm[bi], 0, Mw)]
+    return out, ng

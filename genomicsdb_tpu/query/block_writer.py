@@ -222,6 +222,11 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                               filter_name_by_field_idx or {}) \
         if plan.produce_filter else None
     dpsum = dev["dp_info_sum"]
+    # genotype-length fields are omitted entirely when the merged ALT
+    # count exceeds the genotyping cap (gt_common.h:48,
+    # too_many_alt_alleles_for_genotype_length_fields)
+    max_alt = qc.params.max_diploid_alt_alleles_that_can_be_genotyped
+    too_many = (blk.rec_num_merged - 1) > max_alt
     # per-spec validity is sparse (gVCF ref blocks carry no INFO):
     # compute rendered strings only where a spec fires, in spec order
     info_txt: Dict[int, List[str]] = {}
@@ -239,6 +244,8 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
             ex = meta.extras.get(spec.name)
             okv = ex.valid.any(axis=1) if ex is not None \
                 else np.zeros(B, dtype=bool)
+        if spec.length_code == kf.VL_G:
+            okv = okv & ~too_many
         for b in np.nonzero(okv & in_block)[0]:
             piece = host_info.render_spec(spec, int(b), dev)
             if piece is not None:
@@ -279,6 +286,8 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
             ex = meta.extras.get(nm)
             p = ex.valid.any(axis=1) if ex is not None \
                 else np.zeros(B, dtype=bool)
+        if spec.wkind == "G":   # PL + general genotype-length fields
+            p = p & ~too_many
         present[nm] = p
     have_dp_col = (dev["dp_format"] != INT_MISSING).any(axis=1)
     # ---------------- line assembly ----------------
@@ -945,11 +954,20 @@ class _SampleRenderer:
                 ng = _num_genotypes(nmm, self.ploidy)[:, None]
             valid = mask & self.meta.valid_core["PL"][bs]
             pl = self.dev["pl"]
+            lens_out = np.where(valid, ng, 0)
+            if self.mixed:
+                # ploidy-0 calls (no GT) inside ref-block-only records:
+                # the sequential operator does no remapping there
+                # (remapping_needed is False) and renders the stored PL
+                # raw, while the device remap yields nothing
+                raw_cells = (self.meta.is_ref_block_only[bs][:, None]
+                             & (self.ploidy_bs[bs] == 0) & valid)
+                if raw_cells.any():
+                    return self._pl_with_raw(pl, bs, lens_out,
+                                             raw_cells, mask)
             sel = (np.arange(pl.shape[2]) < ng[:, :, None]) \
                 & valid[:, :, None]
-            return self._ragged_ints(pl[bs][sel],
-                                     np.where(valid, ng, 0),
-                                     mask)
+            return self._ragged_ints(pl[bs][sel], lens_out, mask)
         # ---- extras ----
         ex = self.meta.extras[nm]
         if spec.kind == "char":
@@ -976,6 +994,35 @@ class _SampleRenderer:
         sel = np.arange(ex.vals.shape[2])[None, None, :] \
             < lens[:, :, None]
         return self._ragged_ints(ex.vals[bs][sel], lens, mask)
+
+    def _pl_with_raw(self, pl, bs, lens_out, raw_cells, mask):
+        """PL column where a few cells pass the stored values through
+        raw (rare: GT-missing calls in ref-block-only records)."""
+        fd = self.store.fields.get("PL")
+        cm = self.meta.cells_mat
+        R, S = raw_cells.shape
+        lens_out = np.asarray(lens_out, dtype=np.int64).copy()
+        segs = {}
+        for r, s in zip(*np.nonzero(raw_cells)):
+            ci = int(cm[bs[r], s])
+            seg = fd.cell_value(ci)
+            seg = np.asarray(seg if seg is not None else [],
+                             dtype=np.int32)
+            segs[(int(r), int(s))] = seg
+            lens_out[r, s] = len(seg)
+        flat = np.empty(int(lens_out.sum()), dtype=np.int32)
+        pos = 0
+        plb = pl[bs]
+        for r in range(R):
+            for s in range(S):
+                n = int(lens_out[r, s])
+                if not n:
+                    continue
+                seg = segs.get((r, s))
+                flat[pos:pos + n] = seg if seg is not None \
+                    else plb[r, s, :n]
+                pos += n
+        return self._ragged_ints(flat, lens_out, mask)
 
     def _ragged_ints(self, flat_vals, lens, mask):
         """Rows with len>0 get their values; len==0 rows render '.'

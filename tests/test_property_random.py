@@ -318,3 +318,107 @@ def test_block_deletions_produce_gt_fuzz(seed, mode):
     qc2 = driver.make_query_config(qp, vid)
     blk = driver.run_vcf_query_block(store, qc2, qp, vid)
     assert blk.splitlines() == seq.splitlines()
+
+
+G_VID_DOC = {
+    "fields": {
+        "END": {"vcf_field_class": ["INFO"], "type": "int"},
+        "DP": {"vcf_field_class": ["INFO", "FORMAT"], "type": "int"},
+        "GQ": {"vcf_field_class": ["FORMAT"], "type": "int"},
+        "AD": {"vcf_field_class": ["FORMAT"], "type": "int",
+               "length": "R"},
+        "PL": {"vcf_field_class": ["FORMAT"], "type": "int",
+               "length": "G"},
+        # general (non-PL) genotype-length fields: the block path renders
+        # these through remap_genotype_np instead of splicing
+        "GL": {"vcf_field_class": ["FORMAT"], "type": "float",
+               "length": "G"},
+        "GC": {"vcf_field_class": ["INFO"], "type": "int", "length": "G",
+               "VCF_field_combine_operation": "element_wise_sum"},
+        "GT": {"vcf_field_class": ["FORMAT"], "type": "int",
+               "length": "P"},
+    },
+    "contigs": {"1": {"length": 10_000_000, "tiledb_column_offset": 0}},
+}
+
+
+def _random_g_store(vid, rng, n_rows=5, max_cells=25):
+    """Random cohort carrying G-length FORMAT (float GL) and INFO (GC)
+    fields; rows disagree on ALT so merges genuinely reorder genotypes;
+    some cells omit GT (ploidy 0) or GL entirely."""
+    cells = []
+    for r in range(n_rows):
+        pos = 0
+        for _ in range(rng.integers(4, max_cells)):
+            pos += int(rng.integers(1, 40))
+            kind = rng.random()
+            if kind < 0.35:            # SNP; ALT varies by row
+                alt = "A" if r % 2 == 0 else "T"
+                if rng.random() < 0.2:
+                    alt = "A|T" if rng.random() < 0.5 else "G"
+                n_all = len(alt.split("|")) + 2
+                g = n_all * (n_all + 1) // 2
+                cell = {"row": r, "col": pos, "end": pos,
+                        "REF": "C", "ALT": alt + "|&", "FILTER": [],
+                        "PL": np.asarray(rng.integers(0, 200, size=g),
+                                         dtype=np.int32),
+                        "AD": np.asarray(rng.integers(0, 40, size=n_all),
+                                         dtype=np.int32)}
+                pos_next = pos + 1
+            else:                      # ref block
+                end = pos + int(rng.integers(0, 60))
+                cell = {"row": r, "col": pos, "end": end,
+                        "REF": "C", "ALT": "&", "FILTER": [],
+                        "PL": np.asarray([0, 0, 0], dtype=np.int32)}
+                g = 3
+                pos_next = end + 1
+            if rng.random() < 0.85:    # some calls have no GT: ploidy 0
+                cell["GT"] = np.asarray(
+                    [int(rng.integers(0, 2)), int(rng.integers(0, 2))],
+                    dtype=np.int32)
+            if rng.random() < 0.8:
+                cell["GL"] = np.asarray(
+                    rng.random(size=g) * -9.9, dtype=np.float32)
+            if rng.random() < 0.5:
+                cell["GC"] = np.asarray(rng.integers(0, 9, size=g),
+                                        dtype=np.int32)
+            cell["GQ"] = np.asarray([int(rng.integers(0, 99))],
+                                    dtype=np.int32)
+            cell["DP_FORMAT"] = np.asarray([int(rng.integers(1, 99))],
+                                           dtype=np.int32)
+            cells.append(cell)
+            pos = pos_next
+    cells.sort(key=lambda c: (c["col"], c["row"]))
+    specs = field_specs_for_vid(vid, False)
+    attrs = [a for a in vid.schema_attribute_names(False) if a != "END"]
+    return build_store(cells, attrs, specs, num_rows=n_rows)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 5, 13])
+@pytest.mark.parametrize("max_alt", [50, 2])
+def test_block_general_g_fields_fuzz(seed, max_alt):
+    """Non-PL G-length FORMAT/INFO fields render natively on the block
+    path, byte-identical to the sequential engine — including the
+    too-many-alt-alleles omission (gt_common.h:48) when max_alt caps
+    genotyping below the merged ALT count."""
+    rng = np.random.default_rng(seed)
+    vid = VidMapper()
+    vid.parse_vid(G_VID_DOC)
+    vid.parse_callsets({"callsets": {
+        f"S{r}": {"row_idx": r, "idx_in_file": r, "filename": "x"}
+        for r in range(5)}})
+    store = _random_g_store(vid, rng)
+    qp = QueryParams()
+    qp.scan_full = True
+    qp.attributes = []
+    qp.max_diploid_alt_alleles_that_can_be_genotyped = max_alt
+    qc = driver.make_query_config(qp, vid)
+    seq = driver.run_vcf_query(store, qc, qp, vid)
+    qc2 = driver.make_query_config(qp, vid)
+    blk = driver.run_vcf_query_block(store, qc2, qp, vid)
+    assert blk.splitlines() == seq.splitlines()
+    # the G fields must NOT splice: every record renders on the block path
+    from genomicsdb_tpu.query.block_fields import build_block_plan
+    plan = build_block_plan(driver.make_query_config(qp, vid), vid)
+    assert "GL" in plan.handled and "GC" in plan.handled
+    assert not plan.unsupported
