@@ -204,9 +204,15 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     gt_w = 2 * ploidy - 1 if plan.gt_phase else ploidy
     gt, gt_len_sc = ragged_matrix("GT", gt_w, fill=-1)
     gq = scalar_matrix("GQ")
-    dp = scalar_matrix("DP_FORMAT")
-    min_dp = scalar_matrix("MIN_DP")
-    dp_info = scalar_matrix("DP")
+    # the DP fallback chain (broad_combined_gvcf.cc:690-726) only sees
+    # fields the query asked for: an unqueried DP_FORMAT/MIN_DP/DP must
+    # not leak into the device sum or the trailing DP column
+    empty_sc = np.full((S, C), INT_MISSING, dtype=np.int32)
+    dp = scalar_matrix("DP_FORMAT") if qc.is_queried("DP_FORMAT") \
+        else empty_sc
+    min_dp = scalar_matrix("MIN_DP") if qc.is_queried("MIN_DP") \
+        else empty_sc
+    dp_info = scalar_matrix("DP") if plan.dp_info_queried else empty_sc
     def float_scalar_stack(names):
         out = np.full((len(names), S, C), np.nan, dtype=np.float32)
         for fi, name in enumerate(names):

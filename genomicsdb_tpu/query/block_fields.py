@@ -112,6 +112,12 @@ def build_block_plan(qc: QueryConfig, vid: VidMapper) -> BlockPlan:
         if name == "GT":
             plan.format_specs.append(FormatSpec("GT", "GT", "gt", "P"))
             continue
+        if name == "DP" and not op_cls.dp_info_queried:
+            # a vid declaring DP as a plain FORMAT field (no "DP"
+            # combine op) renders the stored INFO-DP values generically
+            # in the sequential writer; rare enough to splice
+            plan.unsupported.add(name)
+            continue
         is_char = info.type in ("char", "string")
         is_float = info.type == "float"
         ld = info.length

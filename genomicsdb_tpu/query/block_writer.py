@@ -260,7 +260,12 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
             piece = host_info.render_hist(parent, bin_f, cnt_f, int(b))
             if piece is not None:
                 info_txt.setdefault(int(b), []).append(piece)
+    # DP= only renders when DP (with the DP op) or DP_FORMAT is queried
+    # (vcf_writer: dp_info_vec/dp_format_vec existence); a queried
+    # MIN_DP alone never produces the INFO sum
     dp_hit = (dpsum > 0) & ~meta.is_ref_block_only & in_block
+    if not (plan.dp_info_queried or qc.is_queried("DP_FORMAT")):
+        dp_hit[:] = False
     for b in np.nonzero(dp_hit)[0]:
         info_txt.setdefault(int(b), []).append(f"DP={int(dpsum[b])}")
     # ---------------- FORMAT presence flags ----------------

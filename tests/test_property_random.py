@@ -422,3 +422,31 @@ def test_block_general_g_fields_fuzz(seed, max_alt):
     plan = build_block_plan(driver.make_query_config(qp, vid), vid)
     assert "GL" in plan.handled and "GC" in plan.handled
     assert not plan.unsupported
+
+
+@pytest.mark.parametrize("attrs", [
+    ["REF", "ALT", "PL", "DP", "GL"],       # DP without the DP op
+    ["REF", "ALT", "GQ", "DP"],
+    ["REF", "ALT", "MIN_DP" if False else "GQ"],
+    ["REF", "ALT", "PL"],                   # GT auto-added as dependency
+    ["REF", "ALT", "AD", "GC"],
+])
+def test_block_attribute_subsets(attrs):
+    """Attribute-subset queries (incl. DP declared without the DP
+    combine op) match the sequential engine byte-exact: unqueried
+    DP_FORMAT/MIN_DP/DP must not leak into the DP fallback sum."""
+    rng = np.random.default_rng(3)
+    vid = VidMapper()
+    vid.parse_vid(G_VID_DOC)
+    vid.parse_callsets({"callsets": {
+        f"S{r}": {"row_idx": r, "idx_in_file": r, "filename": "x"}
+        for r in range(5)}})
+    store = _random_g_store(vid, rng)
+    qp = QueryParams()
+    qp.scan_full = True
+    qp.attributes = list(attrs)
+    qc = driver.make_query_config(qp, vid)
+    seq = driver.run_vcf_query(store, qc, qp, vid)
+    qc2 = driver.make_query_config(qp, vid)
+    blk = driver.run_vcf_query_block(store, qc2, qp, vid)
+    assert blk.splitlines() == seq.splitlines()
