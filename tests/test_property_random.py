@@ -352,7 +352,18 @@ def _random_g_store(vid, rng, n_rows=5, max_cells=25):
         for _ in range(rng.integers(4, max_cells)):
             pos += int(rng.integers(1, 40))
             kind = rng.random()
-            if kind < 0.35:            # SNP; ALT varies by row
+            if kind < 0.1:             # spanning deletion (LUT compose)
+                span = int(rng.integers(2, 6))
+                cell = {"row": r, "col": pos, "end": pos + span - 1,
+                        "REF": "C" + "AT" * ((span + 1) // 2),
+                        "ALT": "C|&", "FILTER": [],
+                        "PL": np.asarray(rng.integers(0, 200, size=6),
+                                         dtype=np.int32),
+                        "AD": np.asarray(rng.integers(0, 40, size=3),
+                                         dtype=np.int32)}
+                g = 6
+                pos_next = pos + span
+            elif kind < 0.35:          # SNP; ALT varies by row
                 alt = "A" if r % 2 == 0 else "T"
                 if rng.random() < 0.2:
                     alt = "A|T" if rng.random() < 0.5 else "G"
