@@ -32,6 +32,51 @@ INT64_MAX = np.iinfo(np.int64).max
 MAX_MERGED_CAP = 16
 
 
+def _string_codes_cached(store, name, fd):
+    """Per-cell int code for a str column + the unique strings, fully
+    vectorized (group cells by length, np.unique over byte rows) and
+    cached on the store (codes are a store-wide property, reused across
+    genome-scale chunks).  Invalid cells get code -1."""
+    cache = getattr(store, "_str_code_cache", None)
+    if cache is None:
+        cache = store._str_code_cache = {}
+    got = cache.get(name)
+    if got is not None:
+        return got
+    n = len(fd.offsets) - 1 if fd.offsets is not None else 0
+    lens = np.diff(fd.offsets) if n else np.zeros(0, dtype=np.int64)
+    codes = np.full(n, -1, dtype=np.int64)
+    uniq: List[str] = []
+    valid = fd.valid if fd.valid is not None \
+        else np.ones(n, dtype=bool)
+    for L in np.unique(lens) if n else []:
+        sel = np.nonzero((lens == L) & valid)[0]
+        if len(sel) == 0:
+            continue
+        if L == 0:
+            codes[sel] = len(uniq)
+            uniq.append("")
+            continue
+        mat = fd.values[fd.offsets[sel][:, None]
+                        + np.arange(int(L))]
+        if L <= 8:
+            # pack the bytes into one uint64: 1-D unique beats the
+            # lexsort behind np.unique(axis=0) by ~10x
+            padded = np.zeros((len(sel), 8), dtype=np.uint8)
+            padded[:, :L] = mat
+            key = padded.view(np.uint64)[:, 0]
+            _, first, inv = np.unique(key, return_index=True,
+                                      return_inverse=True)
+        else:
+            _, first, inv = np.unique(mat, axis=0, return_index=True,
+                                      return_inverse=True)
+        codes[sel] = len(uniq) + inv
+        uniq.extend(bytes(mat[i].tobytes()).decode() for i in first)
+    got = (codes, uniq)
+    cache[name] = got
+    return got
+
+
 def record_starts(store: ColumnarStore, qc: QueryConfig,
                   interval) -> np.ndarray:
     """Record start columns for `interval` (the sweep's event set) —
@@ -272,23 +317,20 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                      & (alt_first == ord("&")))
     # deletions require multi-base REF: decode just those cells
     cell_hasdel = np.zeros(N, dtype=bool)
-    _ref_cache: Dict[int, Optional[str]] = {}
-    _alt_cache: Dict[int, Optional[List[str]]] = {}
+    # per-cell REF/ALT string codes (store-cached, vectorized): the
+    # allele merge depends only on the (REF, ALT, starting) pattern, so
+    # records sharing a pattern compute the merge ONCE via sig_cache
+    ref_codes, ref_uniq = _string_codes_cached(store, "REF", ref_fd)
+    alt_codes, alt_uniq = _string_codes_cached(store, "ALT", alt_fd)
+    alt_parsed = [a.split("|") for a in alt_uniq]
 
     def get_ref(ci: int) -> Optional[str]:
-        r = _ref_cache.get(ci)
-        if r is None and ci not in _ref_cache:
-            r = ref_fd.cell_value(ci) if ref_fd.valid[ci] else None
-            _ref_cache[ci] = r
-        return r
+        c = ref_codes[ci]
+        return ref_uniq[c] if c >= 0 else None
 
     def get_alts(ci: int) -> Optional[List[str]]:
-        a = _alt_cache.get(ci)
-        if a is None and ci not in _alt_cache:
-            v = alt_fd.cell_value(ci) if alt_fd.valid[ci] else None
-            a = v.split("|") if v is not None else None
-            _alt_cache[ci] = a
-        return a
+        c = alt_codes[ci]
+        return alt_parsed[c] if c >= 0 else None
 
     present = np.zeros(N, dtype=bool)
     if N:
@@ -504,7 +546,15 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         # the merge (handle_deletions, broad_combined_gvcf.cc:912-1078)
         rewritten = tuple(c in del_state and not st
                           for c, st in zip(var_cells, starting))
-        sig = (tuple(var_cells), starting)
+        if any(rewritten):
+            # deletion-rewritten calls fold per-cell PL-argmin state
+            # into the merge: key by cell identity
+            sig = ("c", tuple(var_cells), starting)
+        else:
+            # the merge depends only on the (REF, ALT) string pattern:
+            # records sharing it reuse one merge + inverse-LUT result
+            sig = (tuple(ref_codes[var_cells].tolist()),
+                   tuple(alt_codes[var_cells].tolist()), starting)
         got = sig_cache.get(sig)
         if got is None:
             call_refs, call_alts = [], []
