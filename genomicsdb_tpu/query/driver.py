@@ -98,16 +98,35 @@ def run_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
     Field handling is vid-driven (query/block_fields.BlockPlan); records
     the plan cannot realize splice maximal runs of the sequential
     engine.  Byte-identical to run_vcf_query."""
+    out_lines = list(iter_vcf_query_block(
+        store, qc, qp, vid, template_path=template_path,
+        reference_path=reference_path, max_merged=max_merged,
+        max_records_per_block=max_records_per_block, mesh=mesh))
+    if not out_lines:
+        return ""
+    return "\n".join(out_lines) + "\n"
+
+
+def iter_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
+                         qp: QueryParams, vid: VidMapper,
+                         template_path: Optional[str] = None,
+                         reference_path: Optional[str] = None,
+                         max_merged: int = 4,
+                         max_records_per_block: int = 65536,
+                         mesh=None):
+    """Lazy form of run_vcf_query_block: yields header + record lines
+    chunk by chunk (record-aligned blocks), so streaming consumers
+    (CombinedRecordStream, the socket stream server) ride the batched
+    engine without materializing the whole result."""
     from .block_writer import render_block_vcf
     ref_genome = ReferenceGenome(reference_path) if reference_path else None
     sample_names = [vid.callset_name(r) for r in qc.rows_to_query]
     filter_names = {info.field_idx: name
                     for name, info in vid.fields.items()}
-    out_lines: List[str] = []
     if template_path:
         template = load_template(template_path)
-        out_lines.extend(build_header_lines(template, vid, qc))
-        out_lines.append(chrom_line(sample_names, qc.sites_only_query))
+        yield from build_header_lines(template, vid, qc)
+        yield chrom_line(sample_names, qc.sites_only_query)
     intervals = qc.column_intervals if qc.column_intervals \
         else [(0, INT64_MAX - 2)]
 
@@ -146,14 +165,11 @@ def run_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
             pad_kw = {"pad_records": max_records_per_block,
                       "pad_cells_to": 256}
         for civ in chunks:
-            out_lines.extend(render_block_vcf(
+            yield from render_block_vcf(
                 store, qc, vid, civ, ref_genome=ref_genome,
                 max_merged=max_merged, sequential_fn=make_seq_fn(),
                 filter_name_by_field_idx=filter_names, mesh=mesh,
-                **pad_kw))
-    if not out_lines:
-        return ""
-    return "\n".join(out_lines) + "\n"
+                **pad_kw)
 
 
 def run_vcf_query_paged(store: ColumnarStore, qc: QueryConfig,

@@ -31,10 +31,14 @@ class CombinedRecordStream:
     def __init__(self, store: ColumnarStore, qc: QueryConfig,
                  qp: QueryParams, vid: VidMapper,
                  template_path: Optional[str] = None,
-                 reference_path: Optional[str] = None):
+                 reference_path: Optional[str] = None,
+                 engine: str = "sequential"):
         self.store = store
         self.qc = qc
+        self.qp = qp
         self.vid = vid
+        self.engine = engine
+        self.reference_path = reference_path
         ref_genome = (ReferenceGenome(reference_path)
                       if reference_path else None)
         sample_names = [vid.callset_name(r) for r in qc.rows_to_query]
@@ -50,6 +54,18 @@ class CombinedRecordStream:
                 chrom_line(sample_names, qc.sites_only_query))
 
     def __iter__(self) -> Iterator[str]:
+        if self.engine == "block":
+            # batched device engine, lazily per record-aligned chunk —
+            # byte-identical lines (tests/test_block_golden_matrix.py)
+            from .driver import iter_vcf_query_block
+            for line in self.header_lines:
+                yield line + "\n"
+            for rec in iter_vcf_query_block(
+                    self.store, self.qc, self.qp, self.vid,
+                    template_path=None,
+                    reference_path=self.reference_path):
+                yield rec + "\n"
+            return
         for line in self.header_lines:
             yield line + "\n"
         intervals = self.qc.column_intervals or [None]

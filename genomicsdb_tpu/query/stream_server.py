@@ -91,7 +91,8 @@ class QueryStreamServer:
                         if qp.reference_genome else None
                     stream = CombinedRecordStream(
                         store, qc, qp, vid, template_path=template,
-                        reference_path=refg)
+                        reference_path=refg,
+                        engine=doc.get("engine", "block"))
                     for chunk in stream.bcf_stream():
                         self.wfile.write(chunk)
                 except BrokenPipeError:

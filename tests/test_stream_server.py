@@ -50,6 +50,11 @@ def test_stream_server_bcf_round_trip():
         # second connection reuses the cached store
         data2 = read_query_stream(host, port, _query_doc())
         assert data2 == data
+        # the server defaults to the block engine; the sequential
+        # engine must produce byte-identical BCF2 on the wire
+        seq_doc = dict(_query_doc(), engine="sequential")
+        data_seq = read_query_stream(host, port, seq_doc)
+        assert data_seq == data
     finally:
         srv.shutdown()
 
