@@ -32,6 +32,20 @@ INT64_MAX = np.iinfo(np.int64).max
 MAX_MERGED_CAP = 16
 
 
+def _eff_valid_store(store, name, n_cells):
+    """Store-cached effective validity for a field (a store-wide
+    property, computed once across genome-scale chunks)."""
+    cache = getattr(store, "_eff_valid_cache", None)
+    if cache is None:
+        cache = store._eff_valid_cache = {}
+    ev = cache.get(name)
+    if ev is None:
+        from ..query.block_fields import effective_valid
+        ev = effective_valid(store.fields.get(name), n_cells)
+        cache[name] = ev
+    return ev
+
+
 def _string_codes_cached(store, name, fd):
     """Per-cell int code for a str column + the unique strings, fully
     vectorized (group cells by length, np.unique over byte rows) and
@@ -680,7 +694,8 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     if N and gt_fd is not None:
         # invalid GT -> length 0 (renders '.', matching CallView rules)
         gt_len_bs = np.where(
-            live_ok & effective_valid(gt_fd, N)[safe_cm], gt_len_bs, 0)
+            live_ok & _eff_valid_store(store, "GT", N)[safe_cm],
+            gt_len_bs, 0)
     blk = CellBlock(col=col, end=end, pl=pl, pl_len=pl_len, ad=ad,
                     ad_len=ad_len, gt=gt, gq=gq, dp=dp, min_dp=min_dp,
                     dp_info=dp_info, info_f=info_f, info_i=info_i,
@@ -697,20 +712,10 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     extras: Dict[str, ExtraField] = {}
     eff_cache: Dict[str, np.ndarray] = {}
 
-    # effective validity is a store-wide property: cache it on the
-    # store so genome-scale chunked queries compute it once per field
-    store_cache = getattr(store, "_eff_valid_cache", None)
-    if store_cache is None:
-        store_cache = store._eff_valid_cache = {}
-
     def eff_valid_bs(name):
-        ev = store_cache.get(name)
-        if ev is None:
-            ev = effective_valid(store.fields.get(name), N)
-            store_cache[name] = ev
         if N == 0:
             return np.zeros((B, S), dtype=bool)
-        return live_ok & ev[safe_cm]
+        return live_ok & _eff_valid_store(store, name, N)[safe_cm]
 
     def gather_vals(name, width, dtype=np.int32, fill=INT_MISSING):
         mat, lens = ragged_matrix(name, width, dtype=dtype, fill=fill)
