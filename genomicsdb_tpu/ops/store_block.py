@@ -548,7 +548,111 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     rec_overflow: List[int] = []
     del_rw = np.zeros((B, S), dtype=bool)
     gt_override: Dict[Tuple[int, int], np.ndarray] = {}
-    for b in np.nonzero(rec_is_var)[0]:
+    var_bs = np.nonzero(rec_is_var)[0]
+    fast_done = np.zeros(B, dtype=bool)
+    if len(var_bs) and N:
+        # --- vectorized fast path: group variant records by their full
+        # per-slot (ref_code, alt_code, starting) signature; the merge
+        # runs once per group and the LUT scatter is one fancy-index op
+        # per group instead of per record.  Records with any
+        # deletion-rewritten call keep the per-record path below.
+        start_eq = col_mat == starts[:, None]
+        cell_in_del = np.zeros(N, dtype=bool)
+        if del_state:
+            cell_in_del[np.fromiter(del_state.keys(),
+                                    dtype=np.int64)] = True
+        rw_any = (var_mat & cell_in_del[safe_cm] & ~start_eq
+                  ).any(axis=1)
+        fast_bs = var_bs[~rw_any[var_bs]]
+        var_bs = var_bs[rw_any[var_bs]]
+        if len(fast_bs):
+            vm = var_mat[fast_bs]
+            scm = safe_cm[fast_bs]
+            sig = np.full((len(fast_bs), S, 3), -1, dtype=np.int64)
+            sig[..., 0] = np.where(vm, ref_codes[scm], -1)
+            sig[..., 1] = np.where(vm, alt_codes[scm], -1)
+            sig[..., 2] = np.where(vm, start_eq[fast_bs], -1)
+            _, first_idx, inv_gid = np.unique(
+                sig.reshape(len(fast_bs), 3 * S), axis=0,
+                return_index=True, return_inverse=True)
+            order = np.argsort(inv_gid, kind="stable")
+            bounds = np.searchsorted(inv_gid[order],
+                                     np.arange(len(first_idx) + 1))
+            start_any = start_here.any(axis=1)
+            for g in range(len(first_idx)):
+                members = fast_bs[order[bounds[g]:bounds[g + 1]]]
+                b0 = int(fast_bs[first_idx[g]])
+                s_var = np.nonzero(var_mat[b0])[0]
+                var_cells = [int(c) for c in cells_mat[b0, s_var]]
+                starting = tuple(bool(x)
+                                 for x in start_eq[b0, s_var])
+                sig_key = (tuple(ref_codes[var_cells].tolist()),
+                           tuple(alt_codes[var_cells].tolist()),
+                           starting)
+                got = sig_cache.get(sig_key)
+                if got is None:
+                    call_refs = [get_ref(c) for c in var_cells]
+                    call_alts = [get_alts(c) for c in var_cells]
+                    start_refs = [r for r, st
+                                  in zip(call_refs, starting) if st]
+                    merged_ref = M.merge_reference_allele(start_refs) \
+                        if start_refs else None
+                    alt_merge_ref = merged_ref \
+                        if merged_ref is not None else "N"
+                    merged_alts, lut, non_ref = M.merge_alt_alleles(
+                        call_refs, call_alts, alt_merge_ref)
+                    inv_rows = M.inverse_lut_matrix(
+                        np.asarray(lut), len(merged_alts) + 1)
+                    got = (merged_ref, merged_alts, non_ref, inv_rows,
+                           {})
+                    sig_cache[sig_key] = got
+                merged_ref, merged_alts, non_ref, inv_rows, _ = got
+                nm = len(merged_alts) + 1
+                if inv_bs.shape[2] < nm <= MAX_MERGED_CAP:
+                    grow = min(MAX_MERGED_CAP,
+                               max(max_merged,
+                                   1 << (nm - 1).bit_length()))
+                    inv_bs = np.pad(
+                        inv_bs,
+                        ((0, 0), (0, 0), (0, grow - inv_bs.shape[2])),
+                        constant_values=-1)
+                W = min(nm, inv_bs.shape[2])
+                rec_num_merged[members] = W
+                rec_has_nr[members] = non_ref
+                if nm > MAX_MERGED_CAP:
+                    rec_overflow.extend(members.tolist())
+                inv_w = inv_rows[:, :inv_bs.shape[2]]
+                inv_bs[np.ix_(members, s_var,
+                              np.arange(inv_w.shape[1]))] = inv_w[None]
+                if non_ref:
+                    nr_bs[np.ix_(members, s_var)] = inv_w[:, W - 1][None]
+                alts_list = list(merged_alts)
+                if merged_ref is not None:
+                    for b in members.tolist():
+                        rec_refs[b] = merged_ref
+                        rec_alts[b] = alts_list
+                else:
+                    for b in members.tolist():
+                        rec_alts[b] = alts_list
+                        if start_any[b]:
+                            c0 = int(cells_mat[
+                                b, int(np.argmax(start_here[b]))])
+                            rec_refs[b] = (chr(ref_first[c0])
+                                           if ref_len[c0] == 1
+                                           else get_ref(c0))
+                fast_done[members] = True
+            # ref-block slots of fast-path records: identity REF +
+            # NON_REF -> the record's merged last slot, one scatter
+            rb_b, rb_s = np.nonzero(live_ok & ~var_mat
+                                    & fast_done[:, None])
+            if len(rb_b):
+                inv_bs[rb_b, rb_s, 0] = 0
+                ha = alt_ok[cells_mat[rb_b, rb_s]]
+                hb, hs = rb_b[ha], rb_s[ha]
+                inv_bs[hb, hs,
+                       rec_num_merged[hb].astype(np.int64) - 1] = 1
+                nr_bs[hb, hs] = 1
+    for b in var_bs:
         b = int(b)
         srows = np.nonzero(live_ok[b])[0]
         var_sel = var_mat[b, srows]
