@@ -90,6 +90,31 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
     runs sharded over the device mesh (parallel/sharded.py); outputs are
     bit-identical to the single-device path.
     """
+    g = render_block_vcf_pipelined(
+        store, qc, vid, interval, ref_genome=ref_genome,
+        max_merged=max_merged, ploidy=ploidy,
+        sequential_fn=sequential_fn, pad_records=pad_records,
+        pad_cells_to=pad_cells_to,
+        filter_name_by_field_idx=filter_name_by_field_idx, mesh=mesh)
+    next(g)
+    return next(g)
+
+
+def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
+                               vid: VidMapper,
+                               interval,
+                               ref_genome=None,
+                               max_merged: int = 4, ploidy: int = 2,
+                               sequential_fn=None,
+                               pad_records: Optional[int] = None,
+                               pad_cells_to: int = 1,
+                               filter_name_by_field_idx=None,
+                               mesh=None):
+    """Two-phase generator form of render_block_vcf: the first next()
+    builds the block and DISPATCHES the device combine (async under
+    jit); the second next() fetches outputs and renders text.  Callers
+    overlap chunk k+1's dispatch with chunk k's render (the device
+    computes while the host formats)."""
     blk, meta = store_to_block(store, qc, interval=interval,
                                max_merged=max_merged, ploidy=ploidy,
                                return_meta=True, pad_records=pad_records,
@@ -160,6 +185,11 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
                                ploidy=ploidy, gt_phase=plan.gt_phase,
                                mixed_ploidy=mixed_ploidy,
                                use_pallas=use_pallas)
+        live = None
+    # dispatch complete: under jit the combine runs asynchronously from
+    # here; the caller may dispatch/render other chunks before resuming
+    yield
+    if live is None:
         live = np.asarray(out["live"])
     dev = {k: np.asarray(v) for k, v in out.items()}
     B, S = live.shape
@@ -302,7 +332,8 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
         for item in plan_items:
             if item[0] != "block":
                 lines.extend(sequential_fn(item[1], item[2]))
-        return lines
+        yield lines
+        return
     bs_arr = np.asarray(block_bs, dtype=np.int64)
     # per-record FORMAT signature codes (vectorized bit-pack)
     sig_codes = np.zeros(nb, dtype=np.int64)
@@ -379,7 +410,8 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
         if run_start >= 0:
             lines.extend(blob[offs[run_start]:offs[run_end + 1]]
                          .decode()[:-1].split("\n"))
-        return lines
+        yield lines
+        return
     # python fallback produced a per-record list
     block_lines = {int(b): block_lines_text[i]
                    for i, b in enumerate(block_bs)}
@@ -388,12 +420,36 @@ def render_block_vcf(store: ColumnarStore, qc: QueryConfig,
             lines.append(block_lines[item[1]])
         else:
             lines.extend(sequential_fn(item[1], item[2]))
-    return lines
+    yield lines
 
 
 def _strs_to_col(strings: List, dot_is_empty: bool = False):
     """List of per-record strings/bytes -> (bytes, offsets); '.' entries
     become empty spans when dot_is_empty (native renders '.')."""
+    n = len(strings)
+    arr = None
+    # vectorized: one C-level encode into a fixed-width bytes array,
+    # packed blob via boolean-mask extraction (VCF text is ASCII and
+    # carries no NUL bytes, so strlen == count of non-NUL lanes).
+    # Long entries (sample-column text) pad the fixed-width matrix past
+    # the join cost -> keep the list path for those (sampled estimate).
+    if n and max(len(strings[0]), len(strings[n // 2]),
+                 len(strings[-1])) <= 48:
+        try:
+            arr = np.asarray(strings, dtype=np.bytes_)
+        except (UnicodeEncodeError, ValueError):
+            arr = None
+    if arr is not None and arr.ndim == 1 and len(arr) == n:
+        if dot_is_empty:
+            arr = np.where(arr == b".", np.bytes_(b""), arr)
+        W = arr.dtype.itemsize
+        offs = np.zeros(n + 1, dtype=np.int64)
+        if W == 0 or n == 0:
+            return b"", offs
+        u8 = np.ascontiguousarray(arr).view(np.uint8).reshape(n, W)
+        keep = u8 != 0
+        np.cumsum(keep.sum(axis=1), out=offs[1:])
+        return u8[keep].tobytes(), offs
     if dot_is_empty:
         strings = ["" if s == "." else s for s in strings]
     parts = [s if isinstance(s, bytes) else s.encode() for s in strings]

@@ -164,12 +164,23 @@ def iter_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
             # uniform shapes across chunks -> one compiled combine step
             pad_kw = {"pad_records": max_records_per_block,
                       "pad_cells_to": 256}
+        # software pipeline: dispatch chunk k+1's device combine (async
+        # under jit) before rendering chunk k's text, so the device
+        # computes while the host formats
+        from .block_writer import render_block_vcf_pipelined
+        pending = None
         for civ in chunks:
-            yield from render_block_vcf(
+            g = render_block_vcf_pipelined(
                 store, qc, vid, civ, ref_genome=ref_genome,
                 max_merged=max_merged, sequential_fn=make_seq_fn(),
                 filter_name_by_field_idx=filter_names, mesh=mesh,
                 **pad_kw)
+            next(g)
+            if pending is not None:
+                yield from next(pending)
+            pending = g
+        if pending is not None:
+            yield from next(pending)
 
 
 def run_vcf_query_paged(store: ColumnarStore, qc: QueryConfig,
