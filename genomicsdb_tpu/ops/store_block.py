@@ -212,13 +212,11 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             sel = np.nonzero(ok)[0]
             ln = np.minimum(cell_lens[safe_cells[sel]], width)
             src0 = fd.offsets[:-1][safe_cells[sel]]
-            nz = ln > 0
-            from ..store.columnar import _ragged_arange
-            src_idx = _ragged_arange(src0[nz], ln[nz])
-            dst_rows = np.repeat(sel[nz], ln[nz])
-            dst_cols = _ragged_arange(np.zeros(int(nz.sum()),
-                                               dtype=np.int64), ln[nz])
-            out[dst_rows, dst_cols] = fd.values[src_idx]
+            from ..store.columnar import copy_ragged_segments
+            # dest rows are contiguous in the flat [S*C, width] buffer
+            copy_ragged_segments(fd.values, src0, ln,
+                                 sel.astype(np.int64) * width,
+                                 out.reshape(-1))
             lens[sel] = cell_lens[safe_cells[sel]]
         return out.reshape(S, C, width), lens.reshape(S, C)
 

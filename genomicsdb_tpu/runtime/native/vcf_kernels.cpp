@@ -286,6 +286,220 @@ void gdb_split_fields_multi(const char* text, const int64_t* starts,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Record-prefix kernels: the per-record byte work of the import fast path
+// (CHROM runs, REF/ALT extraction, INFO key lookup) that would otherwise be
+// 200k-iteration Python loops (reference hot path: vcf2binary.cc:991-1160).
+// ---------------------------------------------------------------------------
+
+// Copy n byte spans into one contiguous blob + offsets.  Returns total
+// bytes, or -1 if out_cap too small.
+int64_t gdb_extract_spans(const char* text, const int64_t* starts,
+                          const int64_t* ends, int64_t n, char* out,
+                          int64_t out_cap, int64_t* out_offs) {
+  int64_t w = 0;
+  out_offs[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t len = ends[i] - starts[i];
+    if (len < 0) len = 0;
+    if (w + len > out_cap) return -1;
+    std::memcpy(out + w, text + starts[i], static_cast<size_t>(len));
+    w += len;
+    out_offs[i + 1] = w;
+  }
+  return w;
+}
+
+// ALT-column transform (vcf2binary.cc:1048-1076 serialization form):
+// ',' -> '|', "<NON_REF>" -> '&', "." -> empty.  Also flags records with a
+// deletion allele (non-symbolic ALT strictly shorter than REF,
+// VariantUtils::is_deletion) for the deletions-as-intervals END rule.
+// ref spans give REF lengths.  Returns blob bytes or -1 on overflow.
+namespace {
+inline bool alt_is_symbolic(const char* p, int64_t len) {
+  if (len == 0) return false;
+  char a = p[0], b = p[len - 1];
+  return a == '<' || b == '>' || (len == 1 && a == '*') || a == '[' ||
+         b == '[' || a == ']' || b == ']';
+}
+}  // namespace
+
+int64_t gdb_transform_alt(const char* text, const int64_t* starts,
+                          const int64_t* ends, const int64_t* ref_starts,
+                          const int64_t* ref_ends, int64_t n, char* out,
+                          int64_t out_cap, int64_t* out_offs,
+                          uint8_t* del_flag) {
+  int64_t w = 0;
+  out_offs[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const char* p = text + starts[i];
+    const char* lim = text + ends[i];
+    const int64_t ref_len = ref_ends[i] - ref_starts[i];
+    uint8_t del = 0;
+    if (!(lim - p == 1 && *p == '.')) {
+      const char* tok = p;
+      for (const char* q = p;; ++q) {
+        if (q == lim || *q == ',') {
+          int64_t len = q - tok;
+          if (len == 9 && std::memcmp(tok, "<NON_REF>", 9) == 0) {
+            if (w + 1 > out_cap) return -1;
+            out[w++] = '&';
+          } else {
+            if (w + len > out_cap) return -1;
+            std::memcpy(out + w, tok, static_cast<size_t>(len));
+            w += len;
+            if (!del && len < ref_len && !alt_is_symbolic(tok, len))
+              del = 1;
+          }
+          if (q == lim) break;
+          if (w + 1 > out_cap) return -1;
+          out[w++] = '|';
+          tok = q + 1;
+        }
+      }
+    }
+    del_flag[i] = del;
+    out_offs[i + 1] = w;
+  }
+  return w;
+}
+
+// Intern n byte spans: identical spans share a group id (first-seen order).
+// uniq_idx[g] = index of the first span with group g.  Returns the number
+// of distinct spans, or -1 if it exceeds max_uniq.
+int64_t gdb_intern_spans(const char* text, const int64_t* starts,
+                         const int64_t* ends, int64_t n, int32_t* gids,
+                         int64_t* uniq_idx, int64_t max_uniq) {
+  uint64_t cap = 64;
+  while (cap < static_cast<uint64_t>(max_uniq) * 4) cap <<= 1;
+  std::vector<int64_t> table(cap, -1);  // slot -> uniq id
+  std::vector<uint64_t> hashes(cap, 0);
+  int64_t n_uniq = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const char* p = text + starts[i];
+    const int64_t len = ends[i] - starts[i] < 0 ? 0 : ends[i] - starts[i];
+    uint64_t h = 1469598103934665603ull;  // FNV-1a
+    for (int64_t j = 0; j < len; ++j) {
+      h ^= static_cast<uint8_t>(p[j]);
+      h *= 1099511628211ull;
+    }
+    uint64_t slot = h & (cap - 1);
+    int32_t gid = -1;
+    for (;;) {
+      int64_t g = table[slot];
+      if (g < 0) {
+        if (n_uniq >= max_uniq) return -1;
+        table[slot] = n_uniq;
+        hashes[slot] = h;
+        uniq_idx[n_uniq] = i;
+        gid = static_cast<int32_t>(n_uniq++);
+        break;
+      }
+      if (hashes[slot] == h) {
+        const int64_t fi = uniq_idx[g];
+        const int64_t flen = ends[fi] - starts[fi];
+        if (flen == len &&
+            std::memcmp(text + starts[fi], p,
+                        static_cast<size_t>(len)) == 0) {
+          gid = static_cast<int32_t>(g);
+          break;
+        }
+      }
+      slot = (slot + 1) & (cap - 1);
+    }
+    gids[i] = gid;
+  }
+  return n_uniq;
+}
+
+// Resolve k INFO keys over n "K=V;K2;K3=V3" spans in one pass.
+// Outputs [k, n] row-major value spans (start==end==0 when absent) and a
+// presence byte (1 when the key appears, with or without '=' — flag
+// fields).  A later duplicate key overwrites (dict semantics of the
+// Python loader).  '.' spans have no entries.
+void gdb_info_values(const char* text, const int64_t* starts,
+                     const int64_t* ends, int64_t n,
+                     const char* keys_blob, const int64_t* key_offs,
+                     int32_t k, int64_t* val_starts, int64_t* val_ends,
+                     uint8_t* present) {
+  std::memset(present, 0, static_cast<size_t>(k) * n);
+  for (int64_t col = 0; col < static_cast<int64_t>(k) * n; ++col) {
+    val_starts[col] = 0;
+    val_ends[col] = 0;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const char* p = text + starts[i];
+    const char* lim = text + ends[i];
+    if (lim - p == 1 && *p == '.') continue;
+    const char* entry = p;
+    for (const char* q = p;; ++q) {
+      if (q == lim || *q == ';') {
+        // entry spans [entry, q)
+        const char* eq = entry;
+        while (eq < q && *eq != '=') ++eq;
+        const int64_t klen = eq - entry;
+        if (klen > 0) {
+          for (int32_t j = 0; j < k; ++j) {
+            if (key_offs[j + 1] - key_offs[j] == klen &&
+                std::memcmp(keys_blob + key_offs[j], entry,
+                            static_cast<size_t>(klen)) == 0) {
+              present[j * n + i] = 1;
+              if (eq < q) {
+                val_starts[j * n + i] = (eq + 1) - text;
+                val_ends[j * n + i] = q - text;
+              } else {
+                val_starts[j * n + i] = 0;
+                val_ends[j * n + i] = 0;
+              }
+              break;
+            }
+          }
+        }
+        if (q == lim) break;
+        entry = q + 1;
+      }
+    }
+  }
+}
+
+// Batched ragged segment copy: out[dest0[i] .. dest0[i]+len[i]) =
+// src[src0[i] .. src0[i]+len[i]) per segment (offsets in elements).
+// The native form of the numpy _ragged_arange + double-fancy-index
+// gather that dominates columnar (re)assembly.
+void gdb_copy_segments(const char* src, const int64_t* src0,
+                       const int64_t* lens, const int64_t* dest0,
+                       int64_t n, int64_t elem_size, char* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    if (lens[i] > 0)
+      std::memcpy(out + dest0[i] * elem_size, src + src0[i] * elem_size,
+                  static_cast<size_t>(lens[i] * elem_size));
+  }
+}
+
+// Replicate a per-record ragged array to K consecutive cells per record:
+// out cell r*K+j gets record r's payload.  Element size in bytes (1 for
+// text, 4 for int32/float32).  Returns total out elements or -1.
+int64_t gdb_replicate_ragged(const char* values, int64_t elem_size,
+                             const int64_t* rec_offs, int64_t n, int64_t K,
+                             char* out, int64_t out_cap_elems,
+                             int64_t* out_offs) {
+  int64_t w = 0;
+  out_offs[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t lo = rec_offs[i], hi = rec_offs[i + 1];
+    const int64_t len = hi - lo;
+    for (int64_t j = 0; j < K; ++j) {
+      if (w + len > out_cap_elems) return -1;
+      if (len)
+        std::memcpy(out + w * elem_size, values + lo * elem_size,
+                    static_cast<size_t>(len * elem_size));
+      w += len;
+      out_offs[i * K + j + 1] = w;
+    }
+  }
+  return w;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

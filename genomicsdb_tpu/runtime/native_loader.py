@@ -336,6 +336,142 @@ def split_fields_multi(text: bytes, starts: np.ndarray, ends: np.ndarray,
     return out_s, out_e
 
 
+def _bind_prefix(lib):
+    i64 = ctypes.c_int64
+    p64 = np.ctypeslib.ndpointer(np.int64)
+    p32 = np.ctypeslib.ndpointer(np.int32)
+    pu8 = np.ctypeslib.ndpointer(np.uint8)
+    lib.gdb_extract_spans.restype = i64
+    lib.gdb_extract_spans.argtypes = [
+        ctypes.c_char_p, p64, p64, i64, ctypes.c_char_p, i64, p64]
+    lib.gdb_transform_alt.restype = i64
+    lib.gdb_transform_alt.argtypes = [
+        ctypes.c_char_p, p64, p64, p64, p64, i64, ctypes.c_char_p, i64,
+        p64, pu8]
+    lib.gdb_intern_spans.restype = i64
+    lib.gdb_intern_spans.argtypes = [
+        ctypes.c_char_p, p64, p64, i64, p32, p64, i64]
+    lib.gdb_info_values.restype = None
+    lib.gdb_info_values.argtypes = [
+        ctypes.c_char_p, p64, p64, i64, ctypes.c_char_p, p64,
+        ctypes.c_int32, p64, p64, pu8]
+    lib.gdb_replicate_ragged.restype = i64
+    lib.gdb_replicate_ragged.argtypes = [
+        ctypes.c_char_p, i64, p64, i64, i64, ctypes.c_char_p, i64, p64]
+    lib.gdb_copy_segments.restype = None
+    lib.gdb_copy_segments.argtypes = [
+        ctypes.c_char_p, p64, p64, p64, i64, i64, ctypes.c_char_p]
+
+
+def _prefix_lib():
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gdb_extract_spans"):
+        return None
+    if not hasattr(lib, "_prefix_bound"):
+        _bind_prefix(lib)
+        lib._prefix_bound = True
+    return lib
+
+
+def extract_spans(text: bytes, starts: np.ndarray, ends: np.ndarray):
+    """Copy n byte spans into one blob; returns (bytes, offsets[n+1])."""
+    lib = _prefix_lib()
+    n = len(starts)
+    cap = int(np.maximum(ends - starts, 0).sum())
+    out = ctypes.create_string_buffer(max(cap, 1))
+    out_offs = np.empty(n + 1, dtype=np.int64)
+    w = lib.gdb_extract_spans(text, starts, ends, n, out, cap, out_offs)
+    if w < 0:
+        raise RuntimeError("extract_spans overflow")
+    return out.raw[:w], out_offs
+
+
+def transform_alt(text: bytes, starts, ends, ref_starts, ref_ends):
+    """ALT spans -> '|'-joined serialized form + per-record deletion flag.
+
+    Returns (bytes, offsets[n+1], del_flag[n] uint8)."""
+    lib = _prefix_lib()
+    n = len(starts)
+    cap = int(np.maximum(ends - starts, 0).sum())
+    out = ctypes.create_string_buffer(max(cap, 1))
+    out_offs = np.empty(n + 1, dtype=np.int64)
+    del_flag = np.zeros(n, dtype=np.uint8)
+    w = lib.gdb_transform_alt(text, starts, ends, ref_starts, ref_ends, n,
+                              out, cap, out_offs, del_flag)
+    if w < 0:
+        raise RuntimeError("transform_alt overflow")
+    return out.raw[:w], out_offs, del_flag
+
+
+def intern_spans(text: bytes, starts: np.ndarray, ends: np.ndarray):
+    """Group identical byte spans; returns (gids[n] int32,
+    uniq_idx[n_uniq] — first record index per group)."""
+    lib = _prefix_lib()
+    n = len(starts)
+    gids = np.empty(n, dtype=np.int32)
+    max_uniq = n + 1
+    uniq_idx = np.empty(max_uniq, dtype=np.int64)
+    n_uniq = lib.gdb_intern_spans(text, starts, ends, n, gids, uniq_idx,
+                                  max_uniq)
+    if n_uniq < 0:
+        raise RuntimeError("intern_spans overflow")
+    return gids, uniq_idx[:n_uniq]
+
+
+def info_values(text: bytes, starts, ends, keys):
+    """Resolve each key of `keys` (list of str) over n INFO spans.
+
+    Returns (val_starts[k, n], val_ends[k, n], present[k, n] bool)."""
+    lib = _prefix_lib()
+    n = len(starts)
+    k = len(keys)
+    blob = "".join(keys).encode()
+    key_offs = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum([len(x.encode()) for x in keys], out=key_offs[1:])
+    vs = np.empty((k, n), dtype=np.int64)
+    ve = np.empty((k, n), dtype=np.int64)
+    pres = np.empty((k, n), dtype=np.uint8)
+    lib.gdb_info_values(text, starts, ends, n, blob, key_offs, k, vs, ve,
+                        pres)
+    return vs, ve, pres.astype(bool)
+
+
+def replicate_ragged(values: np.ndarray, rec_offs: np.ndarray, K: int):
+    """Per-record ragged -> per-cell ragged with each record's payload
+    replicated to K consecutive cells.  Returns (values, offsets[n*K+1])."""
+    lib = _prefix_lib()
+    n = len(rec_offs) - 1
+    elem = values.dtype.itemsize
+    total = int(rec_offs[-1]) * K
+    out = np.empty(total, dtype=values.dtype)
+    out_offs = np.empty(n * K + 1, dtype=np.int64)
+    w = lib.gdb_replicate_ragged(
+        np.ascontiguousarray(values).ctypes.data_as(ctypes.c_char_p),
+        elem, np.ascontiguousarray(rec_offs, dtype=np.int64), n, K,
+        out.ctypes.data_as(ctypes.c_char_p), total, out_offs)
+    if w < 0:
+        raise RuntimeError("replicate_ragged overflow")
+    return out, out_offs
+
+
+def copy_segments(src: np.ndarray, src0, lens, dest0, out: np.ndarray):
+    """out[dest0[i]:dest0[i]+lens[i]] = src[src0[i]:src0[i]+lens[i]] per
+    segment; offsets in elements.  None when native lib is unavailable."""
+    lib = _prefix_lib()
+    if lib is None:
+        return None
+    n = len(src0)
+    src = np.ascontiguousarray(src)
+    assert out.flags.c_contiguous and out.dtype == src.dtype
+    lib.gdb_copy_segments(
+        src.ctypes.data_as(ctypes.c_char_p),
+        np.ascontiguousarray(src0, dtype=np.int64),
+        np.ascontiguousarray(lens, dtype=np.int64),
+        np.ascontiguousarray(dest0, dtype=np.int64), n,
+        src.dtype.itemsize, out.ctypes.data_as(ctypes.c_char_p))
+    return out
+
+
 def split_field(text: bytes, starts: np.ndarray, ends: np.ndarray,
                 delim: bytes, field_idx: int):
     lib = get_lib()

@@ -149,13 +149,31 @@ def store_take(store: ColumnarStore, idx: np.ndarray) -> ColumnarStore:
         total = int(offsets[-1])
         values = np.empty(total, dtype=fd.values.dtype)
         if total:
-            src0 = fd.offsets[:-1][idx]
-            sel = lens > 0
-            reps = np.repeat(offsets[:-1][sel] - src0[sel], lens[sel])
-            src_idx = _ragged_arange(src0[sel], lens[sel])
-            values[src_idx + reps] = fd.values[src_idx]
+            copy_ragged_segments(fd.values, fd.offsets[:-1][idx], lens,
+                                 offsets[:-1], values)
         out.fields[name] = FieldData(name, fd.kind, fd.dtype, valid,
                                      values, offsets)
+    return out
+
+
+def copy_ragged_segments(src: np.ndarray, src0, lens, dest0,
+                         out: np.ndarray) -> np.ndarray:
+    """out[dest0[i]:dest0[i]+lens[i]] = src[src0[i]:src0[i]+lens[i]] per
+    segment — native memcpy kernel when available, vectorized numpy
+    otherwise."""
+    import os
+    if os.environ.get("GENOMICSDB_TPU_NO_NATIVE", "") in ("", "0"):
+        from ..runtime import native_loader as nl
+        if nl.copy_segments(src, src0, lens, dest0, out) is not None:
+            return out
+    lens = np.asarray(lens, dtype=np.int64)
+    nz = lens > 0
+    src0 = np.asarray(src0, dtype=np.int64)[nz]
+    dest0 = np.asarray(dest0, dtype=np.int64)[nz]
+    lens = lens[nz]
+    reps = np.repeat(dest0 - src0, lens)
+    src_idx = _ragged_arange(src0, lens)
+    out[src_idx + reps] = src[src_idx]
     return out
 
 

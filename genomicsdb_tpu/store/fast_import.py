@@ -23,9 +23,8 @@ from ..core import formats
 from ..core import known_fields as kf
 from ..core.vid import VidMapper
 from ..runtime import native_loader as nl
-from .columnar import ColumnarStore, FieldData
-from .import_pipeline import (NON_REF_REPR, _is_sum_like,
-                              field_specs_for_vid, is_symbolic_allele)
+from .columnar import ColumnarStore, FieldData, _ragged_arange
+from .import_pipeline import _is_sum_like, field_specs_for_vid
 
 INT_MISSING = formats.INT_MISSING
 
@@ -44,7 +43,7 @@ def fast_import_file(path: str, vid: VidMapper,
                      idx_to_row: Dict[int, int],
                      treat_deletions_as_intervals: bool = True
                      ) -> Optional[ColumnarStore]:
-    if nl.get_lib() is None:
+    if nl._prefix_lib() is None:
         return None
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as f:
@@ -74,71 +73,89 @@ def fast_import_file(path: str, vid: VidMapper,
     # ---- coordinates ----
     pos, _ = nl.parse_int_lists(records, offs[:, 1].copy(),
                                 (offs[:, 2] - 1).copy())
-    # contig offsets: resolve per run of identical CHROM spans
-    chrom_off = np.empty(n, dtype=np.int64)
-    prev = None
-    prev_off = 0
-    for i in range(n):
-        span = bytes(records[offs[i, 0]:offs[i, 1] - 1])
-        if span != prev:
-            prev = span
-            prev_off = vid.contigs[span.decode()].offset
-        chrom_off[i] = prev_off
+    # contig offsets: intern CHROM spans, resolve one per distinct contig
+    chrom_gids, chrom_uniq = nl.intern_spans(records, offs[:, 0].copy(),
+                                             (offs[:, 1] - 1).copy())
+    uniq_offsets = np.asarray(
+        [vid.contigs[records[offs[i, 0]:offs[i, 1] - 1].decode()].offset
+         for i in chrom_uniq], dtype=np.int64)
+    chrom_off = uniq_offsets[chrom_gids] if n else np.zeros(0, np.int64)
     col = chrom_off + pos - 1
 
-    # ---- REF / ALT / ID / QUAL / FILTER (per record) ----
-    refs = [records[offs[i, 3]:offs[i, 4] - 1].decode() for i in range(n)]
-    alts_raw = [records[offs[i, 4]:offs[i, 5] - 1].decode()
-                for i in range(n)]
-    alt_strs = []
-    alt_lists = []
-    for a in alts_raw:
-        parts = [] if a == "." else a.split(",")
-        parts = [NON_REF_REPR if p == "<NON_REF>" else p for p in parts]
-        alt_lists.append(parts)
-        alt_strs.append("|".join(parts))
+    # ---- REF / ALT / ID / QUAL / FILTER (native per-record kernels) ----
+    ref_starts = offs[:, 3].copy()
+    ref_ends = (offs[:, 4] - 1).copy()
+    ref_blob, ref_offs = nl.extract_spans(records, ref_starts, ref_ends)
+    # ALT serialized form ('|' joined, NON_REF -> '&') + deletion flags
+    alt_blob, alt_offs, del_flag = nl.transform_alt(
+        records, offs[:, 4].copy(), (offs[:, 5] - 1).copy(),
+        ref_starts, ref_ends)
     quals, _ = nl.parse_float_lists(records, offs[:, 5].copy(),
                                     (offs[:, 6] - 1).copy())
     import_id = "ID" in vid.fields
-    ids = [records[offs[i, 2]:offs[i, 3] - 1].decode() for i in range(n)] \
-        if import_id else None
-    filter_ids: List[List[int]] = []
-    fcache: Dict[bytes, List[int]] = {}
-    for i in range(n):
-        span = bytes(records[offs[i, 6]:offs[i, 7] - 1])
-        got = fcache.get(span)
-        if got is None:
-            txt = span.decode()
-            got = ([] if txt == "." else
-                   [vid.fields[f].field_idx for f in txt.split(";")
-                    if f in vid.fields])
-            fcache[span] = got
-        filter_ids.append(got)
+    id_blob = id_offs = id_valid_rec = None
+    if import_id:
+        id_s = offs[:, 2].copy()
+        id_e = (offs[:, 3] - 1).copy()
+        rec_u8 = np.frombuffer(records, dtype=np.uint8)
+        first = rec_u8[np.minimum(id_s, len(records) - 1)] \
+            if len(records) else np.zeros(n, np.uint8)
+        is_dot = ((id_e - id_s) == 1) & (first == ord("."))
+        id_e = np.where(is_dot, id_s, id_e)
+        id_blob, id_offs = nl.extract_spans(records, id_s, id_e)
+        id_valid_rec = (id_e - id_s) > 0
+    # FILTER: intern spans, resolve field-id lists once per distinct span
+    f_s = offs[:, 6].copy()
+    f_e = (offs[:, 7] - 1).copy()
+    f_gids, f_uniq = nl.intern_spans(records, f_s, f_e)
+    uniq_filters: List[List[int]] = []
+    for i in f_uniq:
+        txt = records[f_s[i]:f_e[i]].decode()
+        uniq_filters.append(
+            [] if txt == "." else
+            [vid.fields[f].field_idx for f in txt.split(";")
+             if f in vid.fields])
+    fu_lens = np.asarray([len(x) for x in uniq_filters], dtype=np.int64)
+    fu_vals = np.asarray([v for x in uniq_filters for v in x],
+                         dtype=np.int32)
+    fu_offs = np.zeros(len(uniq_filters) + 1, dtype=np.int64)
+    np.cumsum(fu_lens, out=fu_offs[1:])
+    filt_rec_lens = fu_lens[f_gids] if n else np.zeros(0, np.int64)
+    filt_rec_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(filt_rec_lens, out=filt_rec_offs[1:])
+    if len(fu_vals):
+        filt_rec_vals = np.empty(int(filt_rec_offs[-1]), dtype=np.int32)
+        nl.copy_segments(fu_vals, fu_offs[:-1][f_gids], filt_rec_lens,
+                         filt_rec_offs[:-1], filt_rec_vals)
+    else:
+        filt_rec_vals = np.zeros(0, np.int32)
+
+    # ---- INFO key resolution (one native pass over the INFO column) ----
+    specs = field_specs_for_vid(vid, import_id)
+    attrs = [a for a in vid.schema_attribute_names(import_id)
+             if a != "END"]
+    base_fields = {"REF", "ALT", "ID", "QUAL", "FILTER"}
+    info_attr = [(a, vid.fields[a]) for a in attrs
+                 if a not in base_fields and vid.fields.get(a) is not None
+                 and vid.fields[a].is_info]
+    info_keys = ["END"] + [fi.vcf_name for _, fi in info_attr]
+    i_s = offs[:, 7].copy()
+    i_e = (offs[:, 8] - 1).copy()
+    vs, ve, pres = nl.info_values(records, i_s, i_e, info_keys)
 
     # ---- END column (INFO END= or deletion length) ----
     end = col.copy()
-    info_spans = [(offs[i, 7], offs[i, 8] - 1) for i in range(n)]
-    info_strs = [records[a:b].decode() for a, b in info_spans]
-    info_dicts: List[Dict[str, Optional[str]]] = []
-    for i, s in enumerate(info_strs):
-        d: Dict[str, Optional[str]] = {}
-        if s != ".":
-            for item in s.split(";"):
-                if "=" in item:
-                    k_, v_ = item.split("=", 1)
-                    d[k_] = v_
-                elif item:
-                    d[item] = None
-        info_dicts.append(d)
-        if "END" in d:
-            end[i] = chrom_off[i] + int(d["END"]) - 1
-        elif treat_deletions_as_intervals:
-            rl = len(refs[i])
-            for alt in alt_lists[i]:
-                if (not is_symbolic_allele(alt) and len(alt) != rl
-                        and rl > len(alt)):
-                    end[i] = col[i] + rl - 1
-                    break
+    end_pres = pres[0]
+    if np.any(end_pres):
+        ev, eo = nl.parse_int_lists(records, vs[0][end_pres].copy(),
+                                    ve[0][end_pres].copy())
+        end[end_pres] = (chrom_off[end_pres]
+                         + ev[eo[:-1]].astype(np.int64) - 1)
+    if treat_deletions_as_intervals:
+        dmask = ~end_pres & del_flag.astype(bool)
+        if np.any(dmask):
+            rl = ref_ends - ref_starts
+            end[dmask] = col[dmask] + rl[dmask] - 1
 
     # ---- build cell coordinate arrays (record-major x mapped sample) ----
     store = ColumnarStore(num_rows=vid.max_callset_row_idx() + 1)
@@ -147,159 +164,115 @@ def fast_import_file(path: str, vid: VidMapper,
     cell_col = np.repeat(col, K_s)
     cell_end = np.repeat(end, K_s)
 
-    specs = field_specs_for_vid(vid, import_id)
-    attrs = [a for a in vid.schema_attribute_names(import_id)
-             if a != "END"]
     fields: Dict[str, FieldData] = {}
+    all_true = np.ones(n_cells, dtype=bool)
 
-    def ragged_from_per_record(values_list, dtype, as_str=False):
-        """Per-record python values -> per-cell ragged (replicated to all
-        mapped samples); vectorized over the sample axis."""
-        np_dtype = np.uint8 if as_str else dtype
-        rec_arrays = []
-        rec_lens = np.zeros(n, dtype=np.int64)
-        for i, v in enumerate(values_list):
-            if v is None:
-                continue
-            arr = (np.frombuffer(v.encode(), dtype=np.uint8) if as_str
-                   else np.asarray(v, dtype=dtype))
-            rec_arrays.append(arr)
-            rec_lens[i] = len(arr)
-        lens = np.repeat(rec_lens, K_s)
-        offsets = np.zeros(n_cells + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        if rec_arrays:
-            rec_values = np.concatenate(rec_arrays)
-            rec_offsets = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(rec_lens, out=rec_offsets[1:])
-            # each record's payload repeated K_s times, in cell order
-            sel = rec_lens > 0
-            src0 = np.repeat(rec_offsets[:-1][sel], K_s)
-            sl = np.repeat(rec_lens[sel], K_s)
-            cell_ids = (np.repeat(np.nonzero(sel)[0], K_s) * K_s
-                        + np.tile(np.arange(K_s), int(sel.sum())))
-            dest0 = offsets[:-1][cell_ids]
-            src_idx = _ragged_arange(src0, sl)
-            dest_idx = _ragged_arange(dest0, sl)
-            values = np.empty(int(offsets[-1]), dtype=np_dtype)
-            values[dest_idx] = rec_values[src_idx]
-        else:
-            values = np.zeros(0, dtype=np_dtype)
-        valid = np.repeat(
-            np.array([v is not None for v in values_list]), K_s)
-        return valid, values, offsets
-
-    # REF/ALT/ID strings
-    v, vals, off = ragged_from_per_record(refs, None, as_str=True)
-    fields["REF"] = FieldData("REF", "str", "bytes", v, vals, off)
-    v, vals, off = ragged_from_per_record(alt_strs, None, as_str=True)
-    fields["ALT"] = FieldData("ALT", "str", "bytes", v, vals, off)
+    # REF/ALT/ID strings: replicate per-record payloads to each cell
+    vals, off = nl.replicate_ragged(np.frombuffer(ref_blob, np.uint8),
+                                    ref_offs, K_s)
+    fields["REF"] = FieldData("REF", "str", "bytes", all_true, vals, off)
+    vals, off = nl.replicate_ragged(np.frombuffer(alt_blob, np.uint8),
+                                    alt_offs, K_s)
+    fields["ALT"] = FieldData("ALT", "str", "bytes", all_true.copy(),
+                              vals, off)
     if import_id:
-        idv = [x if x and x != "." else None for x in ids]
-        v, vals, off = ragged_from_per_record(idv, None, as_str=True)
-        fields["ID"] = FieldData("ID", "str", "bytes", v, vals, off)
+        vals, off = nl.replicate_ragged(np.frombuffer(id_blob, np.uint8),
+                                        id_offs, K_s)
+        fields["ID"] = FieldData("ID", "str", "bytes",
+                                 np.repeat(id_valid_rec, K_s), vals, off)
     # QUAL fixed float
     qvals = np.repeat(quals, K_s).reshape(n_cells, 1).astype(np.float32)
     qvalid = np.repeat(
         quals.view(np.uint32) != formats.FLOAT_MISSING_BITS, K_s)
     fields["QUAL"] = FieldData("QUAL", "fixed", "float32", qvalid, qvals)
     # FILTER ragged int
-    v, vals, off = ragged_from_per_record(
-        [fi for fi in filter_ids], np.int32)
-    fields["FILTER"] = FieldData("FILTER", "ragged", "int32", v,
-                                 vals.astype(np.int32), off)
+    vals, off = nl.replicate_ragged(filt_rec_vals, filt_rec_offs, K_s)
+    fields["FILTER"] = FieldData("FILTER", "ragged", "int32",
+                                 all_true.copy(), vals, off)
 
-    # ---- INFO fields (per record, replicated) ----
-    for name in attrs:
-        info = vid.fields.get(name)
-        if info is None or not info.is_info or name in fields:
+    # ---- INFO fields (native value-span parse, replicated to cells) ----
+    for j, (name, info) in enumerate(info_attr, start=1):
+        if name in fields:
             continue
-        vcfn = info.vcf_name
+        kind, dtype, flen = specs[name]
         is_float = info.type == "float"
-        per_rec: List[Optional[np.ndarray]] = []
+        p_mask = pres[j]
         if info.type == "flag":
-            per_rec = [np.asarray([1], dtype=np.int32) if vcfn in d
-                       else None for d in info_dicts]
-            kind, dtype, flen = specs[name]
-            valid = np.repeat(np.array([x is not None for x in per_rec]),
-                              K_s)
             mat = np.full((n, flen), INT_MISSING, dtype=np.int32)
-            for i, x in enumerate(per_rec):
-                if x is not None:
-                    mat[i, 0] = 1
-            fields[name] = FieldData(name, "fixed", dtype, valid,
+            mat[p_mask, 0] = 1
+            fields[name] = FieldData(name, "fixed", dtype,
+                                     np.repeat(p_mask, K_s),
                                      np.repeat(mat, K_s, axis=0))
             continue
-        for d in info_dicts:
-            raw = d.get(vcfn)
-            if raw is None:
-                per_rec.append(None)
-                continue
-            toks2 = raw.split(",")
+        idx = np.nonzero(p_mask)[0]
+        if is_float:
+            pv, po = nl.parse_float_lists(records, vs[j][idx].copy(),
+                                          ve[j][idx].copy())
+        else:
+            pv, po = nl.parse_int_lists(records, vs[j][idx].copy(),
+                                        ve[j][idx].copy())
+        seg_lens = np.diff(po)
+        ok = seg_lens > 0
+        if len(pv):
+            seg0 = np.minimum(po[:-1], len(pv) - 1)
             if is_float:
-                arr = np.asarray(
-                    [np.float32(t) if t not in (".", "")
-                     else formats.FLOAT_MISSING for t in toks2],
-                    dtype=np.float32)
-                allmiss = np.all(arr.view(np.uint32)
-                                 == formats.FLOAT_MISSING_BITS)
+                # all-missing vector -> field absent (import_pipeline
+                # parse of float INFO values)
+                nonmiss = pv.view(np.uint32) != formats.FLOAT_MISSING_BITS
+                ok &= np.logical_or.reduceat(nonmiss, seg0) \
+                    if len(idx) else ok
             else:
-                arr = np.asarray(
-                    [int(t) if t not in (".", "") else INT_MISSING
-                     for t in toks2], dtype=np.int32)
-                allmiss = len(arr) == 1 and arr[0] == INT_MISSING
-            per_rec.append(None if allmiss else arr)
-        kind, dtype, flen = specs[name]
+                # ints: only a single '.' token counts as absent
+                ok &= ~((seg_lens == 1) & (pv[seg0] == INT_MISSING))
+        valid_rec = np.zeros(n, dtype=bool)
+        valid_rec[idx] = ok
+        valid = np.repeat(valid_rec, K_s)
         divide = (_is_sum_like(info.combine_op) and len(samples) > 1)
         if kind == "fixed":
-            valid = np.repeat(np.array([x is not None for x in per_rec]),
-                              K_s)
             fill = formats.FLOAT_MISSING if is_float else INT_MISSING
-            mat = np.full((n, flen),
-                          fill,
+            mat = np.full((n, flen), fill,
                           dtype=np.float32 if is_float else np.int32)
-            for i, x in enumerate(per_rec):
-                if x is not None:
-                    mat[i, :len(x)] = x[:flen]
+            okidx = idx[ok]
+            sl = np.minimum(seg_lens[ok], flen)
+            src0 = po[:-1][ok]
+            for e in range(flen):
+                sel = sl > e
+                mat[okidx[sel], e] = pv[src0[sel] + e]
             out = np.repeat(mat, K_s, axis=0)
             if divide:
                 out = _divide_cells(out, valid, mapped, len(samples), K_s,
                                     is_float)
             fields[name] = FieldData(name, "fixed", dtype, valid, out)
         else:
-            v, vals, off = ragged_from_per_record(
-                per_rec, np.float32 if is_float else np.int32)
+            rec_lens = np.zeros(n, dtype=np.int64)
+            rec_lens[idx[ok]] = seg_lens[ok]
+            rec_offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(rec_lens, out=rec_offs[1:])
+            rvals = np.empty(int(rec_offs[-1]), dtype=pv.dtype)
+            nl.copy_segments(pv, po[:-1][ok], seg_lens[ok],
+                             rec_offs[:-1][idx[ok]], rvals)
+            vals, off = nl.replicate_ragged(rvals, rec_offs, K_s)
             if divide and len(vals):
-                vals = _divide_ragged(vals, off, v, mapped, len(samples),
-                                      K_s, is_float)
-            fields[name] = FieldData(name, kind, dtype, v, vals, off)
+                vals = _divide_ragged(vals, off, valid, mapped,
+                                      len(samples), K_s, is_float)
+            fields[name] = FieldData(name, kind, dtype, valid, vals, off)
 
     # ---- FORMAT fields (native, per sample) ----
-    fmt_spans = np.zeros((n, 2), dtype=np.int64)
-    has_fmt = ncols > 8
-    fmt_keys: List[Tuple[str, ...]] = []
-    kcache: Dict[bytes, Tuple[str, ...]] = {}
-    for i in range(n):
-        if ncols[i] > 8:
-            span = bytes(records[offs[i, 8]:offs[i, 9] - 1])
-            keys = kcache.get(span)
-            if keys is None:
-                keys = tuple(span.decode().split(":"))
-                kcache[span] = keys
-            fmt_keys.append(keys)
-        else:
-            fmt_keys.append(())
-    _ = (fmt_spans, has_fmt)
     fmt_names = [a for a in attrs
                  if vid.fields.get(a) is not None
                  and vid.fields[a].is_format]
-    # group records by FORMAT signature
+    # group records by FORMAT signature (interned FORMAT-column spans)
     groups: Dict[Tuple[str, ...], np.ndarray] = {}
-    sig_arr = np.array([hash(k) for k in fmt_keys])
-    for sig in set(fmt_keys):
-        groups[sig] = np.nonzero(
-            np.array([k == sig for k in fmt_keys]))[0]
-    _ = sig_arr
+    has = ncols > 8
+    if np.any(has):
+        hidx = np.nonzero(has)[0]
+        g2, uniq2 = nl.intern_spans(records, offs[hidx, 8].copy(),
+                                    (offs[hidx, 9] - 1).copy())
+        for g, i in enumerate(uniq2):
+            ri = hidx[i]
+            sig = tuple(records[offs[ri, 8]:offs[ri, 9] - 1]
+                        .decode().split(":"))
+            groups[sig] = hidx[g2 == g]
     # Parse jobs: one per (FORMAT signature, mapped sample).  Each job
     # scans its sample column ONCE for every requested field
     # (gdb_split_fields_multi) and parses natively; ctypes releases the
@@ -433,13 +406,8 @@ def fast_import_file(path: str, vid: VidMapper,
                     sel = seg_lens > 0
                     if not np.any(sel):
                         continue
-                    sl = seg_lens[sel]
-                    # vectorized segment copy: dest/src element indices
-                    dest0 = offsets[cids[sel]]
-                    src0 = src_off[sel]
-                    reps = np.repeat(dest0 - src0, sl)
-                    src_idx = _ragged_arange(src0, sl)
-                    values[src_idx + reps] = vals2[src_idx]
+                    nl.copy_segments(vals2, src_off[sel], seg_lens[sel],
+                                     offsets[cids[sel]], values)
             fields[name] = FieldData(name, kind, dtype, valid, values,
                                      offsets)
 
@@ -474,34 +442,22 @@ def _divide_cells(out, valid, mapped, nsamples, K_s, is_float):
 
 
 def _divide_ragged(vals, off, valid, mapped, nsamples, K_s, is_float):
-    vals = vals.copy()
-    for k_pos, (local_idx, _row) in enumerate(mapped):
-        for cid in range(k_pos, len(off) - 1, K_s):
-            lo, hi = off[cid], off[cid + 1]
-            if hi <= lo:
-                continue
-            seg = vals[lo:hi]
-            if is_float:
-                miss = seg.view(np.uint32) == formats.FLOAT_MISSING_BITS
-                with np.errstate(invalid="ignore"):
-                    d = (seg / np.float32(nsamples)).astype(np.float32)
-                d[miss] = seg[miss]
-            else:
-                miss = seg == INT_MISSING
-                d = (seg // nsamples
-                     + (local_idx < (seg % nsamples))).astype(np.int32)
-                d[miss] = seg[miss]
-            vals[lo:hi] = d
-    return vals
+    """divide_up_among_samples on per-cell ragged values, vectorized:
+    each element's divisor remainder share depends on its cell's callset
+    idx-in-file (vcf2binary.h:35-53)."""
+    lens = np.diff(off)
+    if is_float:
+        miss = vals.view(np.uint32) == formats.FLOAT_MISSING_BITS
+        with np.errstate(invalid="ignore"):
+            d = (vals / np.float32(nsamples)).astype(np.float32)
+    else:
+        local_per_k = np.asarray([li for li, _r in mapped], dtype=np.int64)
+        cell_ids = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        local = local_per_k[cell_ids % K_s]
+        miss = vals == INT_MISSING
+        d = (vals // nsamples + (local < (vals % nsamples))).astype(
+            np.int32)
+    d[miss] = vals[miss]
+    return d
 
 
-def _ragged_arange(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Concatenated [s, s+1, .., s+l-1] ranges, fully vectorized."""
-    total = int(lens.sum())
-    if total == 0:
-        return np.zeros(0, dtype=np.int64)
-    ends = np.cumsum(lens)
-    idx = np.arange(total, dtype=np.int64)
-    seg = np.searchsorted(ends, idx, side="right")
-    within = idx - (ends - lens)[seg]
-    return starts[seg] + within

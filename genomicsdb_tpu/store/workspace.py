@@ -317,14 +317,13 @@ def merge_stores(stores: List[ColumnarStore]) -> ColumnarStore:
         abs_starts = np.concatenate(
             [fd.offsets[:-1] + b for fd, b in zip(fds, base_off)])
         # vectorized gather in merged order (one segment copy per field)
-        new_lens = lens[order]
+        new_lens = lens[order].astype(np.int64)
         new_offsets = np.zeros(n_total + 1, dtype=np.int64)
         np.cumsum(new_lens, out=new_offsets[1:])
-        from .columnar import _ragged_arange
-        nz = new_lens > 0
-        src_idx = _ragged_arange(abs_starts[order][nz],
-                                 new_lens[nz].astype(np.int64))
-        values = value_cat[src_idx]
+        from .columnar import copy_ragged_segments
+        values = np.empty(int(new_offsets[-1]), dtype=value_cat.dtype)
+        copy_ragged_segments(value_cat, abs_starts[order], new_lens,
+                             new_offsets[:-1], values)
         out.fields[name] = FieldData(name=name, kind=kind, dtype=dtype,
                                      valid=valid, values=values,
                                      offsets=new_offsets)
