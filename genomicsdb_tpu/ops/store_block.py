@@ -299,34 +299,43 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     ref_fd = store.fields["REF"]
     alt_fd = store.fields["ALT"]
     N = store.num_cells
-    ref_len = np.diff(ref_fd.offsets) if N else np.zeros(0, np.int64)
-    alt_len = np.diff(alt_fd.offsets) if N else np.zeros(0, np.int64)
-    ref_ok = ref_fd.valid & (ref_len > 0)
-    alt_ok = alt_fd.valid
-    ref_bytes = np.asarray(ref_fd.values, dtype=np.uint8) \
-        if N and ref_fd.values is not None else np.zeros(0, np.uint8)
-    alt_bytes = np.asarray(alt_fd.values, dtype=np.uint8) \
-        if N and alt_fd.values is not None else np.zeros(0, np.uint8)
+    am = getattr(store, "_allele_meta_cache", None)
+    if am is None:
+        # store-wide, query-independent: computed once, reused by every
+        # chunk of a genome-scale query
+        ref_len = np.diff(ref_fd.offsets) if N else np.zeros(0, np.int64)
+        alt_len = np.diff(alt_fd.offsets) if N else np.zeros(0, np.int64)
+        ref_ok = ref_fd.valid & (ref_len > 0)
+        alt_ok = alt_fd.valid
+        ref_bytes = np.asarray(ref_fd.values, dtype=np.uint8) \
+            if N and ref_fd.values is not None else np.zeros(0, np.uint8)
+        alt_bytes = np.asarray(alt_fd.values, dtype=np.uint8) \
+            if N and alt_fd.values is not None else np.zeros(0, np.uint8)
 
-    def _first_chars(ok, bytes_arr, offsets):
-        if not len(bytes_arr):
-            return np.zeros(N, np.uint8)
-        idx = np.minimum(offsets[:-1], len(bytes_arr) - 1)
-        return np.where(ok, bytes_arr[idx], 0).astype(np.uint8)
+        def _first_chars(ok, bytes_arr, offsets):
+            if not len(bytes_arr):
+                return np.zeros(N, np.uint8)
+            idx = np.minimum(offsets[:-1], len(bytes_arr) - 1)
+            return np.where(ok, bytes_arr[idx], 0).astype(np.uint8)
 
-    ref_first = _first_chars(ref_ok, ref_bytes, ref_fd.offsets)
-    alt_first = _first_chars(alt_ok & (alt_len > 0), alt_bytes,
-                             alt_fd.offsets)
-    if N and len(alt_bytes):
-        pipe_cum = np.concatenate(
-            [[0], np.cumsum(alt_bytes == ord("|"))])
-        alt_npipe = (pipe_cum[alt_fd.offsets[1:]]
-                     - pipe_cum[alt_fd.offsets[:-1]])
-    else:
-        alt_npipe = np.zeros(N, np.int64)
-    # pure ref block: 1-base REF, single ALT == <NON_REF> ('&' encoding)
-    cell_refblock = (ref_ok & alt_ok & (ref_len == 1) & (alt_npipe == 0)
-                     & (alt_first == ord("&")))
+        ref_first = _first_chars(ref_ok, ref_bytes, ref_fd.offsets)
+        alt_first = _first_chars(alt_ok & (alt_len > 0), alt_bytes,
+                                 alt_fd.offsets)
+        if N and len(alt_bytes):
+            pipe_cum = np.concatenate(
+                [[0], np.cumsum(alt_bytes == ord("|"))])
+            alt_npipe = (pipe_cum[alt_fd.offsets[1:]]
+                         - pipe_cum[alt_fd.offsets[:-1]])
+        else:
+            alt_npipe = np.zeros(N, np.int64)
+        # pure ref block: 1-base REF, single ALT == NON_REF ('&')
+        cell_refblock = (ref_ok & alt_ok & (ref_len == 1)
+                         & (alt_npipe == 0) & (alt_first == ord("&")))
+        am = (ref_len, alt_len, ref_ok, alt_ok, ref_bytes, alt_bytes,
+              ref_first, alt_first, cell_refblock)
+        store._allele_meta_cache = am
+    (ref_len, alt_len, ref_ok, alt_ok, ref_bytes, alt_bytes, ref_first,
+     alt_first, cell_refblock) = am
     # deletions require multi-base REF: decode just those cells
     cell_hasdel = np.zeros(N, dtype=bool)
     # per-cell REF/ALT string codes (store-cached, vectorized): the
@@ -526,18 +535,30 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     inv_bs[touch_b, touch_s, 0] = 0
     inv_bs[touch_b, touch_s, 1] = 1
     nr_bs[touch_b, touch_s] = 1
-    # merged REF of ref-only records: first row whose live cell STARTS here
-    rec_refs: List[Optional[str]] = [None] * B
-    rec_alts: List[List[str]] = [["&"]] * B
+    # merged REF of ref-only records: first row whose live cell STARTS
+    # here.  rec_refs/rec_alts are object arrays so group-level results
+    # scatter with one fancy-index store per signature group; records of
+    # a group share ONE alts list object (the renderer memoizes on
+    # identity).
+    rec_refs = np.full(B, None, dtype=object)
+    rec_alts = np.empty(B, dtype=object)
+    rec_alts.fill(["&"])
     start_here = live_ok & (col_mat == starts[:, None]) \
         & ref_ok[safe_cm] if N else np.zeros((B, S), dtype=bool)
     ref_rows = np.nonzero(rec_refonly & start_here.any(axis=1))[0]
     if len(ref_rows):
         s0 = np.argmax(start_here[ref_rows], axis=1)
-        chars = ref_first[cells_mat[ref_rows, s0]]
-        for b, ch, srow in zip(ref_rows, chars, s0):
-            c0 = int(cells_mat[b, srow])
-            rec_refs[b] = chr(ch) if ref_len[c0] == 1 else get_ref(c0)
+        c0s = cells_mat[ref_rows, s0]
+        chars = ref_first[c0s]
+        single = ref_len[c0s] == 1
+        if single.any():
+            txt = chars[single].astype(np.uint8).tobytes() \
+                .decode("latin-1")
+            rec_refs[ref_rows[single]] = np.array(list(txt),
+                                                  dtype=object)
+        for b, c0 in zip(ref_rows[~single].tolist(),
+                         c0s[~single].tolist()):
+            rec_refs[b] = get_ref(int(c0))
     # --- variant records: per-record allele merge (host strings) ---
     # The merged REF only includes calls STARTING at the record
     # (GA4GHOperator skips col < variant.start, variant_operations.cc
@@ -625,13 +646,15 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                 if non_ref:
                     nr_bs[np.ix_(members, s_var)] = inv_w[:, W - 1][None]
                 alts_list = list(merged_alts)
+                wrap = np.empty(1, dtype=object)
+                wrap[0] = alts_list
+                rec_alts[members] = wrap
                 if merged_ref is not None:
-                    for b in members.tolist():
-                        rec_refs[b] = merged_ref
-                        rec_alts[b] = alts_list
+                    wrap_r = np.empty(1, dtype=object)
+                    wrap_r[0] = merged_ref
+                    rec_refs[members] = wrap_r
                 else:
                     for b in members.tolist():
-                        rec_alts[b] = alts_list
                         if start_any[b]:
                             c0 = int(cells_mat[
                                 b, int(np.argmax(start_here[b]))])

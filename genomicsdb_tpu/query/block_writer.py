@@ -109,7 +109,7 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
                                pad_records: Optional[int] = None,
                                pad_cells_to: int = 1,
                                filter_name_by_field_idx=None,
-                               mesh=None):
+                               mesh=None, coalesce: bool = False):
     """Two-phase generator form of render_block_vcf: the first next()
     builds the block and DISPATCHES the device combine (async under
     jit); the second next() fetches outputs and renders text.  Callers
@@ -197,24 +197,32 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
     starts = blk.starts
     # ---------------- record plan: block vs splice runs ----------------
     any_live_v = live_ok.any(axis=1)
-    emitted = [b for b in np.nonzero(any_live_v)[0]]
-    plan_items: list = []
-    block_bs: list = []
-    e = 0
-    while e < len(emitted):
-        b = emitted[e]
-        if sequential_fn is not None and meta.needs_fallback[b]:
-            j = e
-            while j < len(emitted) and meta.needs_fallback[emitted[j]]:
-                j += 1
-            hi = int(starts[emitted[j]]) - 1 if j < len(emitted) \
-                else int(interval[1])
-            plan_items.append(("seq", int(starts[b]), hi))
-            e = j
-            continue
-        plan_items.append(("block", b))
-        block_bs.append(b)
-        e += 1
+    emitted_arr = np.nonzero(any_live_v)[0]
+    if sequential_fn is None \
+            or not meta.needs_fallback[emitted_arr].any():
+        # pure block run (the production common case): no per-record
+        # plan needed, the native line blob passes through unsplit
+        plan_items = None
+        block_bs = emitted_arr.tolist()
+    else:
+        emitted = emitted_arr.tolist()
+        plan_items = []
+        block_bs = []
+        e = 0
+        while e < len(emitted):
+            b = emitted[e]
+            if meta.needs_fallback[b]:
+                j = e
+                while j < len(emitted) and meta.needs_fallback[emitted[j]]:
+                    j += 1
+                hi = int(starts[emitted[j]]) - 1 if j < len(emitted) \
+                    else int(interval[1])
+                plan_items.append(("seq", int(starts[b]), hi))
+                e = j
+                continue
+            plan_items.append(("block", b))
+            block_bs.append(b)
+            e += 1
     from ..core import profile
     if profile.ENABLED:
         profile.GLOBAL_STATS.bump("block_records", len(block_bs))
@@ -329,7 +337,7 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
     lines: List[str] = []
     nb = len(block_bs)
     if nb == 0:
-        for item in plan_items:
+        for item in (plan_items or []):
             if item[0] != "block":
                 lines.extend(sequential_fn(item[1], item[2]))
         yield lines
@@ -346,34 +354,47 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
                      for k in range(len(fmt_specs) + 1))
 
     # REF: fasta lookup only where the merge produced no concrete base
-    refs: List[str] = [""] * nb
-    for i, b in enumerate(block_bs):
-        r = meta.refs[b]
-        if r is None or (len(r) == 1 and r == "N"):
-            if ref_genome is not None:
-                ci = c_idx_l[b]
-                base = ref_genome.base_at(c_names[ci],
-                                          starts_l[b] - c_offs_l[ci])
-                r = base if base in LEGAL else "N"
-            else:
-                r = "N"
-        refs[i] = r
-    # ALT: ref-only records are the constant <NON_REF>
-    alt_txts: List[str] = [""] * nb
-    for i, b in enumerate(block_bs):
-        alts = meta.alts[b]
-        if len(alts) == 1 and alts[0].startswith("&"):
-            alt_txts[i] = "<NON_REF>"
+    meta_refs = meta.refs if isinstance(meta.refs, np.ndarray) \
+        else np.array(meta.refs, dtype=object)
+    refs_arr = meta_refs[bs_arr]
+    refs: List[str] = refs_arr.tolist()
+    need_fa = np.nonzero((refs_arr == None) | (refs_arr == "N"))[0]  # noqa: E711
+    for i in need_fa.tolist():
+        if ref_genome is not None:
+            b = int(bs_arr[i])
+            ci = c_idx_l[b]
+            base = ref_genome.base_at(c_names[ci],
+                                      starts_l[b] - c_offs_l[ci])
+            refs[i] = base if base in LEGAL else "N"
         else:
-            alt_txts[i] = ",".join("<NON_REF>" if a.startswith("&")
-                                   else a for a in alts) or "."
+            refs[i] = "N"
+    # ALT: memoized on the alts-list identity — records sharing a merge
+    # signature share one list object (store_block scatters groups)
+    alt_txts: List[str] = [""] * nb
+    meta_alts = meta.alts
+    alt_memo: Dict[int, str] = {}
+    for i, b in enumerate(block_bs):
+        alts = meta_alts[b]
+        t = alt_memo.get(id(alts))
+        if t is None:
+            if len(alts) == 1 and alts[0].startswith("&"):
+                t = "<NON_REF>"
+            else:
+                t = ",".join("<NON_REF>" if a.startswith("&")
+                             else a for a in alts) or "."
+            alt_memo[id(alts)] = t
+        alt_txts[i] = t
     # sample columns + FORMAT dictionary per signature group
     rec_text: List[Optional[str]] = [None] * nb
     fmt_strings: Dict[int, str] = {}
-    groups: Dict[int, List[int]] = {}
     with_fmt = not plan.sites_only and S
-    for i, code in enumerate(sig_codes.tolist()):
-        groups.setdefault(code, []).append(i)
+    sc_order = np.argsort(sig_codes, kind="stable")
+    sc_sorted = sig_codes[sc_order]
+    uniq_codes, uniq_starts = np.unique(sc_sorted, return_index=True)
+    uniq_bounds = np.concatenate([uniq_starts, [nb]])
+    groups: Dict[int, np.ndarray] = {
+        int(uniq_codes[g]): sc_order[uniq_bounds[g]:uniq_bounds[g + 1]]
+        for g in range(len(uniq_codes))}
     if with_fmt:
         renderer = _SampleRenderer(plan, fmt_specs, meta, blk, dev, live,
                                    ploidy, store,
@@ -393,6 +414,14 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
         fmt_strings, sig_codes, rec_text, with_fmt)
     if isinstance(block_lines_text, tuple):   # native (blob, offsets)
         blob, offs = block_lines_text
+        if plan_items is None:
+            # pure block run: one multi-line chunk, no per-line split
+            if coalesce:
+                lines.append(blob.decode()[:-1])
+            else:
+                lines.extend(blob.decode()[:-1].split("\n"))
+            yield lines
+            return
         pos_of_b = {int(b): i for i, b in enumerate(block_bs)}
         run_start = run_end = -1
         for item in plan_items:
@@ -413,6 +442,10 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
         yield lines
         return
     # python fallback produced a per-record list
+    if plan_items is None:
+        lines.extend(block_lines_text)
+        yield lines
+        return
     block_lines = {int(b): block_lines_text[i]
                    for i, b in enumerate(block_bs)}
     for item in plan_items:

@@ -101,7 +101,8 @@ def run_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
     out_lines = list(iter_vcf_query_block(
         store, qc, qp, vid, template_path=template_path,
         reference_path=reference_path, max_merged=max_merged,
-        max_records_per_block=max_records_per_block, mesh=mesh))
+        max_records_per_block=max_records_per_block, mesh=mesh,
+        coalesce=True))
     if not out_lines:
         return ""
     return "\n".join(out_lines) + "\n"
@@ -113,7 +114,7 @@ def iter_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
                          reference_path: Optional[str] = None,
                          max_merged: int = 4,
                          max_records_per_block: int = 65536,
-                         mesh=None):
+                         mesh=None, coalesce: bool = False):
     """Lazy form of run_vcf_query_block: yields header + record lines
     chunk by chunk (record-aligned blocks), so streaming consumers
     (CombinedRecordStream, the socket stream server) ride the batched
@@ -174,7 +175,7 @@ def iter_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
                 store, qc, vid, civ, ref_genome=ref_genome,
                 max_merged=max_merged, sequential_fn=make_seq_fn(),
                 filter_name_by_field_idx=filter_names, mesh=mesh,
-                **pad_kw)
+                coalesce=coalesce, **pad_kw)
             next(g)
             if pending is not None:
                 yield from next(pending)
