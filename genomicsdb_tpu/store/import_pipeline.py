@@ -471,15 +471,28 @@ def _try_fast_import(files, vid: VidMapper, base_dir: str,
     from .fast_import import fast_import_file
     from .columnar import store_take
     from . import workspace as ws
-    stores = []
+    jobs = []
     for filename, samples in files.items():
         path = _resolve_input(filename, base_dir, vid)
         if path.endswith(".csv"):
             return None
-        st = fast_import_file(path, vid, dict(samples), treat_deletions)
-        if st is None:
-            return None
-        stores.append(st)
+        jobs.append((path, dict(samples)))
+    if len(jobs) > 1:
+        # parallel per-file conversion (the reference's OpenMP
+        # num_parallel_vcf_files fetch, tiledb_loader.cc:363); the
+        # native tokenizer/parsers release the GIL
+        import concurrent.futures as cf
+        import os
+        workers = min(4, os.cpu_count() or 1, len(jobs))
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            stores = list(ex.map(
+                lambda j: fast_import_file(j[0], vid, j[1],
+                                           treat_deletions), jobs))
+    else:
+        stores = [fast_import_file(p, vid, s, treat_deletions)
+                  for p, s in jobs]
+    if any(st is None for st in stores):
+        return None
     if not stores:
         return None
     merged = ws.merge_stores(stores) if len(stores) > 1 else \
