@@ -32,7 +32,7 @@ class CombinedRecordStream:
                  qp: QueryParams, vid: VidMapper,
                  template_path: Optional[str] = None,
                  reference_path: Optional[str] = None,
-                 engine: str = "sequential"):
+                 engine: str = "block"):
         self.store = store
         self.qc = qc
         self.qp = qp
@@ -97,6 +97,7 @@ class CombinedRecordStream:
         import struct
 
         from ..vcf.bcf import (_HeaderDict, _encode_record,
+                               _encode_records_native,
                                _synthesize_declarations)
 
         def header_block(lines):
@@ -104,14 +105,28 @@ class CombinedRecordStream:
             return (b"BCF\x02\x02" + struct.pack("<I", len(text))
                     + text.encode())
 
+        def encode_batch(recs, hd, n_sample):
+            enc = _encode_records_native(recs, hd, n_sample)
+            if enc is not None:
+                return enc
+            return [_encode_record(r, hd, n_sample) for r in recs]
+
         n_sample = len(self.qc.rows_to_query)
         if self.header_lines:
-            # full template header: declarations complete, stream lazily
+            # full template header: declarations complete; encode in
+            # record batches through the native BCF2 kernel
             hd = _HeaderDict(self.header_lines)
             yield header_block(self.header_lines)
+            batch: List[str] = []
             for line in self:
-                if not line.startswith("#"):
-                    yield _encode_record(line.rstrip("\n"), hd, n_sample)
+                if line.startswith("#"):
+                    continue
+                batch.append(line.rstrip("\n"))
+                if len(batch) >= 8192:
+                    yield from encode_batch(batch, hd, n_sample)
+                    batch = []
+            if batch:
+                yield from encode_batch(batch, hd, n_sample)
             return
         # headerless: scan first to synthesize typed declarations
         records = [ln.rstrip("\n") for ln in self
@@ -127,8 +142,7 @@ class CombinedRecordStream:
             header_lines = header_lines[:-1] + extra + [header_lines[-1]]
             hd = _HeaderDict(header_lines)
         yield header_block(header_lines)
-        for rec in records:
-            yield _encode_record(rec, hd, n_sample)
+        yield from encode_batch(records, hd, n_sample)
 
 
 class FeatureReader:

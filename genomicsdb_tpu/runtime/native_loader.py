@@ -25,9 +25,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    src = os.path.join(_NATIVE_DIR, "vcf_kernels.cpp")
-    stale = (os.path.isfile(_LIB_PATH) and os.path.isfile(src)
-             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    srcs = [os.path.join(_NATIVE_DIR, f)
+            for f in ("vcf_kernels.cpp", "seq_bench.cpp",
+                      "bcf_encode.cpp")]
+    stale = os.path.isfile(_LIB_PATH) and any(
+        os.path.isfile(s)
+        and os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+        for s in srcs)
     if not os.path.isfile(_LIB_PATH) or stale:
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR] +
@@ -452,6 +456,63 @@ def replicate_ragged(values: np.ndarray, rec_offs: np.ndarray, K: int):
     if w < 0:
         raise RuntimeError("replicate_ragged overflow")
     return out, out_offs
+
+
+def _bind_bcf(lib):
+    i64 = ctypes.c_int64
+    p64 = np.ctypeslib.ndpointer(np.int64)
+    pu8 = np.ctypeslib.ndpointer(np.uint8)
+    lib.gdb_bcf_encode_records.restype = i64
+    lib.gdb_bcf_encode_records.argtypes = [
+        ctypes.c_char_p, p64, i64,
+        ctypes.c_char_p, p64, i64,
+        ctypes.c_char_p, p64, i64,
+        pu8, pu8, ctypes.c_int32,
+        ctypes.c_char_p, i64, p64]
+
+
+def _names_blob(names):
+    blob = "".join(names).encode()
+    offs = np.zeros(len(names) + 1, dtype=np.int64)
+    np.cumsum([len(n.encode()) for n in names], out=offs[1:])
+    return blob, offs
+
+
+def bcf_encode_records(text: bytes, line_offs: np.ndarray,
+                       contig_names, str_names, info_types, fmt_types,
+                       n_sample: int):
+    """Encode newline-free record line spans to BCF2 record bytes.
+
+    info_types/fmt_types: per string-dict id, 0 none / 1 Integer /
+    2 Float / 3 String-like.  Returns (bytes, offsets[n+1]) or None when
+    the native path is unavailable / a dictionary lookup missed (caller
+    falls back to the Python encoder)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gdb_bcf_encode_records"):
+        return None
+    if not hasattr(lib, "_bcf_bound"):
+        _bind_bcf(lib)
+        lib._bcf_bound = True
+    n = len(line_offs) - 1
+    cb, co = _names_blob(contig_names)
+    sb, so = _names_blob(str_names)
+    it = np.ascontiguousarray(info_types, dtype=np.uint8)
+    ft = np.ascontiguousarray(fmt_types, dtype=np.uint8)
+    cap = int(len(text) * 2 + n * 64 + 1024)
+    for _ in range(2):
+        out = ctypes.create_string_buffer(cap)
+        out_offs = np.empty(n + 1, dtype=np.int64)
+        w = lib.gdb_bcf_encode_records(
+            text, np.ascontiguousarray(line_offs, dtype=np.int64), n,
+            cb, co, len(contig_names), sb, so, len(str_names), it, ft,
+            n_sample, out, cap, out_offs)
+        if w == -1:
+            cap *= 4
+            continue
+        if w < 0:
+            return None   # malformed token / missing name: Python path
+        return out.raw[:w], out_offs
+    return None
 
 
 def copy_segments(src: np.ndarray, src0, lens, dest0, out: np.ndarray):

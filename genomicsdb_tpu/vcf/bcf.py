@@ -25,7 +25,7 @@ Layout (htslib vcf.c / the BCFv2.2 spec):
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -255,6 +255,48 @@ def _synthesize_declarations(record_lines: List[str],
     return extra
 
 
+def _encode_records_native(lines: List[str], hd: "_HeaderDict",
+                           n_sample: int) -> Optional[List[bytes]]:
+    """Batch-encode record lines with the native BCF2 kernel; None when
+    unavailable or when a line needs the Python path (the two encoders
+    are byte-identical — tests/test_bcf.py cross-checks)."""
+    import os
+
+    from ..runtime import native_loader as nl
+    if not lines or os.environ.get("GENOMICSDB_TPU_NO_NATIVE", "") \
+            not in ("", "0"):
+        return None
+    codes = getattr(hd, "_native_codes", None)
+    if codes is None:
+        n = len(hd.strings)
+        info_c = np.zeros(n, dtype=np.uint8)
+        fmt_c = np.zeros(n, dtype=np.uint8)
+        num = {"Integer": 1, "Float": 2}
+        for name, (t, _n) in hd.info_type.items():
+            i = hd.str_idx.get(name)
+            if i is not None:
+                info_c[i] = num.get(t, 3)
+        for name, (t, _n) in hd.format_type.items():
+            i = hd.str_idx.get(name)
+            if i is not None:
+                # the Python encoder char-encodes only Type=String and
+                # int-parses everything else; mirror that
+                fmt_c[i] = num.get(t, 3 if t == "String" else 1)
+        codes = hd._native_codes = (info_c, fmt_c)
+    blob = "\n".join(lines).encode()
+    if len(blob) != sum(len(ln) for ln in lines) + len(lines) - 1:
+        return None   # non-ASCII text: byte offsets would not line up
+    offs = np.zeros(len(lines) + 1, dtype=np.int64)
+    np.cumsum([len(ln) + 1 for ln in lines], out=offs[1:])
+    offs[-1] -= 1
+    res = nl.bcf_encode_records(blob, offs, hd.contigs, hd.strings,
+                                codes[0], codes[1], n_sample)
+    if res is None:
+        return None
+    out, oo = res
+    return [out[oo[i]:oo[i + 1]] for i in range(len(lines))]
+
+
 def text_to_bcf(text: str) -> bytes:
     """Encode combined-VCF text (with header) to an uncompressed BCF2.2
     byte stream (magic + header + records)."""
@@ -289,10 +331,14 @@ def text_to_bcf(text: str) -> bytes:
     out = bytearray(b"BCF\x02\x02")
     out += struct.pack("<I", len(header_text))
     out += header_text.encode()
-    for ln in lines[hdr_end + 1:]:
-        if not ln:
-            continue
-        out += _encode_record(ln, hd, n_sample)
+    recs = [ln for ln in lines[hdr_end + 1:] if ln]
+    enc = _encode_records_native(recs, hd, n_sample)
+    if enc is not None:
+        for b in enc:
+            out += b
+    else:
+        for ln in recs:
+            out += _encode_record(ln, hd, n_sample)
     return bytes(out)
 
 

@@ -76,3 +76,35 @@ def test_bcf_query_stream():
         reference_path=os.path.join(REF_TESTS,
                                     "inputs/chr1_10MB.fasta.gz"))
     assert text == want, diff_strings(text, want)
+
+
+def test_native_encoder_matches_python():
+    """The native BCF2 record encoder (gdb_bcf_encode_records) is
+    byte-identical to the Python _encode_record on real query output,
+    including haploid/triploid GT, deletions, and float fields."""
+    from genomicsdb_tpu.vcf.bcf import (_HeaderDict, _encode_record,
+                                        _encode_records_native,
+                                        _synthesize_declarations)
+
+    for callset, vidf in [
+            ("inputs/callsets/t0_1_2.json", "inputs/vid.json"),
+            ("inputs/callsets/"
+             "t0_haploid_triploid_1_2_3_triploid_deletion.json",
+             "inputs/vid_DS_ID_phased_GT.json")]:
+        text = run_vcf(callset, VCF_ATTRIBUTES_ORDER, [(0, 1000000000)],
+                       vid_file=vidf)
+        lines = [ln for ln in text.splitlines() if ln]
+        hdr = [ln for ln in lines if ln.startswith("#")]
+        recs = [ln for ln in lines if not ln.startswith("#")]
+        hd = _HeaderDict(hdr)
+        extra = _synthesize_declarations(recs, hd)
+        if extra:
+            hdr = hdr[:-1] + extra + [hdr[-1]]
+            hd = _HeaderDict(hdr)
+        n_sample = len(hdr[-1].split("\t")) - 9
+        native = _encode_records_native(recs, hd, n_sample)
+        assert native is not None, "native encoder unavailable"
+        python = [_encode_record(r, hd, n_sample) for r in recs]
+        assert len(native) == len(python)
+        for i, (a, b) in enumerate(zip(native, python)):
+            assert a == b, f"record {i} differs: {recs[i][:120]}"
