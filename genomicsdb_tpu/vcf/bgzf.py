@@ -188,18 +188,21 @@ class BCFFileWriter:
         self.close()
 
 
-def open_output(path: str, fmt: str = "", index: bool = False):
+def open_output(path: str, fmt: str = "", index=False):
     """File object for VCF text output honoring the reference's
     vcf_output_format knob ("z"/"bgzf" or a .gz/.bgz filename -> BGZF
     text; "b"/"bcf" or a .bcf filename -> BGZF-framed BCF2.2 binary;
-    otherwise plain text).  `index` emits a tabix .tbi alongside
+    otherwise plain text).  `index` emits a tabix index alongside
     compressed text output (index_output_VCF,
-    genomicsdb_config_base.h:90)."""
+    genomicsdb_config_base.h:90): True/"auto" picks .tbi, upgrading to
+    .csi past the 2^29-1 coordinate cap; "tbi"/"csi" force a format."""
     if fmt in ("b", "bcf") or path.endswith(".bcf"):
         return BCFFileWriter(path)
     if fmt in ("z", "bgzf", "gz") or path.endswith((".gz", ".bgz")):
         if index:
             from .tabix import IndexedVCFWriter
-            return IndexedVCFWriter(path)
+            return IndexedVCFWriter(
+                path, index_format=index if isinstance(index, str)
+                else "auto")
         return BGZFWriter(path)
     return open(path, "w")

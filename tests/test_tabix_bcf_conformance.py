@@ -16,8 +16,11 @@ from golden_utils import (REF_TESTS, VCF_ATTRIBUTES_ORDER, load_setup,
 
 from genomicsdb_tpu.query import driver
 from genomicsdb_tpu.vcf import bcf
+import pytest
+
 from genomicsdb_tpu.vcf.tabix import (IndexedVCFWriter, TabixReader,
-                                      reg2bin, reg2bins)
+                                      reg2bin, reg2bin_csi, reg2bins,
+                                      reg2bins_csi)
 
 
 def _combined_vcf():
@@ -85,6 +88,61 @@ class TestTabix:
             got = rdr.query("1", b1, e1)
             want = scan("1", b1, e1)
             assert got == want, (b1, e1)
+
+    def test_csi_binning_matches_tbi_at_14_5(self):
+        # CSI(14, 5) is exactly the TBI scheme (htslib hts.c)
+        for beg, end in [(0, 1), (0, 1 << 14), (0, (1 << 14) + 1),
+                         (1 << 14, (1 << 14) + 5), (0, 1 << 29),
+                         (12140, 12141), (8029500, 8029511)]:
+            assert reg2bin_csi(beg, end, 14, 5) == reg2bin(beg, end)
+            assert reg2bins_csi(beg, end, 14, 5) == reg2bins(beg, end)
+
+    def test_csi_emission_and_query(self, tmp_path):
+        text = _combined_vcf()
+        p = str(tmp_path / "out.vcf.gz")
+        with IndexedVCFWriter(p, index_format="csi") as w:
+            for i in range(0, len(text), 1013):
+                w.write(text[i:i + 1013])
+        assert os.path.exists(p + ".csi")
+        assert not os.path.exists(p + ".tbi")
+        raw = gzip.decompress(open(p + ".csi", "rb").read())
+        assert raw[:4] == b"CSI\x01"
+        min_shift, depth = struct.unpack_from("<2i", raw, 4)
+        assert (min_shift, depth) == (14, 5)
+        tbi = str(tmp_path / "ref.vcf.gz")
+        with IndexedVCFWriter(tbi) as w:
+            w.write(text)
+        r_csi, r_tbi = TabixReader(p), TabixReader(tbi)
+        for (b1, e1) in [(1, 10_000_000), (12141, 12141),
+                         (17385, 17385), (12100, 12300), (1, 100),
+                         (8029500, 8029510)]:
+            assert r_csi.query("1", b1, e1) == r_tbi.query("1", b1, e1)
+
+    def test_auto_upgrades_past_tbi_cap(self, tmp_path):
+        # a coordinate >= 2^29 forces CSI (htslib refuses .tbi there)
+        lines = ["##fileformat=VCFv4.1",
+                 "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"]
+        positions = [1000, (1 << 29) - 100, (1 << 29) + 5000,
+                     (1 << 30) + 12345]
+        for pos in positions:
+            lines.append(f"1\t{pos}\t.\tA\tT\t.\t.\tEND={pos + 10}")
+        text = "\n".join(lines) + "\n"
+        p = str(tmp_path / "deep.vcf.gz")
+        with IndexedVCFWriter(p) as w:
+            w.write(text)
+        assert os.path.exists(p + ".csi")
+        rdr = TabixReader(p)
+        assert rdr.depth > 5 or (1 << (rdr.min_shift + 3 * rdr.depth)) \
+            > (1 << 30) + 12355
+        for pos in positions:
+            got = rdr.query("1", pos, pos)
+            assert len(got) == 1 and got[0].startswith(f"1\t{pos}\t")
+        assert len(rdr.query("1", 1, 1 << 31)) == len(positions)
+        # forced tbi must refuse, like htslib
+        with pytest.raises(ValueError):
+            with IndexedVCFWriter(str(tmp_path / "x.vcf.gz"),
+                                  index_format="tbi") as w:
+                w.write(text)
 
     def test_multiblock_offsets(self, tmp_path):
         # >64KB of records: virtual offsets must cross BGZF blocks
