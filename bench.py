@@ -132,12 +132,13 @@ def bench_device_fused(num_samples=128, cells_per_sample=2048,
                             seed=0)
     S = blk.col.shape[0]
     nb = len(blk.starts)
+    rt = PC._default_rt()
     cfg = PC.FusedConfig(
         g_in=blk.pl.shape[2],
         g_out=len(K.genotype_combo_table(4, 2)),
         a_in=blk.ad.shape[2], m=4, gt_w=blk.gt.shape[2],
         f_med=blk.info_f.shape[0], f_imed=blk.info_i.shape[0],
-        f_fsum=blk.info_fs.shape[0], ploidy=2, gt_phase=False)
+        f_fsum=blk.info_fs.shape[0], ploidy=2, gt_phase=False, rt=rt)
     pay = PC.build_payload(blk, cfg)
     C = pay.shape[2]
     cpad = (-C) % cfg.cb + cfg.cb
@@ -182,12 +183,26 @@ def bench_device_fused(num_samples=128, cells_per_sample=2048,
     def chksum(x):
         return jnp.sum(x.astype(jnp.int32), dtype=jnp.int32)
 
+    S_n, M_n = S, inv_t.shape[2]
+
     @jax.jit
     def run_all(pay_d, del_rw_d, live_bs, *stacks):
         def body(args):
             w, lt, it, nt, rm, rn, lbs = args
-            out = PC.fused_gather_remap(pay_d, lt, it, nt, rm, rn, w,
-                                        cfg=cfg, interpret=interpret)
+            if rt > 1:
+                T = chunk // cfg.bt
+                out = PC.fused_gather_remap_rt(
+                    pay_d, lt[:, 0].reshape(S_n, T, cfg.bt),
+                    it.reshape(S_n, M_n, T, cfg.bt),
+                    nt[:, 0].reshape(S_n, T, cfg.bt),
+                    rm[0].reshape(T, cfg.bt), rn[0].reshape(T, cfg.bt),
+                    w.reshape(T // rt, rt, S_n), cfg=cfg,
+                    interpret=interpret)
+                out = out.reshape(S_n, cfg.vout, chunk)
+            else:
+                out = PC.fused_gather_remap(pay_d, lt, it, nt, rm, rn,
+                                            w, cfg=cfg,
+                                            interpret=interpret)
             post = PC._fused_post(out, del_rw_d, lbs, cfg, chunk,
                                   _reduce_math)
             return (chksum(post["pl"]) + chksum(post["ad"])

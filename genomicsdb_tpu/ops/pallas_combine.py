@@ -65,6 +65,10 @@ class FusedConfig:
     # two 128-cell blocks gathered separately and select-merged
     bt: int = 128      # records per tile (lane axis, <= 128)
     cb: int = 128      # window block size (cells, multiple of 128)
+    # record sublanes per grid instance: 1 = per-(128-records, sample)
+    # kernel; rt > 1 = sublane-packed kernel (rt*128 records per
+    # instance, rt x fewer grid launches, full-vreg math)
+    rt: int = 1
 
     # payload row ranges [start, stop)
     @property
@@ -327,33 +331,42 @@ def fused_gather_remap(payload, live_t, inv_t, nr_t, recnm2, recnr2, w0b,
         )(w0b, live_t, inv_t, nr_t, recnm2, recnr2, payload, payload)
 
 
+def _default_rt() -> int:
+    """Record-sublanes per grid instance.  8 measures 1.74x over the
+    per-sample kernel on a v5e (1.43 vs 3.56 ms per 8192x128 chunk;
+    rt=16 is only ~3% better again) — see docs/performance.md."""
+    import os
+    try:
+        return max(1, int(os.environ.get("GENOMICSDB_TPU_FUSED_RT",
+                                         "8")))
+    except ValueError:
+        return 8
+
+
 def combine_step_fused(blk, *, max_merged: int, ploidy: int,
                        gt_phase: bool = False,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       rt: int = 0):
     """combine_step built on the fused kernel.  Returns the same output
     dict, or None when the window premise fails for this block (caller
-    falls back to the XLA path)."""
+    falls back to the XLA path).  `rt` > 1 selects the sublane-packed
+    kernel (rt*128 records per grid instance); 0 reads
+    GENOMICSDB_TPU_FUSED_RT (default 1)."""
     from .combine_step import _reduce_math
     live = np.asarray(blk.live)
     B, S = live.shape
     if S == 0 or B == 0:
         return None
+    rt = rt or _default_rt()
     cfg = FusedConfig(
         g_in=blk.pl.shape[2], g_out=len(K.genotype_combo_table(
             max_merged, ploidy)), a_in=blk.ad.shape[2], m=max_merged,
         gt_w=blk.gt.shape[2], f_med=blk.info_f.shape[0],
         f_imed=blk.info_i.shape[0], f_fsum=blk.info_fs.shape[0],
-        ploidy=ploidy, gt_phase=gt_phase)
+        ploidy=ploidy, gt_phase=gt_phase, rt=rt)
     if ploidy > 4:
         return None
-    w0b = fused_window_plan(live, cfg)
-    if w0b is None:
-        return None
-    # host-side layout prep (cheap transposes/pads, numpy)
-    C = blk.col.shape[1]
-    cpad = (-C) % cfg.cb + cfg.cb          # room for the +1 window block
-    pay = build_payload(blk, cfg, cpad)
-    bpad = (-B) % cfg.bt
+    bpad = (-B) % (cfg.bt * rt)
     del_rw = blk.del_rw if blk.del_rw is not None \
         else np.zeros((B, S), dtype=bool)
     has_nr = blk.rec_has_nr if blk.rec_has_nr is not None \
@@ -364,6 +377,13 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
                       constant_values=fill)
 
     live_p = padB(live, -1)
+    w0b = fused_window_plan(live_p, cfg)
+    if w0b is None:
+        return None
+    # host-side layout prep (cheap transposes/pads, numpy)
+    C = blk.col.shape[1]
+    cpad = (-C) % cfg.cb + cfg.cb          # room for the +1 window block
+    pay = build_payload(blk, cfg, cpad)
     live_t = np.ascontiguousarray(live_p.T).astype(np.int32)[:, None]
     inv_t = np.ascontiguousarray(
         np.moveaxis(padB(blk.inv_bs, -1), 0, 2)).astype(np.int32)
@@ -371,8 +391,20 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
         padB(blk.nr_bs, -1).T).astype(np.int32)[:, None]
     recnm2 = padB(blk.rec_num_merged, 1)[None].astype(np.int32)
     recnr2 = padB(has_nr, True)[None].astype(np.int32)
-    out = fused_gather_remap(pay, live_t, inv_t, nr_t, recnm2, recnr2,
-                             w0b, cfg=cfg, interpret=interpret)
+    if rt > 1:
+        Bp = live_p.shape[0]
+        T = Bp // cfg.bt
+        out = fused_gather_remap_rt(
+            pay, live_t[:, 0].reshape(S, T, cfg.bt),
+            inv_t.reshape(S, inv_t.shape[1], T, cfg.bt),
+            nr_t[:, 0].reshape(S, T, cfg.bt),
+            recnm2[0].reshape(T, cfg.bt), recnr2[0].reshape(T, cfg.bt),
+            w0b.reshape(T // rt, rt, S), cfg=cfg, interpret=interpret)
+        out = out.reshape(S, cfg.vout, Bp)
+    else:
+        out = fused_gather_remap(pay, live_t, inv_t, nr_t, recnm2,
+                                 recnr2, w0b, cfg=cfg,
+                                 interpret=interpret)
     return _fused_post(out, padB(del_rw, False), live_p, cfg, B,
                        _reduce_math)
 
@@ -423,3 +455,201 @@ def _fused_post(out, del_rw_p, live_p, cfg: FusedConfig, b_real: int,
     res["gt"] = to_bsx(rows("gt"))
     res["live"] = jnp.asarray(live_p[:b_real], jnp.int32)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Sublane-packed variant (rt record-sublanes x 128 record-lanes per grid
+# instance).  The per-(tile, sample) kernel above runs 8192 grid instances
+# per 8192x128 chunk with most vector ops on [1, 128] rows (1/8 of a vreg);
+# on a v5e the grid+DMA floor alone measures ~1.25 ms/chunk.  Packing
+# rt=8 sublanes of records per instance cuts instances 8x and runs the
+# remap math on full [rt, 128] vregs ([G, rt, 128] for the combo stacks).
+# The window premise is unchanged: each 128-record sublane still has its
+# own scalar-prefetched 2x128-cell window (the plan is fused_window_plan's
+# [T, S] array reshaped [T//rt, rt, S]), so the fallback rate is identical
+# to the per-sample kernel.
+# ---------------------------------------------------------------------------
+
+def _make_kernel_rt(cfg: FusedConfig):
+    r = cfg.rows
+    rt = cfg.rt
+    combos = K.genotype_combo_table(cfg.m, cfg.ploidy)     # [G_out, P]
+    G = combos.shape[0]
+    assert G == cfg.g_out
+    max_allele = np.max(combos, axis=-1)                   # [G_out]
+
+    def kernel(w2_ref, live_ref, inv_ref, nr_ref, recnm_ref, recnr_ref,
+               *win_and_out):
+        win_refs = win_and_out[:2 * rt]
+        out_ref = win_and_out[2 * rt]
+        t = pl.program_id(0)
+        s = pl.program_id(1)
+        live = live_ref[0]                         # [rt, Bt]
+        valid = live >= 0
+        # per-sublane windowed gather: sublane su's 128 records live in
+        # [base_su, base_su + 2*Cb) of this sample's cell axis
+        g_parts = []                               # per su: [V, Bt]
+        for su in range(rt):
+            base = w2_ref[t, su, s] * jnp.int32(cfg.cb)
+            lv = live_ref[0, su:su + 1]            # [1, Bt]
+            rel = jnp.where(lv >= 0, lv - base, 0)
+            relA = jnp.minimum(rel, jnp.int32(cfg.cb - 1))
+            relB = jnp.minimum(jnp.maximum(rel - jnp.int32(cfg.cb),
+                                           jnp.int32(0)),
+                               jnp.int32(cfg.cb - 1))
+            idxA = jnp.broadcast_to(relA, (cfg.v, cfg.bt))
+            idxB = jnp.broadcast_to(relB, (cfg.v, cfg.bt))
+            gA = jnp.take_along_axis(win_refs[2 * su][0], idxA, axis=-1)
+            gB = jnp.take_along_axis(win_refs[2 * su + 1][0], idxB,
+                                     axis=-1)
+            in_b = jnp.broadcast_to(rel >= jnp.int32(cfg.cb),
+                                    (cfg.v, cfg.bt))
+            g_parts.append(jnp.where(in_b, gB, gA))
+        g3 = jnp.stack(g_parts, axis=1)            # [V, rt, Bt]
+        inv = inv_ref[0]                           # [M, rt, Bt]
+        nr = nr_ref[0]                             # [rt, Bt]
+        recnm = recnm_ref[:]                       # [rt, Bt]
+        recnr = recnr_ref[:]                       # [rt, Bt]
+        nr_merged = jnp.where(recnr != 0, recnm - 1, -1)   # [rt, Bt]
+
+        def row(name, i=0):
+            lo, _ = r[name]
+            return g3[lo + i]                      # [rt, Bt]
+
+        # ---- PL genotype remap ----
+        pll = row("pl_len")
+        slot_alleles = []
+        combo_missing = [None] * G
+        for p in range(cfg.ploidy):
+            rows_a = []
+            for gi in range(G):
+                a = inv[combos[gi, p]]                     # [rt, Bt]
+                a = jnp.where(a == -1, jnp.where(nr >= 0, nr, -1), a)
+                rows_a.append(a[None])
+                miss = jnp.where(a == -1, jnp.int32(1),
+                                 jnp.int32(0))[None]
+                combo_missing[gi] = miss if combo_missing[gi] is None \
+                    else jnp.maximum(combo_missing[gi], miss)
+            slot_alleles.append(jnp.concatenate(rows_a, axis=0))
+        cmiss = jnp.concatenate(combo_missing, axis=0) != 0  # [G, rt, Bt]
+        slots = [jnp.maximum(a, 0) for a in slot_alleles]
+        slots = K._sorting_network(slots)
+        in_gt = jnp.zeros((G, rt, cfg.bt), jnp.int32)
+        for i, a in enumerate(slots):
+            if i == 0:
+                term = a
+            elif i == 1:
+                term = (a + 1) * a // 2
+            elif i == 2:
+                term = (a + 2) * (a + 1) * a // 6
+            elif i == 3:
+                term = (a + 3) * (a + 2) * (a + 1) * a // 24
+            else:
+                raise NotImplementedError("ploidy > 4")
+            in_gt = in_gt + term
+        ok = (~cmiss) & (in_gt < pll[None])
+        in_rec = jnp.concatenate(
+            [jnp.where(jnp.int32(int(max_allele[gi])) < recnm,
+                       jnp.int32(1), jnp.int32(0))[None]
+             for gi in range(G)], axis=0)
+        ok = ok & (in_rec != 0)
+        gathered = jnp.full((G, rt, cfg.bt), INT_MISSING, jnp.int32)
+        for k in range(cfg.g_in):
+            gathered = jnp.where(in_gt == jnp.int32(k),
+                                 row("pl", k)[None], gathered)
+        pl_out = jnp.where(ok, gathered, INT_MISSING)
+
+        # ---- AD allele remap ----
+        adl = row("ad_len")
+        in_allele = jnp.where(inv == -1,
+                              jnp.where(nr >= 0, nr, -1)[None],
+                              inv)                         # [M, rt, Bt]
+        ok_a = (in_allele != -1) & (in_allele >= 0) \
+            & (in_allele < adl[None])
+        m_iota = jax.lax.broadcasted_iota(jnp.int32,
+                                          (cfg.m, rt, cfg.bt), 0)
+        ok_a = ok_a & (m_iota < recnm[None])
+        g_ad = jnp.full((cfg.m, rt, cfg.bt), INT_MISSING, jnp.int32)
+        for k in range(cfg.a_in):
+            g_ad = jnp.where(in_allele == jnp.int32(k),
+                             row("ad", k)[None], g_ad)
+        ad_out = jnp.where(ok_a, g_ad, INT_MISSING)
+
+        # ---- GT remap ----
+        gt_rows = []
+        for p in range(cfg.gt_w):
+            a = row("gt", p)
+            a = jnp.where(valid, a, INT_MISSING)
+            if cfg.gt_phase and p % 2 == 1:
+                gt_rows.append(a[None])
+                continue
+            merged = jnp.full((rt, cfg.bt), -1, jnp.int32)
+            for mi in range(cfg.m):
+                merged = jnp.where(inv[mi] == a, mi, merged)
+            okg = (a >= 0) & (a != INT_MISSING)
+            gt_rows.append(jnp.where(
+                okg, jnp.where(merged >= 0, merged, nr_merged), a)[None])
+        gt_out = jnp.concatenate(gt_rows, axis=0)
+
+        # ---- passthrough scalars + INFO rows ----
+        NAN_BITS = jnp.int32(np.int32(np.float32(np.nan).view(np.int32)))
+
+        def masked(name, i=0, fl=False):
+            fill = NAN_BITS if fl else jnp.int32(INT_MISSING)
+            return jnp.where(valid, row(name, i), fill)[None]
+
+        parts = [pl_out, ad_out, gt_out, masked("gq"), masked("dpf"),
+                 masked("mdp"), masked("dpi")]
+        for blkname, n, fl in (("info_f", cfg.f_med, True),
+                               ("info_i", cfg.f_imed, False),
+                               ("info_fs", cfg.f_fsum, True)):
+            for i in range(n):
+                parts.append(masked(blkname, i, fl))
+        out_ref[0] = jnp.concatenate(parts, axis=0)   # [Vout, rt, Bt]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def fused_gather_remap_rt(payload, live_rt, inv_rt, nr_rt, recnm_rt,
+                          recnr_rt, w2, *, cfg: FusedConfig,
+                          interpret: bool = False):
+    """Sublane-packed launch: payload [S, V, Cpad]; live_rt/nr_rt
+    [S, T, Bt]; inv_rt [S, M, T, Bt]; recnm_rt/recnr_rt [T, Bt]; w2
+    [T//rt, rt, S] (fused_window_plan reshaped).  Returns
+    [S, Vout, T, Bt] — reshape(S, Vout, T*Bt) recovers the per-sample
+    kernel's layout exactly."""
+    rt = cfg.rt
+    S = payload.shape[0]
+    T = live_rt.shape[1]
+    T2 = T // rt
+    kernel = _make_kernel_rt(cfg)
+    win_specs = [
+        pl.BlockSpec((1, cfg.v, cfg.cb),
+                     (lambda t, s, w, su=su, k=k:
+                      (s, 0, w[t, su, s] + k)))
+        for su in range(rt) for k in (0, 1)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T2, S),
+        in_specs=[
+            pl.BlockSpec((1, rt, cfg.bt), lambda t, s, w: (s, t, 0)),
+            pl.BlockSpec((1, cfg.m, rt, cfg.bt),
+                         lambda t, s, w: (s, 0, t, 0)),
+            pl.BlockSpec((1, rt, cfg.bt), lambda t, s, w: (s, t, 0)),
+            pl.BlockSpec((rt, cfg.bt), lambda t, s, w: (t, 0)),
+            pl.BlockSpec((rt, cfg.bt), lambda t, s, w: (t, 0)),
+        ] + win_specs,
+        out_specs=pl.BlockSpec((1, cfg.vout, rt, cfg.bt),
+                               lambda t, s, w: (s, 0, t, 0)),
+    )
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((S, cfg.vout, T, cfg.bt),
+                                           jnp.int32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(w2, live_rt, inv_rt, nr_rt, recnm_rt, recnr_rt,
+          *([payload] * (2 * rt)))

@@ -27,12 +27,26 @@ def _compare(ref, out):
             np.testing.assert_array_equal(a, b, err_msg=key)
 
 
-def test_fused_matches_xla_synthetic():
+@pytest.mark.parametrize("rt", [1, 8])
+def test_fused_matches_xla_synthetic(rt):
     blk = synthesize_cohort(num_samples=8, cells_per_sample=64,
                             region_len=4096, seed=21)
     ref = combine_step(*block_to_args(blk), max_merged=4, ploidy=2)
     out = PC.combine_step_fused(blk, max_merged=4, ploidy=2,
-                                interpret=True)
+                                interpret=True, rt=rt)
+    assert out is not None
+    _compare(ref, out)
+
+
+@pytest.mark.parametrize("rt", [1, 8])
+def test_fused_rt_odd_sizes(rt):
+    """Record counts that are not multiples of rt*128 exercise the
+    sublane-packed kernel's padding path."""
+    blk = synthesize_cohort(num_samples=5, cells_per_sample=40,
+                            region_len=3000, seed=7)
+    ref = combine_step(*block_to_args(blk), max_merged=4, ploidy=2)
+    out = PC.combine_step_fused(blk, max_merged=4, ploidy=2,
+                                interpret=True, rt=rt)
     assert out is not None
     _compare(ref, out)
 
