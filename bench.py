@@ -642,8 +642,19 @@ def _bench_impl():
             fused = bench_device_fused()
         except Exception as e:  # window premise / Mosaic regression
             fused = {"error": str(e)[:200]}
+        try:
+            # production cohort width: 1024 samples (8x) costs ~7.2x —
+            # cell throughput per second rises with width
+            wide = bench_device_fused(num_samples=1024,
+                                      cells_per_sample=256,
+                                      region_len=32768, reps=3)
+            wide["cells_per_sec"] = round(
+                wide["records_per_sec"] * wide["samples"], 1)
+        except Exception as e:
+            wide = {"error": str(e)[:200]}
     else:
         fused = {"skipped": "compiled pallas needs the TPU backend"}
+        wide = {"skipped": "compiled pallas needs the TPU backend"}
     dense = bench_device_dense()
     oracle = bench_oracle()
     cpp = bench_cpp_baseline()
@@ -667,6 +678,9 @@ def _bench_impl():
             "device_fused_pallas": {
                 k: round(v, 2) if isinstance(v, float) else v
                 for k, v in fused.items()},
+            "device_fused_wide_1024_samples": {
+                k: round(v, 2) if isinstance(v, float) else v
+                for k, v in wide.items()},
             "device_dense_pregathered": {
                 k: round(v, 2) if isinstance(v, float) else v
                 for k, v in dense.items()},

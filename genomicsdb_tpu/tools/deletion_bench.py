@@ -70,7 +70,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=100)
     ap.add_argument("--records", type=int, default=1000)
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform to pin ('cpu' default; "
+                         "'default' leaves the environment's backend)")
     args = ap.parse_args(argv)
+    if args.platform != "default":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     from genomicsdb_tpu.core.config import QueryParams
     from genomicsdb_tpu.core.vid import VidMapper
     from genomicsdb_tpu.query import driver

@@ -67,7 +67,16 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--samples", type=int, default=8)
     ap.add_argument("--records", type=int, default=200_000)
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform to pin ('cpu' default — the "
+                         "documented text-edge methodology; 'default' "
+                         "leaves the environment's backend, which on "
+                         "this container resolves to the TPU tunnel "
+                         "even under JAX_PLATFORMS=cpu)")
     args = ap.parse_args(argv)
+    if args.platform != "default":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     from genomicsdb_tpu.core.config import QueryParams
     from genomicsdb_tpu.core.vid import VidMapper
     from genomicsdb_tpu.query import driver
