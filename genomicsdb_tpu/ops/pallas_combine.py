@@ -343,30 +343,26 @@ def _default_rt() -> int:
         return 8
 
 
-def combine_step_fused(blk, *, max_merged: int, ploidy: int,
-                       gt_phase: bool = False,
-                       interpret: bool = False,
-                       rt: int = 0):
-    """combine_step built on the fused kernel.  Returns the same output
-    dict, or None when the window premise fails for this block (caller
-    falls back to the XLA path).  `rt` > 1 selects the sublane-packed
-    kernel (rt*128 records per grid instance); 0 reads
-    GENOMICSDB_TPU_FUSED_RT (default 1)."""
-    from .combine_step import _reduce_math
-    live = np.asarray(blk.live)
-    B, S = live.shape
-    if S == 0 or B == 0:
-        return None
-    rt = rt or _default_rt()
-    cfg = FusedConfig(
+def make_fused_config(blk, *, max_merged: int, ploidy: int,
+                      gt_phase: bool = False, rt: int = 0) -> FusedConfig:
+    return FusedConfig(
         g_in=blk.pl.shape[2], g_out=len(K.genotype_combo_table(
             max_merged, ploidy)), a_in=blk.ad.shape[2], m=max_merged,
         gt_w=blk.gt.shape[2], f_med=blk.info_f.shape[0],
         f_imed=blk.info_i.shape[0], f_fsum=blk.info_fs.shape[0],
-        ploidy=ploidy, gt_phase=gt_phase, rt=rt)
-    if ploidy > 4:
-        return None
-    bpad = (-B) % (cfg.bt * rt)
+        ploidy=ploidy, gt_phase=gt_phase, rt=rt or _default_rt())
+
+
+def fused_host_prep(blk, cfg: FusedConfig, bpad_to: int = 0):
+    """Host-side (numpy) layout prep shared by the single-chip and
+    mesh-sharded fused paths: pads records to a multiple of
+    max(bpad_to, rt*bt), computes the window plan, and lays the block
+    out in the kernel's [S, ...] shapes.  Returns None when the window
+    premise fails (caller falls back to XLA)."""
+    live = np.asarray(blk.live)
+    B, S = live.shape
+    unit = max(bpad_to, cfg.bt * cfg.rt)
+    bpad = (-B) % unit
     del_rw = blk.del_rw if blk.del_rw is not None \
         else np.zeros((B, S), dtype=bool)
     has_nr = blk.rec_has_nr if blk.rec_has_nr is not None \
@@ -380,7 +376,6 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
     w0b = fused_window_plan(live_p, cfg)
     if w0b is None:
         return None
-    # host-side layout prep (cheap transposes/pads, numpy)
     C = blk.col.shape[1]
     cpad = (-C) % cfg.cb + cfg.cb          # room for the +1 window block
     pay = build_payload(blk, cfg, cpad)
@@ -391,6 +386,39 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
         padB(blk.nr_bs, -1).T).astype(np.int32)[:, None]
     recnm2 = padB(blk.rec_num_merged, 1)[None].astype(np.int32)
     recnr2 = padB(has_nr, True)[None].astype(np.int32)
+    return {
+        "pay": pay, "live_t": live_t, "inv_t": inv_t, "nr_t": nr_t,
+        "recnm2": recnm2, "recnr2": recnr2, "w0b": w0b,
+        "live_p": live_p, "del_rw_p": padB(del_rw, False),
+    }
+
+
+def combine_step_fused(blk, *, max_merged: int, ploidy: int,
+                       gt_phase: bool = False,
+                       interpret: bool = False,
+                       rt: int = 0):
+    """combine_step built on the fused kernel.  Returns the same output
+    dict, or None when the window premise fails for this block (caller
+    falls back to the XLA path).  `rt` > 1 selects the sublane-packed
+    kernel (rt*128 records per grid instance); 0 reads
+    GENOMICSDB_TPU_FUSED_RT (default 8)."""
+    from .combine_step import _reduce_math
+    live = np.asarray(blk.live)
+    B, S = live.shape
+    if S == 0 or B == 0:
+        return None
+    if ploidy > 4:
+        return None
+    cfg = make_fused_config(blk, max_merged=max_merged, ploidy=ploidy,
+                            gt_phase=gt_phase, rt=rt)
+    rt = cfg.rt
+    prep = fused_host_prep(blk, cfg)
+    if prep is None:
+        return None
+    pay, live_t, inv_t, nr_t = (prep["pay"], prep["live_t"],
+                                prep["inv_t"], prep["nr_t"])
+    recnm2, recnr2, w0b = prep["recnm2"], prep["recnr2"], prep["w0b"]
+    live_p = prep["live_p"]
     if rt > 1:
         Bp = live_p.shape[0]
         T = Bp // cfg.bt
@@ -405,7 +433,7 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
         out = fused_gather_remap(pay, live_t, inv_t, nr_t, recnm2,
                                  recnr2, w0b, cfg=cfg,
                                  interpret=interpret)
-    return _fused_post(out, padB(del_rw, False), live_p, cfg, B,
+    return _fused_post(out, prep["del_rw_p"], live_p, cfg, B,
                        _reduce_math)
 
 

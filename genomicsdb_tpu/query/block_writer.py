@@ -129,15 +129,35 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
     import os as _os
     if mesh is not None:
         from ..parallel.sharded import (pad_block_for_mesh, shard_block,
-                                        sharded_combine_step)
+                                        shard_block_fused,
+                                        sharded_combine_step,
+                                        sharded_combine_step_fused)
         n_pos, n_row = mesh.devices.shape
-        pblk = pad_block_for_mesh(blk, n_pos, n_row)
-        args = shard_block(mesh, pblk)
-        step = sharded_combine_step(mesh, max_merged=max_merged,
-                                    ploidy=ploidy,
-                                    gt_phase=plan.gt_phase,
-                                    mixed_ploidy=mixed_ploidy)
-        out_s = step(*args)
+        out_s = None
+        fused_flag = _os.environ.get("GENOMICSDB_TPU_FUSED")
+        use_fused = (fused_flag == "1"
+                     or (fused_flag != "0" and jnp_backend_is_tpu())) \
+            and not mixed_ploidy
+        if use_fused:
+            # per-shard fused VMEM kernel (same kernel as single-chip);
+            # None on window-premise failure -> XLA sharded step
+            prep = shard_block_fused(mesh, blk, max_merged=max_merged,
+                                     ploidy=ploidy,
+                                     gt_phase=plan.gt_phase)
+            if prep is not None:
+                fargs, fcfg, b_local, _, _ = prep
+                fstep = sharded_combine_step_fused(
+                    mesh, fcfg, b_local,
+                    interpret=not jnp_backend_is_tpu())
+                out_s = fstep(*fargs)
+        if out_s is None:
+            pblk = pad_block_for_mesh(blk, n_pos, n_row)
+            args = shard_block(mesh, pblk)
+            step = sharded_combine_step(mesh, max_merged=max_merged,
+                                        ploidy=ploidy,
+                                        gt_phase=plan.gt_phase,
+                                        mixed_ploidy=mixed_ploidy)
+            out_s = step(*args)
         B0, S0 = blk.live.shape
         out = {}
         for k, v in out_s.items():
