@@ -128,14 +128,15 @@ class CombinedRecordStream:
             if batch:
                 yield from encode_batch(batch, hd, n_sample)
             return
-        # headerless: scan first to synthesize typed declarations
+        # headerless: declare from the vid (authoritative types — no
+        # per-record text scan), then synthesize only what's left
         records = [ln.rstrip("\n") for ln in self
                    if not ln.startswith("#")]
-        header_lines = [
-            "##fileformat=VCFv4.1",
-            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
-            + "\t".join(self.vid.callset_name(r)
-                        for r in self.qc.rows_to_query)]
+        chrom = ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                 + "\t".join(self.vid.callset_name(r)
+                             for r in self.qc.rows_to_query))
+        header_lines = (["##fileformat=VCFv4.1"]
+                        + self._vid_declarations() + [chrom])
         hd = _HeaderDict(header_lines)
         extra = _synthesize_declarations(records, hd)
         if extra:
@@ -143,6 +144,37 @@ class CombinedRecordStream:
             hd = _HeaderDict(header_lines)
         yield header_block(header_lines)
         yield from encode_batch(records, hd, n_sample)
+
+    def _vid_declarations(self) -> List[str]:
+        """##contig/##FILTER/##INFO/##FORMAT lines for every vid field
+        (vid types are authoritative; unused declarations are legal and
+        the string-table indices stay header-consistent)."""
+        tmap = {"int": "Integer", "float": "Float", "char": "String",
+                "flag": "Flag"}
+        out = [f"##contig=<ID={c.name},length={c.length}>"
+               for c in self.vid._contigs_by_offset]
+        seen = set()
+        for name, info in self.vid.fields.items():
+            vcf_name = info.vcf_name or name
+            if info.is_filter and vcf_name != "PASS" \
+                    and (vcf_name, "F") not in seen:
+                seen.add((vcf_name, "F"))
+                out.append(f'##FILTER=<ID={vcf_name},Description="">')
+            t = ("String" if info.vcf_type == "string"
+                 else tmap.get(info.type, "String"))
+            if info.is_info and (vcf_name, "i") not in seen:
+                seen.add((vcf_name, "i"))
+                num = "0" if t == "Flag" else "."
+                out.append(f'##INFO=<ID={vcf_name},Number={num},'
+                           f'Type={t},Description="">')
+            if info.is_format and vcf_name != "GT" \
+                    and (vcf_name, "f") not in seen:
+                seen.add((vcf_name, "f"))
+                out.append(f'##FORMAT=<ID={vcf_name},Number=.,'
+                           f'Type={t},Description="">')
+        out.append('##FORMAT=<ID=GT,Number=1,Type=String,'
+                   'Description="Genotype">')
+        return out
 
 
 class FeatureReader:

@@ -202,16 +202,25 @@ def _infer_type(tokens: List[str]) -> str:
 def _synthesize_declarations(record_lines: List[str],
                              hd: _HeaderDict) -> List[str]:
     """Minimal ##contig/##FILTER/##INFO/##FORMAT lines for ids used by
-    records but absent from the header (types inferred from values)."""
+    records but absent from the header (types inferred from values).
+
+    Hot path: when the header (template) already declares every id —
+    the common streaming case — this must stay O(records), not
+    O(records x samples): the per-sample FORMAT token scan only runs
+    for records whose FORMAT column carries an undeclared name, and
+    distinct FORMAT columns are memoized (a cohort has a handful)."""
     extra: List[str] = []
     seen_contig: Dict[str, bool] = {}
     info_vals: Dict[str, List[str]] = {}
     fmt_vals: Dict[str, List[str]] = {}
     filters: List[str] = []
+    # FORMAT column -> (undeclared [(slot, name)], uses GT?)
+    fmt_cache: Dict[str, tuple] = {}
+    saw_undecl_gt = False
     for ln in record_lines:
         if not ln:
             continue
-        cols = ln.split("\t")
+        cols = ln.split("\t", 9)       # cols[9] = samples, unsplit
         if cols[0] not in hd.contig_idx and cols[0] not in seen_contig:
             seen_contig[cols[0]] = True
             extra.append(f"##contig=<ID={cols[0]}>")
@@ -227,15 +236,23 @@ def _synthesize_declarations(record_lines: List[str],
                     if v:
                         info_vals[k].extend(v.split(","))
         if len(cols) > 9 and cols[8] != ".":
-            names = cols[8].split(":")
-            for sc in cols[9:]:
-                toks = sc.split(":")
-                for i, name in enumerate(names):
-                    if name == "GT" or name in hd.format_type:
-                        continue
-                    fmt_vals.setdefault(name, [])
-                    if i < len(toks) and toks[i] != ".":
-                        fmt_vals[name].extend(toks[i].split(","))
+            cached = fmt_cache.get(cols[8])
+            if cached is None:
+                names = cols[8].split(":")
+                undecl = [(i, n) for i, n in enumerate(names)
+                          if n != "GT" and n not in hd.format_type]
+                cached = (undecl, "GT" in names)
+                fmt_cache[cols[8]] = cached
+            undecl, has_gt = cached
+            saw_undecl_gt = saw_undecl_gt or (
+                has_gt and "GT" not in hd.format_type)
+            if undecl:
+                for sc in cols[9].split("\t"):
+                    toks = sc.split(":")
+                    for i, name in undecl:
+                        fmt_vals.setdefault(name, [])
+                        if i < len(toks) and toks[i] != ".":
+                            fmt_vals[name].extend(toks[i].split(","))
     for f in filters:
         extra.append(f'##FILTER=<ID={f},Description="">')
     for k, vals in info_vals.items():
@@ -247,9 +264,7 @@ def _synthesize_declarations(record_lines: List[str],
         t = _infer_type(vals)
         extra.append(f'##FORMAT=<ID={k},Number=.,Type={t},'
                      'Description="">')
-    if "GT" not in hd.format_type and any(
-            len(ln.split("\t")) > 8 and "GT" in ln.split("\t")[8].split(":")
-            for ln in record_lines if ln):
+    if saw_undecl_gt:
         extra.append('##FORMAT=<ID=GT,Number=1,Type=String,'
                      'Description="Genotype">')
     return extra
