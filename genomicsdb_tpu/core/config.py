@@ -14,7 +14,6 @@ import os
 from dataclasses import dataclass, field as dc_field
 from typing import List, Optional, Tuple
 
-from . import known_fields as kf
 from .vid import VidMapper
 
 INT64_MAX = 2**63 - 1

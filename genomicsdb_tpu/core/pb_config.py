@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
-from typing import Optional
 
 _PROTO_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                           "protos")

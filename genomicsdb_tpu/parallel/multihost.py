@@ -12,7 +12,7 @@ equivalent, over DCN via jax.experimental.multihost_utils).
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 

@@ -8,9 +8,8 @@ JSON, imports or opens the array, and runs one of the query types
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional
 
-import numpy as np
 
 from ..core.config import ImportParams, QueryParams, QueryConfig, INT64_MAX
 from ..core.vid import VidMapper

@@ -14,7 +14,6 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..core import formats
-from ..core import known_fields as kf
 from ..core.config import QueryConfig, INT64_MAX
 from ..store.columnar import ColumnarStore
 from .cells import CallView

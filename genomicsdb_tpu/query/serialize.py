@@ -18,7 +18,7 @@ Strings are uint32-length-prefixed UTF-8; arrays are dtype-tagged.
 from __future__ import annotations
 
 import struct
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

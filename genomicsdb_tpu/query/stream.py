@@ -14,7 +14,7 @@ produced on demand without materializing the whole result.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional
 
 from ..core.config import QueryConfig, QueryParams
 from ..core.vid import VidMapper

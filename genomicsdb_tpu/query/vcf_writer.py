@@ -7,7 +7,7 @@ broad_combined_gvcf.cc:765-910, variant_field_handler.cc:805-880).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -17,7 +17,6 @@ from ..core.config import QueryConfig
 from ..core.vid import VidMapper
 from ..ops import merge as M
 from ..vcf.fasta import ReferenceGenome
-from .cells import CallView
 from .combine import CombineOperator
 from .scan import Variant
 

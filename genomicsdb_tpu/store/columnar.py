@@ -21,7 +21,7 @@ reference's "is field valid" notion after NULL filtering.
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

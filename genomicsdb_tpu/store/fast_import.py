@@ -20,10 +20,9 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..core import formats
-from ..core import known_fields as kf
 from ..core.vid import VidMapper
 from ..runtime import native_loader as nl
-from .columnar import ColumnarStore, FieldData, _ragged_arange
+from .columnar import ColumnarStore, FieldData
 from .import_pipeline import _is_sum_like, field_specs_for_vid
 
 INT_MISSING = formats.INT_MISSING

@@ -18,7 +18,6 @@ import argparse
 import sys
 
 from ..core.config import ImportParams, QueryParams
-from ..core.vid import VidMapper
 from ..query import driver as qdriver
 from ..query import operators as ops
 from ..query.scan import scan_and_operate, iterate_cells

@@ -18,7 +18,6 @@ import argparse
 import json
 import time
 
-import numpy as np
 
 
 def bench_n_devices(n_devices: int, num_samples=64, cells_per_sample=512,

@@ -12,7 +12,7 @@ Exit 0 if semantically equal; diagnostics on stderr otherwise.
 from __future__ import annotations
 
 import sys
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 from ..vcf.reader import VCFFile
 

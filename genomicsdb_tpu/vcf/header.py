@@ -7,7 +7,7 @@ missing contig lines (vid order) + sample names.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 from ..core.config import QueryConfig
 from ..core.vid import VidMapper

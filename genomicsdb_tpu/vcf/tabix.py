@@ -27,9 +27,9 @@ import bisect
 import gzip
 import os
 import struct
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
-from .bgzf import BGZF_EOF, MAX_BLOCK, BGZFWriter, compress
+from .bgzf import BGZFWriter, compress
 
 TBI_MAGIC = b"TBI\x01"
 CSI_MAGIC = b"CSI\x01"
