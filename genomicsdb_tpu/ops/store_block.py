@@ -95,16 +95,29 @@ def record_starts(store: ColumnarStore, qc: QueryConfig,
                   interval) -> np.ndarray:
     """Record start columns for `interval` (the sweep's event set) —
     used to pick record-aligned chunk boundaries for genome-scale
-    queries without building the blocks."""
-    rows = set(qc.rows_to_query)
-    sel = np.isin(store.row, list(rows)) if store.num_cells \
-        else np.zeros(0, dtype=bool)
-    col = store.col[sel]
-    end = store.eff_end[sel]
-    events = np.unique(np.concatenate([col, end + 1])) \
-        if len(col) else np.zeros(0, dtype=np.int64)
+    queries without building the blocks.
+
+    The sorted event set is store-wide and query-independent (per row
+    subset), so it is cached on the store: repeated small-interval
+    queries — the Spark/GATK split pattern — cost two searchsorted
+    probes instead of a store-wide unique/sort each."""
+    rows_key = tuple(sorted(qc.rows_to_query))
+    cache = getattr(store, "_events_cache", None)
+    if cache is None:
+        cache = store._events_cache = {}
+    events_all = cache.get(rows_key)
+    if events_all is None:
+        sel = np.isin(store.row, list(rows_key)) if store.num_cells \
+            else np.zeros(0, dtype=bool)
+        col = store.col[sel]
+        end = store.eff_end[sel]
+        events_all = np.unique(np.concatenate([col, end + 1])) \
+            if len(col) else np.zeros(0, dtype=np.int64)
+        cache[rows_key] = events_all
     lo, hi = interval
-    events = events[(events >= lo) & (events <= hi)]
+    i = np.searchsorted(events_all, lo, side="left")
+    j = np.searchsorted(events_all, hi, side="right")
+    events = events_all[i:j]
     if len(events) == 0 or events[0] != lo:
         events = np.concatenate([[lo], events])
     return events
@@ -208,7 +221,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             out[sel, :w] = fd.values[safe_cells[sel], :w]
             lens[sel] = fd.values.shape[1]
         else:
-            cell_lens = np.diff(fd.offsets)
+            cell_lens = fd.lens()
             sel = np.nonzero(ok)[0]
             ln = np.minimum(cell_lens[safe_cells[sel]], width)
             src0 = fd.offsets[:-1][safe_cells[sel]]
@@ -230,7 +243,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         if fd.kind == "fixed":
             out[sel] = fd.values[safe_cells[sel], 0]
         else:
-            cell_lens = np.diff(fd.offsets)
+            cell_lens = fd.lens()
             nz = cell_lens[safe_cells[sel]] > 0
             sel = sel[nz]
             out[sel] = fd.values[fd.offsets[:-1][safe_cells[sel]]]
@@ -247,7 +260,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         pl_max = getattr(store, "_gt_ploidy_max_cache", None)
         if pl_max is None:
             # distinct stored GT lengths are a handful; never loop cells
-            glens0 = np.diff(gt_fd0.offsets)
+            glens0 = gt_fd0.lens()
             uniq = np.unique(glens0[gt_fd0.valid & (glens0 > 0)])
             pl_max = max((int(gt_info0.length.ploidy(int(g)))
                           for g in uniq), default=ploidy)
@@ -303,8 +316,8 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     if am is None:
         # store-wide, query-independent: computed once, reused by every
         # chunk of a genome-scale query
-        ref_len = np.diff(ref_fd.offsets) if N else np.zeros(0, np.int64)
-        alt_len = np.diff(alt_fd.offsets) if N else np.zeros(0, np.int64)
+        ref_len = ref_fd.lens() if N else np.zeros(0, np.int64)
+        alt_len = alt_fd.lens() if N else np.zeros(0, np.int64)
         ref_ok = ref_fd.valid & (ref_len > 0)
         alt_ok = alt_fd.valid
         ref_bytes = np.asarray(ref_fd.values, dtype=np.uint8) \
@@ -378,7 +391,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         # loop dominated store_to_block.)
         ploidy_cell = np.zeros(N, dtype=np.int64)
         if gt_q and gt_fd is not None and gt_info is not None:
-            glens_all = np.diff(gt_fd.offsets)
+            glens_all = gt_fd.lens()
             uniq_gl = np.unique(glens_all)
             pu = np.array([gt_info.length.ploidy(int(g)) if g else 0
                            for g in uniq_gl], dtype=np.int64)
@@ -802,7 +815,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     # ploidy beyond the closed-form genotype-index terms (>4): splice
     # (the reference's own 50-alt cutoff territory; rare)
     if N and gt_fd is not None and qc.is_queried("GT"):
-        glens = np.diff(gt_fd.offsets)
+        glens = gt_fd.lens()
         if gt_info is not None:
             # map stored length -> ploidy via the few distinct lengths
             # (searchsorted lookup; never a per-cell Python loop)
@@ -905,11 +918,11 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                                    alt_only=spec.wkind == "A",
                                    missing=fill)
         elif spec.wkind == "VAR":
-            w = int(np.diff(fd.offsets).max()) if fd.kind == "ragged" \
+            w = fd.max_len() if fd.kind == "ragged" \
                 and len(fd.offsets) > 1 else 1
             vals, lens_bs = gather_vals(spec.name, max(w, 1), dtype, fill)
         elif spec.wkind == "G":   # G-length non-PL (e.g. float GL)
-            w = int(np.diff(fd.offsets).max()) if fd.kind == "ragged" \
+            w = fd.max_len() if fd.kind == "ragged" \
                 and len(fd.offsets) > 1 else \
                 (fd.values.shape[1] if fd.kind == "fixed" else 1)
             vals, lens_bs = gather_vals(spec.name, max(w, 1), dtype, fill)
@@ -930,7 +943,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         if fd.kind == "fixed":
             w = fd.values.shape[1]
         else:
-            w = int(np.diff(fd.offsets).max()) if len(fd.offsets) > 1 \
+            w = fd.max_len() if len(fd.offsets) > 1 \
                 else 1
         vals, lens_bs = gather_vals(spec.name, max(w, 1), dtype, fill)
         if spec.length_code is not None and \

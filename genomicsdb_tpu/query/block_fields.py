@@ -212,7 +212,7 @@ def effective_valid(fd, num_cells: int) -> np.ndarray:
             ok &= ~(v.view(np.uint32)
                     == formats.FLOAT_MISSING_BITS).all(axis=1)
     elif fd.kind in ("ragged", "str"):
-        lens = np.diff(fd.offsets)
+        lens = fd.lens()
         ok &= lens > 0
         if fd.kind == "ragged" and len(fd.values):
             if fd.values.dtype == np.int32:
@@ -227,7 +227,7 @@ def effective_valid(fd, num_cells: int) -> np.ndarray:
                 n_missing = cs[fd.offsets[1:]] - cs[fd.offsets[:-1]]
                 ok &= ~((lens > 0) & (n_missing == lens))
     elif fd.kind == "ragged2d":
-        ok &= np.diff(fd.outer_offsets) > 0
+        ok &= fd.outer_lens() > 0
     return ok
 
 

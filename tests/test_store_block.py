@@ -58,3 +58,22 @@ def test_store_block_combine_matches_sequential():
         seq_live_rows = {qidx for qidx, _ in v.valid_calls()}
         blk_live_rows = {s for s in range(3) if live[bi, s] >= 0}
         assert blk_live_rows == seq_live_rows, start
+
+
+def test_record_starts_cache_consistency():
+    """The store-cached event set must give identical record_starts for
+    any interval as a fresh computation (repeated small-interval
+    queries hit the cache; Spark/GATK split pattern)."""
+    import numpy as np
+    from genomicsdb_tpu.ops.store_block import record_starts
+    vid, store = load_setup("inputs/callsets/t0_1_2.json")
+    qp = make_query_params(QUERY_ATTRIBUTES_DEFAULT, [(0, 1000000000)])
+    qc = driver.make_query_config(qp, vid)
+    intervals = [(0, 10**9), (12140, 12160), (0, 0), (17384, 17385),
+                 (10**8, 2 * 10**8), (12202, 18000)]
+    got = [record_starts(store, qc, iv) for iv in intervals]
+    # wipe the cache and recompute: must be identical
+    store._events_cache = None
+    fresh = [record_starts(store, qc, iv) for iv in intervals]
+    for iv, a, b in zip(intervals, got, fresh):
+        np.testing.assert_array_equal(a, b, err_msg=str(iv))
