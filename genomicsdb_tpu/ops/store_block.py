@@ -171,23 +171,37 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     # --- dense per-row cell layout (one stable row-sort, not S scans;
     # the sort is store-wide, so chunked queries reuse it) ---
     cached = getattr(store, "_row_sort_cache", None)
-    if cached is None:
+    if cached is None or len(cached) != 4:
         row_sorted = np.argsort(store.row, kind="stable") \
             if store.num_cells else np.zeros(0, dtype=np.int64)
         sorted_rows = store.row[row_sorted] if store.num_cells \
             else row_sorted
-        store._row_sort_cache = (row_sorted, sorted_rows)
+        # per-row col/eff_end in row-major layout: within one row col
+        # is ascending and eff_end non-decreasing (compute_eff_end
+        # truncates at the next same-row begin), so interval selection
+        # is two binary searches instead of an O(row cells) mask
+        col_by_row = store.col[row_sorted] if store.num_cells \
+            else row_sorted
+        eff_by_row = store.eff_end[row_sorted] if store.num_cells \
+            else row_sorted
+        store._row_sort_cache = (row_sorted, sorted_rows, col_by_row,
+                                 eff_by_row)
     else:
-        row_sorted, sorted_rows = cached
+        row_sorted, sorted_rows, col_by_row, eff_by_row = \
+            store._row_sort_cache
     per_row_idx: List[np.ndarray] = []
     for r in rows:
         lo_i = np.searchsorted(sorted_rows, r, side="left")
         hi_i = np.searchsorted(sorted_rows, r, side="right")
-        idx = row_sorted[lo_i:hi_i]
         if interval is not None:
             lo, hi = interval
-            keep = (store.col[idx] <= hi) & (store.eff_end[idx] >= lo)
-            idx = idx[keep]
+            a = lo_i + np.searchsorted(eff_by_row[lo_i:hi_i], lo,
+                                       side="left")
+            b = lo_i + np.searchsorted(col_by_row[lo_i:hi_i], hi,
+                                       side="right")
+            idx = row_sorted[a:max(a, b)]
+        else:
+            idx = row_sorted[lo_i:hi_i]
         per_row_idx.append(idx)
     C = max((len(i) for i in per_row_idx), default=1)
     C = max(C, 1)
