@@ -105,6 +105,20 @@ def main(argv=None):
     text2 = driver.run_vcf_query_block(store, qc2, qp, vid)
     t_warm = time.perf_counter() - t0
     assert text2 == text
+    # small-interval latency (the Spark/GATK many-small-queries pattern)
+    import random as _r
+    _r.seed(2)
+    lat = []
+    for _ in range(20):
+        lo = _r.randint(1, max(region - 20000, 2))
+        qp_i = QueryParams()
+        qp_i.column_ranges = [[(lo, lo + 10000)]]
+        qp_i.attributes = []
+        qc_i = driver.make_query_config(qp_i, vid)
+        t0 = time.perf_counter()
+        driver.run_vcf_query_block(store, qc_i, qp_i, vid)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
     print(json.dumps({
         "samples": args.samples, "records": args.records,
         "cells": int(store.num_cells), "positions": region,
@@ -112,6 +126,8 @@ def main(argv=None):
         "query_cold_s": round(t_cold, 2),
         "query_warm_s": round(t_warm, 2),
         "warm_positions_per_sec": round(region / t_warm, 1),
+        "interval_10kb_p50_ms": round(lat[10] * 1000, 1),
+        "interval_10kb_p90_ms": round(lat[18] * 1000, 1),
         "lines": text.count("\n")}))
     os.unlink(path)
 
