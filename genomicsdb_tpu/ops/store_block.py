@@ -170,25 +170,9 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     S = len(rows)
     # --- dense per-row cell layout (one stable row-sort, not S scans;
     # the sort is store-wide, so chunked queries reuse it) ---
-    cached = getattr(store, "_row_sort_cache", None)
-    if cached is None or len(cached) != 4:
-        row_sorted = np.argsort(store.row, kind="stable") \
-            if store.num_cells else np.zeros(0, dtype=np.int64)
-        sorted_rows = store.row[row_sorted] if store.num_cells \
-            else row_sorted
-        # per-row col/eff_end in row-major layout: within one row col
-        # is ascending and eff_end non-decreasing (compute_eff_end
-        # truncates at the next same-row begin), so interval selection
-        # is two binary searches instead of an O(row cells) mask
-        col_by_row = store.col[row_sorted] if store.num_cells \
-            else row_sorted
-        eff_by_row = store.eff_end[row_sorted] if store.num_cells \
-            else row_sorted
-        store._row_sort_cache = (row_sorted, sorted_rows, col_by_row,
-                                 eff_by_row)
-    else:
-        row_sorted, sorted_rows, col_by_row, eff_by_row = \
-            store._row_sort_cache
+    # row-major layout with binary-searchable per-row interval runs
+    # (cached store-wide; see ColumnarStore.row_layout)
+    row_sorted, sorted_rows, col_by_row, eff_by_row = store.row_layout()
     per_row_idx: List[np.ndarray] = []
     for r in rows:
         lo_i = np.searchsorted(sorted_rows, r, side="left")

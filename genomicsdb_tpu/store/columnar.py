@@ -106,12 +106,53 @@ class ColumnarStore:
         hi = np.searchsorted(self.col, end, side="right")
         return np.arange(lo, hi)
 
+    def row_layout(self):
+        """Cached row-major cell layout: (row_sorted, sorted_rows,
+        col_by_row, eff_by_row).  Within one row col ascends and
+        eff_end is non-decreasing (compute_eff_end truncates at the
+        next same-row begin), so interval membership per row is a
+        contiguous run findable by binary search.  Shared by
+        store_to_block and the sequential scan's left sweep."""
+        c = getattr(self, "_row_sort_cache", None)
+        if c is None or len(c) != 4:
+            n = self.num_cells
+            row_sorted = np.argsort(self.row, kind="stable") if n \
+                else np.zeros(0, dtype=np.int64)
+            sorted_rows = self.row[row_sorted] if n else row_sorted
+            col_by_row = self.col[row_sorted] if n else row_sorted
+            eff_by_row = self.eff_end[row_sorted] if n else row_sorted
+            c = self._row_sort_cache = (row_sorted, sorted_rows,
+                                        col_by_row, eff_by_row)
+        return c
+
     def cells_intersecting(self, column: int) -> np.ndarray:
-        """Indices of cells live at `column` (col <= column <= eff_end)."""
+        """Indices of cells live at `column` (col <= column <= eff_end),
+        in (col, row) order.  Binary search per row via row_layout —
+        O(rows log cells), not a store-wide mask."""
         if self.num_cells == 0:
             return np.arange(0)
-        mask = (self.col <= column) & (self.eff_end >= column)
-        return np.nonzero(mask)[0]
+        row_sorted, sorted_rows, col_by_row, eff_by_row = \
+            self.row_layout()
+        # per-row segment bounds: distinct rows + boundaries (cached)
+        uniq = getattr(self, "_row_bounds_cache", None)
+        if uniq is None:
+            rows_u = np.unique(sorted_rows)
+            starts = np.searchsorted(sorted_rows, rows_u, side="left")
+            stops = np.searchsorted(sorted_rows, rows_u, side="right")
+            uniq = self._row_bounds_cache = (rows_u, starts, stops)
+        _, starts, stops = uniq
+        hits = []
+        for p, q in zip(starts, stops):
+            a = p + np.searchsorted(eff_by_row[p:q], column,
+                                    side="left")
+            b = p + np.searchsorted(col_by_row[p:q], column,
+                                    side="right")
+            if b > a:
+                hits.append(row_sorted[a:b])
+        if not hits:
+            return np.arange(0)
+        out = np.concatenate(hits)
+        return out[np.lexsort((self.row[out], self.col[out]))]
 
 
 def compute_eff_end(row: np.ndarray, col: np.ndarray, end: np.ndarray
