@@ -190,7 +190,16 @@ def main(argv=None):
                    default="", choices=["", "Cotton-JSON",
                                         "Positions-JSON", "GA4GH"],
                    help="range-query output format (default GA4GH-like)")
+    p.add_argument("--platform", default=None,
+                   help="pin the jax platform (e.g. 'cpu', 'tpu'); "
+                        "default: the environment's backend.  Note "
+                        "JAX_PLATFORMS alone may be ignored when a TPU "
+                        "plugin pre-registers; this flag uses "
+                        "jax.config, which always takes effect")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     if not args.query_json and not args.query_pb:
         p.error("one of -j/--query-json or --query-pb is required")
     # rank fan-out + ordered gather (combine output is partition-ordered by
