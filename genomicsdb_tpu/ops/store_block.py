@@ -854,10 +854,32 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         return live_ok & _eff_valid_store(store, name, N)[safe_cm]
 
     def gather_vals(name, width, dtype=np.int32, fill=INT_MISSING):
-        mat, lens = ragged_matrix(name, width, dtype=dtype, fill=fill)
-        vals = np.where(live_ok[..., None], mat[s_grid, live_k], fill)
-        lens_bs = np.where(live_ok, lens[s_grid, live_k], 0)
-        return vals, lens_bs
+        """Per-(record, sample) live-cell values [B, S, width] gathered
+        straight from the store via the live-cell matrix — no [S, C, W]
+        all-cells intermediate (that build dominated wide-cohort extras
+        gathering)."""
+        out = np.full((B * S, width), fill, dtype=dtype)
+        lens_bs = np.zeros(B * S, dtype=np.int32)
+        fd = store.fields.get(name)
+        if fd is None or N == 0:
+            return out.reshape(B, S, width), lens_bs.reshape(B, S)
+        flat = safe_cm.reshape(-1)
+        ok = live_ok.reshape(-1) & fd.valid[flat]
+        sel = np.nonzero(ok)[0]
+        if fd.kind == "fixed":
+            w = min(width, fd.values.shape[1])
+            out[sel, :w] = fd.values[flat[sel], :w]
+            lens_bs[sel] = fd.values.shape[1]
+        else:
+            from ..store.columnar import copy_ragged_segments
+            cell_lens = fd.lens()
+            ln = np.minimum(cell_lens[flat[sel]], width)
+            src0 = fd.offsets[:-1][flat[sel]]
+            copy_ragged_segments(fd.values, src0, ln,
+                                 sel.astype(np.int64) * width,
+                                 out.reshape(-1))
+            lens_bs[sel] = cell_lens[flat[sel]]
+        return out.reshape(B, S, width), lens_bs.reshape(B, S)
 
     # per-call ploidy for G-length extras: derived from the stored GT
     # length exactly like the sequential engine (CombineOperator: ploidy
