@@ -44,9 +44,13 @@ def fast_import_file(path: str, vid: VidMapper,
                      ) -> Optional[ColumnarStore]:
     if nl._prefix_lib() is None:
         return None
-    opener = gzip.open if path.endswith(".gz") else open
-    with opener(path, "rb") as f:
+    with open(path, "rb") as f:
         data = f.read()
+    if data[:2] == b"\x1f\x8b":          # gzip/bgzf (by magic, not name)
+        data = gzip.decompress(data)
+    if data[:5] == b"BCF\x02\x02":       # BCF2 input (vcf2binary.cc parity)
+        from ..vcf.bcf import bcf_to_text
+        data = bcf_to_text(data).encode()
     # split header / records
     hdr_end = data.rfind(b"#CHROM")
     if hdr_end < 0:

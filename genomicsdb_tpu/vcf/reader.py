@@ -118,8 +118,28 @@ class VCFRecord:
 
 
 def open_text(path: str):
-    if path.endswith(".gz"):
+    """Text handle for a VCF input: plain, bgzip (.vcf.gz), or BCF2
+    (.bcf — htslib-importable in the reference via vcf2binary.cc; here
+    decoded by the from-spec vcf/bcf.py reader).  Detection is by
+    content magic, not extension."""
+    with open(path, "rb") as f:
+        head = f.read(5)
+    if head[:2] == b"\x1f\x8b":
+        with gzip.open(path, "rb") as f:
+            magic = f.read(5)
+        if magic == b"BCF\x02\x02":
+            import io
+
+            from .bcf import bcf_to_text
+            with gzip.open(path, "rb") as f:
+                return io.StringIO(bcf_to_text(f.read()))
         return gzip.open(path, "rt")
+    if head == b"BCF\x02\x02":
+        import io
+
+        from .bcf import bcf_to_text
+        with open(path, "rb") as f:
+            return io.StringIO(bcf_to_text(f.read()))
     return open(path, "rt")
 
 

@@ -95,3 +95,58 @@ def test_fast_import_golden_end_to_end():
         reference_path=os.path.join(REF_TESTS, "inputs/chr1_10MB.fasta.gz"))
     want = golden("t0_1_2_vcf_at_0")
     assert got == want, diff_strings(got, want)
+
+
+def test_bcf_input_import(tmp_path):
+    """BCF2 input files import identically to their VCF text source
+    (reference parity: vcf2binary.cc reads VCF or BCF via htslib) —
+    through both the native fast path and the Python reader."""
+    import gzip
+    import os
+
+    import numpy as np
+
+    from genomicsdb_tpu.core.vid import VidMapper
+    from genomicsdb_tpu.store.fast_import import fast_import_file
+    from genomicsdb_tpu.store.import_pipeline import import_callsets
+    from genomicsdb_tpu.vcf.bcf import text_to_bcf
+    from genomicsdb_tpu.vcf.bgzf import compress
+
+    ref_tests = os.environ.get("GENOMICSDB_TPU_REF_TESTS",
+                               "/root/reference/tests")
+    src = os.path.join(ref_tests, "inputs/vcfs/t0.vcf.gz")
+    text = gzip.decompress(open(src, "rb").read()).decode()
+    bcf_path = str(tmp_path / "t0.bcf")
+    with open(bcf_path, "wb") as f:
+        f.write(compress(text_to_bcf(text)))
+    vcf_path = str(tmp_path / "t0.vcf")
+    with open(vcf_path, "w") as f:
+        f.write(text)
+
+    vid = VidMapper.from_files(os.path.join(ref_tests,
+                                            "inputs/vid.json"))
+    want = fast_import_file(vcf_path, vid, {0: 0})
+    got = fast_import_file(bcf_path, vid, {0: 0})
+    assert got is not None and want is not None
+    np.testing.assert_array_equal(got.col, want.col)
+    np.testing.assert_array_equal(got.row, want.row)
+    np.testing.assert_array_equal(got.end, want.end)
+    for name, fd in want.fields.items():
+        gfd = got.fields[name]
+        np.testing.assert_array_equal(gfd.valid, fd.valid, err_msg=name)
+        if fd.values is not None:
+            np.testing.assert_array_equal(gfd.values, fd.values,
+                                          err_msg=name)
+
+    # python loader path (VCFFile/open_text) handles .bcf too
+    for path in (bcf_path, vcf_path):
+        vid_i = VidMapper.from_files(os.path.join(ref_tests,
+                                                  "inputs/vid.json"))
+        vid_i.parse_callsets({"callsets": {"HG00141": {
+            "row_idx": 0, "idx_in_file": 0, "filename": path}}})
+        os.environ["GENOMICSDB_TPU_NO_NATIVE"] = "1"
+        try:
+            st = import_callsets(vid_i)
+        finally:
+            del os.environ["GENOMICSDB_TPU_NO_NATIVE"]
+        np.testing.assert_array_equal(st.col, want.col)
