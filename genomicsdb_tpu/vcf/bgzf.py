@@ -97,8 +97,9 @@ class BCFFileWriter:
     held in RAM.  Output bytes are identical to
     bgzf.compress(bcf.text_to_bcf(text))."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, index: bool = False):
         self._path = path
+        self._index = index
         self._spool_path = path + ".spool.tmp"
         self._spool = open(self._spool_path, "w")
 
@@ -136,6 +137,7 @@ class BCFFileWriter:
                                     + [header_lines[-1]])
                     hd = bcf._HeaderDict(header_lines)
                 n_sample = len(chrom_line.split("\t")[9:])
+                recs = []          # (contig, beg0, end0, voff0, voff1)
                 with BGZFWriter(self._path) as out:
                     header_text = "\n".join(header_lines) + "\n\0"
                     out.write(b"BCF\x02\x02")
@@ -143,10 +145,41 @@ class BCFFileWriter:
                     out.write(header_text.encode())
                     f.seek(0)
                     for ln in self._record_lines(f):
+                        if self._index:
+                            v0 = (out.file_offset() << 16) | len(out._buf)
                         out.write(bcf._encode_record(ln, hd, n_sample))
+                        if self._index:
+                            cols = ln.split("\t", 8)
+                            pos = int(cols[1])
+                            end = pos + len(cols[3]) - 1
+                            if len(cols) > 7 and cols[7] != ".":
+                                for kv in cols[7].split(";"):
+                                    if kv.startswith("END="):
+                                        end = int(kv[4:])
+                                        break
+                            v1 = (out.file_offset() << 16) \
+                                | len(out._buf)
+                            recs.append((cols[0], pos - 1, end - 1,
+                                         v0, v1))
+                if self._index:
+                    self._write_csi(hd, recs)
         finally:
             os.remove(self._spool_path)
         self._path = None
+
+    def _write_csi(self, hd, recs):
+        """`path`.csi in htslib's bcf_index_build form: empty aux,
+        rids in BCF-header contig order (vcf_adapter.h:89-133 produces
+        an index with compressed output when asked)."""
+        from .tabix import CSIIndex, _csi_depth_for
+        max_end0 = max((e for _, _, e, _, _ in recs), default=0)
+        idx = CSIIndex(14, max(5, _csi_depth_for(max_end0, 14)),
+                       tabix_aux=False)
+        for name in sorted(hd.contig_idx, key=hd.contig_idx.get):
+            idx.ensure_contig(name)
+        for rec in recs:
+            idx.add(*rec)
+        idx.write(self._path + ".csi")
 
     @staticmethod
     def _scan_header(f):
@@ -197,7 +230,7 @@ def open_output(path: str, fmt: str = "", index=False):
     genomicsdb_config_base.h:90): True/"auto" picks .tbi, upgrading to
     .csi past the 2^29-1 coordinate cap; "tbi"/"csi" force a format."""
     if fmt in ("b", "bcf") or path.endswith(".bcf"):
-        return BCFFileWriter(path)
+        return BCFFileWriter(path, index=bool(index))
     if fmt in ("z", "bgzf", "gz") or path.endswith((".gz", ".bgz")):
         if index:
             from .tabix import IndexedVCFWriter

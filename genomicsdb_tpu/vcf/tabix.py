@@ -156,16 +156,21 @@ class CSIIndex:
     (format/columns/names) rides in the aux section, as htslib's
     tbx.c does for tabix-over-CSI."""
 
-    def __init__(self, min_shift: int = 14, depth: int = 5):
+    def __init__(self, min_shift: int = 14, depth: int = 5,
+                 tabix_aux: bool = True):
         self.min_shift = min_shift
         self.depth = depth
+        # tabix_aux: carry the tabix header in the aux section (.csi
+        # over .vcf.gz, htslib tbx.c).  False = empty aux, the form
+        # htslib's bcf_index_build writes for .bcf.csi, where record
+        # rids come from the BCF header (seed those via ensure_contig).
+        self.tabix_aux = tabix_aux
         self.names: List[str] = []
         self.rid: Dict[str, int] = {}
         self.bins: List[Dict[int, List[Tuple[int, int]]]] = []
         self.linear: List[Dict[int, int]] = []
 
-    def add(self, contig: str, beg0: int, end0: int, voff_beg: int,
-            voff_end: int):
+    def ensure_contig(self, contig: str) -> int:
         rid = self.rid.get(contig)
         if rid is None:
             rid = len(self.names)
@@ -173,6 +178,11 @@ class CSIIndex:
             self.names.append(contig)
             self.bins.append({})
             self.linear.append({})
+        return rid
+
+    def add(self, contig: str, beg0: int, end0: int, voff_beg: int,
+            voff_end: int):
+        rid = self.ensure_contig(contig)
         b = reg2bin_csi(beg0, end0 + 1, self.min_shift, self.depth)
         chunks = self.bins[rid].setdefault(b, [])
         if chunks and chunks[-1][1] == voff_beg:
@@ -197,9 +207,13 @@ class CSIIndex:
         return 0
 
     def serialize(self) -> bytes:
-        aux = struct.pack("<6i", FMT_VCF, 1, 2, 0, ord("#"), 0)
-        names_blob = b"".join(n.encode() + b"\x00" for n in self.names)
-        aux += struct.pack("<i", len(names_blob)) + names_blob
+        if self.tabix_aux:
+            aux = struct.pack("<6i", FMT_VCF, 1, 2, 0, ord("#"), 0)
+            names_blob = b"".join(n.encode() + b"\x00"
+                                  for n in self.names)
+            aux += struct.pack("<i", len(names_blob)) + names_blob
+        else:
+            aux = b""
         out = bytearray(CSI_MAGIC)
         out += struct.pack("<3i", self.min_shift, self.depth, len(aux))
         out += aux

@@ -235,3 +235,111 @@ class TestBCFSpecBits:
         assert rec[24] == (3 << 4) | 7
         assert rec[25:28] == b"rs1"
         assert l_indiv == 0
+
+
+class TestBCFIndex:
+    """CSI indexing of BCF output (the reference's VCFAdapter produces
+    an index alongside compressed output, vcf_adapter.h:89-133; htslib
+    bcf_index_build writes .csi with empty aux and header-ordered
+    rids)."""
+
+    def _write_indexed_bcf(self, tmp_path):
+        from genomicsdb_tpu.vcf.bgzf import open_output
+        lines = ["##fileformat=VCFv4.1",
+                 "##contig=<ID=1,length=249250621>",
+                 "##contig=<ID=2,length=243199373>",
+                 '##INFO=<ID=END,Number=1,Type=Integer,Description="e">',
+                 '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+                 "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                 "\tS0"]
+        recs = []
+        for contig in ("1", "2"):
+            pos = 100
+            for i in range(400):
+                end = pos + 37
+                recs.append((contig, pos, end))
+                lines.append(f"{contig}\t{pos}\t.\tA\t<NON_REF>\t.\t.\t"
+                             f"END={end}\tGT\t0/0")
+                pos = end + 13
+        p = str(tmp_path / "out.bcf")
+        with open_output(p, "b", index=True) as w:
+            w.write("\n".join(lines) + "\n")
+        return p, recs
+
+    @staticmethod
+    def _scan_records(path, voff_beg, voff_end):
+        """Decode (rid, pos0, rlen) of BCF records in a chunk range."""
+        from genomicsdb_tpu.vcf.tabix import _bgzf_block_at
+        out = []
+        with open(path, "rb") as f:
+            coff, uoff = voff_beg >> 16, voff_beg & 0xFFFF
+            data = bytearray()
+            while True:
+                payload, csize = _bgzf_block_at(f, coff)
+                if not payload and csize == 0:
+                    break
+                lo = uoff if coff == voff_beg >> 16 else 0
+                hi = (voff_end & 0xFFFF) if coff == (voff_end >> 16) \
+                    else len(payload)
+                data += payload[lo:hi]
+                if coff >= voff_end >> 16:
+                    break
+                coff += csize
+        o = 0
+        while o + 8 <= len(data):
+            l_shared, l_indiv = struct.unpack_from("<II", data, o)
+            if o + 8 + l_shared + l_indiv > len(data):
+                break
+            rid, pos0, rlen = struct.unpack_from("<3i", data, o + 8)
+            out.append((rid, pos0, rlen))
+            o += 8 + l_shared + l_indiv
+        return out
+
+    def test_bcf_csi_structure_and_query(self, tmp_path):
+        import numpy as np
+        from genomicsdb_tpu.vcf.tabix import reg2bins_csi
+        p, recs = self._write_indexed_bcf(tmp_path)
+        assert os.path.exists(p + ".csi")
+        raw = gzip.decompress(open(p + ".csi", "rb").read())
+        assert raw[:4] == b"CSI\x01"
+        min_shift, depth, l_aux = struct.unpack_from("<3i", raw, 4)
+        assert (min_shift, l_aux) == (14, 0)    # htslib bcf form
+        (n_ref,) = struct.unpack_from("<i", raw, 16 + l_aux)
+        assert n_ref == 2                        # header contig count
+        # parse bins per rid
+        o = 20 + l_aux
+        bins = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", raw, o)
+            o += 4
+            bd = {}
+            for _ in range(n_bin):
+                b, loff, n_chunk = struct.unpack_from("<IQi", raw, o)
+                o += 16
+                cl = []
+                for _ in range(n_chunk):
+                    cb, ce = struct.unpack_from("<QQ", raw, o)
+                    o += 16
+                    cl.append((cb, ce))
+                bd[b] = cl
+            bins.append(bd)
+        assert o == len(raw)
+
+        def query(rid, contig, b1, e1):
+            chunks = []
+            for b in reg2bins_csi(b1 - 1, e1, min_shift, depth):
+                chunks.extend(bins[rid].get(b, []))
+            got = set()
+            for cb, ce in sorted(set(chunks)):
+                for r, pos0, rlen in self._scan_records(p, cb, ce):
+                    if r == rid and pos0 < e1 and pos0 + rlen >= b1:
+                        got.add((pos0 + 1, pos0 + rlen))
+            want = {(pos, end) for c, pos, end in recs
+                    if c == contig and pos <= e1 and end >= b1}
+            assert got == want, (contig, b1, e1)
+
+        for contig, rid in (("1", 0), ("2", 1)):
+            query(rid, contig, 100, 150)
+            query(rid, contig, 5000, 5300)
+            query(rid, contig, 1, 10**6)
+            query(rid, contig, 19000, 19001)
