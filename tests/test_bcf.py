@@ -82,6 +82,11 @@ def test_native_encoder_matches_python():
     """The native BCF2 record encoder (gdb_bcf_encode_records) is
     byte-identical to the Python _encode_record on real query output,
     including haploid/triploid GT, deletions, and float fields."""
+    import os
+
+    import pytest
+    if os.environ.get("GENOMICSDB_TPU_NO_NATIVE", "") not in ("", "0"):
+        pytest.skip("native kernels disabled (GENOMICSDB_TPU_NO_NATIVE)")
     from genomicsdb_tpu.vcf.bcf import (_HeaderDict, _encode_record,
                                         _encode_records_native,
                                         _synthesize_declarations)
