@@ -69,6 +69,10 @@ class FusedConfig:
     # kernel; rt > 1 = sublane-packed kernel (rt*128 records per
     # instance, rt x fewer grid launches, full-vreg math)
     rt: int = 1
+    # mixed (per-call) ploidy: remap once per ploidy class 1..ploidy and
+    # select per call by its GT-derived ploidy (the batched form of
+    # variant_field_handler.cc:199-296) — sex-chromosome cohorts
+    mixed: bool = False
 
     # payload row ranges [start, stop)
     @property
@@ -344,13 +348,15 @@ def _default_rt() -> int:
 
 
 def make_fused_config(blk, *, max_merged: int, ploidy: int,
-                      gt_phase: bool = False, rt: int = 0) -> FusedConfig:
+                      gt_phase: bool = False, rt: int = 0,
+                      mixed: bool = False) -> FusedConfig:
     return FusedConfig(
         g_in=blk.pl.shape[2], g_out=len(K.genotype_combo_table(
             max_merged, ploidy)), a_in=blk.ad.shape[2], m=max_merged,
         gt_w=blk.gt.shape[2], f_med=blk.info_f.shape[0],
         f_imed=blk.info_i.shape[0], f_fsum=blk.info_fs.shape[0],
-        ploidy=ploidy, gt_phase=gt_phase, rt=rt or _default_rt())
+        ploidy=ploidy, gt_phase=gt_phase, rt=rt or _default_rt(),
+        mixed=mixed)
 
 
 def fused_host_prep(blk, cfg: FusedConfig, bpad_to: int = 0):
@@ -396,12 +402,14 @@ def fused_host_prep(blk, cfg: FusedConfig, bpad_to: int = 0):
 def combine_step_fused(blk, *, max_merged: int, ploidy: int,
                        gt_phase: bool = False,
                        interpret: bool = False,
-                       rt: int = 0):
+                       rt: int = 0,
+                       mixed_ploidy: bool = False):
     """combine_step built on the fused kernel.  Returns the same output
     dict, or None when the window premise fails for this block (caller
     falls back to the XLA path).  `rt` > 1 selects the sublane-packed
     kernel (rt*128 records per grid instance); 0 reads
-    GENOMICSDB_TPU_FUSED_RT (default 8)."""
+    GENOMICSDB_TPU_FUSED_RT (default 8).  `mixed_ploidy` runs the
+    per-call-ploidy variant (rt kernel only)."""
     from .combine_step import _reduce_math
     live = np.asarray(blk.live)
     B, S = live.shape
@@ -409,9 +417,14 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
         return None
     if ploidy > 4:
         return None
+    if mixed_ploidy and blk.gt_len_bs is None:
+        return None
     cfg = make_fused_config(blk, max_merged=max_merged, ploidy=ploidy,
-                            gt_phase=gt_phase, rt=rt)
+                            gt_phase=gt_phase, rt=rt,
+                            mixed=mixed_ploidy)
     rt = cfg.rt
+    if mixed_ploidy and rt <= 1:
+        return None
     prep = fused_host_prep(blk, cfg)
     if prep is None:
         return None
@@ -422,12 +435,20 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
     if rt > 1:
         Bp = live_p.shape[0]
         T = Bp // cfg.bt
+        gtl_rt = None
+        if cfg.mixed:
+            bpad = Bp - B
+            gtl_p = np.pad(np.asarray(blk.gt_len_bs), ((0, bpad), (0, 0)),
+                           constant_values=0)
+            gtl_rt = np.ascontiguousarray(gtl_p.T).astype(
+                np.int32).reshape(S, T, cfg.bt)
         out = fused_gather_remap_rt(
             pay, live_t[:, 0].reshape(S, T, cfg.bt),
             inv_t.reshape(S, inv_t.shape[1], T, cfg.bt),
             nr_t[:, 0].reshape(S, T, cfg.bt),
             recnm2[0].reshape(T, cfg.bt), recnr2[0].reshape(T, cfg.bt),
-            w0b.reshape(T // rt, rt, S), cfg=cfg, interpret=interpret)
+            w0b.reshape(T // rt, rt, S), gtl_rt, cfg=cfg,
+            interpret=interpret)
         out = out.reshape(S, cfg.vout, Bp)
     else:
         out = fused_gather_remap(pay, live_t, inv_t, nr_t, recnm2,
@@ -505,11 +526,15 @@ def _make_kernel_rt(cfg: FusedConfig):
     G = combos.shape[0]
     assert G == cfg.g_out
     max_allele = np.max(combos, axis=-1)                   # [G_out]
+    VEC_END = int(formats.INT_VECTOR_END)
 
     def kernel(w2_ref, live_ref, inv_ref, nr_ref, recnm_ref, recnr_ref,
-               *win_and_out):
-        win_refs = win_and_out[:2 * rt]
-        out_ref = win_and_out[2 * rt]
+               *rest):
+        if cfg.mixed:
+            gtl_ref = rest[0]
+            rest = rest[1:]
+        win_refs = rest[:2 * rt]
+        out_ref = rest[2 * rt]
         t = pl.program_id(0)
         s = pl.program_id(1)
         live = live_ref[0]                         # [rt, Bt]
@@ -546,46 +571,72 @@ def _make_kernel_rt(cfg: FusedConfig):
 
         # ---- PL genotype remap ----
         pll = row("pl_len")
-        slot_alleles = []
-        combo_missing = [None] * G
-        for p in range(cfg.ploidy):
-            rows_a = []
-            for gi in range(G):
-                a = inv[combos[gi, p]]                     # [rt, Bt]
-                a = jnp.where(a == -1, jnp.where(nr >= 0, nr, -1), a)
-                rows_a.append(a[None])
-                miss = jnp.where(a == -1, jnp.int32(1),
-                                 jnp.int32(0))[None]
-                combo_missing[gi] = miss if combo_missing[gi] is None \
-                    else jnp.maximum(combo_missing[gi], miss)
-            slot_alleles.append(jnp.concatenate(rows_a, axis=0))
-        cmiss = jnp.concatenate(combo_missing, axis=0) != 0  # [G, rt, Bt]
-        slots = [jnp.maximum(a, 0) for a in slot_alleles]
-        slots = K._sorting_network(slots)
-        in_gt = jnp.zeros((G, rt, cfg.bt), jnp.int32)
-        for i, a in enumerate(slots):
-            if i == 0:
-                term = a
-            elif i == 1:
-                term = (a + 1) * a // 2
-            elif i == 2:
-                term = (a + 2) * (a + 1) * a // 6
-            elif i == 3:
-                term = (a + 3) * (a + 2) * (a + 1) * a // 24
-            else:
-                raise NotImplementedError("ploidy > 4")
-            in_gt = in_gt + term
-        ok = (~cmiss) & (in_gt < pll[None])
-        in_rec = jnp.concatenate(
-            [jnp.where(jnp.int32(int(max_allele[gi])) < recnm,
-                       jnp.int32(1), jnp.int32(0))[None]
-             for gi in range(G)], axis=0)
-        ok = ok & (in_rec != 0)
-        gathered = jnp.full((G, rt, cfg.bt), INT_MISSING, jnp.int32)
-        for k in range(cfg.g_in):
-            gathered = jnp.where(in_gt == jnp.int32(k),
-                                 row("pl", k)[None], gathered)
-        pl_out = jnp.where(ok, gathered, INT_MISSING)
+
+        def pl_section(p_static):
+            """[G_p, rt, Bt] remapped PL for static ploidy p_static
+            (jax_kernels.remap_genotype_fields semantics)."""
+            combos_p = K.genotype_combo_table(cfg.m, p_static)
+            G_p = combos_p.shape[0]
+            max_a = np.max(combos_p, axis=-1)
+            slot_alleles = []
+            combo_missing = [None] * G_p
+            for p in range(p_static):
+                rows_a = []
+                for gi in range(G_p):
+                    a = inv[combos_p[gi, p]]               # [rt, Bt]
+                    a = jnp.where(a == -1,
+                                  jnp.where(nr >= 0, nr, -1), a)
+                    rows_a.append(a[None])
+                    miss = jnp.where(a == -1, jnp.int32(1),
+                                     jnp.int32(0))[None]
+                    combo_missing[gi] = miss \
+                        if combo_missing[gi] is None \
+                        else jnp.maximum(combo_missing[gi], miss)
+                slot_alleles.append(jnp.concatenate(rows_a, axis=0))
+            cmiss = jnp.concatenate(combo_missing, axis=0) != 0
+            slots = [jnp.maximum(a, 0) for a in slot_alleles]
+            slots = K._sorting_network(slots)
+            in_gt = jnp.zeros((G_p, rt, cfg.bt), jnp.int32)
+            for i, a in enumerate(slots):
+                if i == 0:
+                    term = a
+                elif i == 1:
+                    term = (a + 1) * a // 2
+                elif i == 2:
+                    term = (a + 2) * (a + 1) * a // 6
+                elif i == 3:
+                    term = (a + 3) * (a + 2) * (a + 1) * a // 24
+                else:
+                    raise NotImplementedError("ploidy > 4")
+                in_gt = in_gt + term
+            ok = (~cmiss) & (in_gt < pll[None])
+            in_rec = jnp.concatenate(
+                [jnp.where(jnp.int32(int(max_a[gi])) < recnm,
+                           jnp.int32(1), jnp.int32(0))[None]
+                 for gi in range(G_p)], axis=0)
+            ok = ok & (in_rec != 0)
+            gathered = jnp.full((G_p, rt, cfg.bt), INT_MISSING,
+                                jnp.int32)
+            for k in range(cfg.g_in):
+                gathered = jnp.where(in_gt == jnp.int32(k),
+                                     row("pl", k)[None], gathered)
+            return jnp.where(ok, gathered, INT_MISSING)
+
+        if cfg.mixed:
+            gtl = gtl_ref[0]                               # [rt, Bt]
+            ploidy_rs = (gtl + 1) // 2 if cfg.gt_phase else gtl
+            pl_out = jnp.full((G, rt, cfg.bt), VEC_END, jnp.int32)
+            for p_s in range(1, cfg.ploidy + 1):
+                v = pl_section(p_s)
+                G_p = v.shape[0]
+                if G_p < G:
+                    v = jnp.concatenate(
+                        [v, jnp.full((G - G_p, rt, cfg.bt), VEC_END,
+                                     jnp.int32)], axis=0)
+                pl_out = jnp.where(ploidy_rs[None] == jnp.int32(p_s),
+                                   v, pl_out)
+        else:
+            pl_out = pl_section(cfg.ploidy)
 
         # ---- AD allele remap ----
         adl = row("ad_len")
@@ -609,14 +660,20 @@ def _make_kernel_rt(cfg: FusedConfig):
             a = row("gt", p)
             a = jnp.where(valid, a, INT_MISSING)
             if cfg.gt_phase and p % 2 == 1:
-                gt_rows.append(a[None])
-                continue
-            merged = jnp.full((rt, cfg.bt), -1, jnp.int32)
-            for mi in range(cfg.m):
-                merged = jnp.where(inv[mi] == a, mi, merged)
-            okg = (a >= 0) & (a != INT_MISSING)
-            gt_rows.append(jnp.where(
-                okg, jnp.where(merged >= 0, merged, nr_merged), a)[None])
+                out_p = a
+            else:
+                merged = jnp.full((rt, cfg.bt), -1, jnp.int32)
+                for mi in range(cfg.m):
+                    merged = jnp.where(inv[mi] == a, mi, merged)
+                okg = (a >= 0) & (a != INT_MISSING)
+                out_p = jnp.where(
+                    okg, jnp.where(merged >= 0, merged, nr_merged), a)
+            if cfg.mixed:
+                # slots past the call's stored GT length are VECTOR_END
+                # (gt_remap_unrolled's variable-ploidy rule)
+                out_p = jnp.where(jnp.int32(p) < gtl, out_p,
+                                  jnp.int32(VEC_END))
+            gt_rows.append(out_p[None])
         gt_out = jnp.concatenate(gt_rows, axis=0)
 
         # ---- passthrough scalars + INFO rows ----
@@ -640,11 +697,12 @@ def _make_kernel_rt(cfg: FusedConfig):
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def fused_gather_remap_rt(payload, live_rt, inv_rt, nr_rt, recnm_rt,
-                          recnr_rt, w2, *, cfg: FusedConfig,
+                          recnr_rt, w2, gtl_rt=None, *, cfg: FusedConfig,
                           interpret: bool = False):
     """Sublane-packed launch: payload [S, V, Cpad]; live_rt/nr_rt
     [S, T, Bt]; inv_rt [S, M, T, Bt]; recnm_rt/recnr_rt [T, Bt]; w2
-    [T//rt, rt, S] (fused_window_plan reshaped).  Returns
+    [T//rt, rt, S] (fused_window_plan reshaped); gtl_rt [S, T, Bt]
+    per-call GT lengths (required when cfg.mixed).  Returns
     [S, Vout, T, Bt] — reshape(S, Vout, T*Bt) recovers the per-sample
     kernel's layout exactly."""
     rt = cfg.rt
@@ -658,6 +716,9 @@ def fused_gather_remap_rt(payload, live_rt, inv_rt, nr_rt, recnm_rt,
                       (s, 0, w[t, su, s] + k)))
         for su in range(rt) for k in (0, 1)
     ]
+    gtl_specs = [pl.BlockSpec((1, rt, cfg.bt),
+                              lambda t, s, w: (s, t, 0))] \
+        if cfg.mixed else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T2, S),
@@ -668,10 +729,11 @@ def fused_gather_remap_rt(payload, live_rt, inv_rt, nr_rt, recnm_rt,
             pl.BlockSpec((1, rt, cfg.bt), lambda t, s, w: (s, t, 0)),
             pl.BlockSpec((rt, cfg.bt), lambda t, s, w: (t, 0)),
             pl.BlockSpec((rt, cfg.bt), lambda t, s, w: (t, 0)),
-        ] + win_specs,
+        ] + gtl_specs + win_specs,
         out_specs=pl.BlockSpec((1, cfg.vout, rt, cfg.bt),
                                lambda t, s, w: (s, 0, t, 0)),
     )
+    gtl_args = (gtl_rt,) if cfg.mixed else ()
     with jax.enable_x64(False):
         return pl.pallas_call(
             kernel,
@@ -679,5 +741,5 @@ def fused_gather_remap_rt(payload, live_rt, inv_rt, nr_rt, recnm_rt,
                                            jnp.int32),
             grid_spec=grid_spec,
             interpret=interpret,
-        )(w2, live_rt, inv_rt, nr_rt, recnm_rt, recnr_rt,
+        )(w2, live_rt, inv_rt, nr_rt, recnm_rt, recnr_rt, *gtl_args,
           *([payload] * (2 * rt)))

@@ -183,7 +183,7 @@ def shard_block(mesh: Mesh, blk: CellBlock):
 # sample axis over "row" (ICI) exactly like the XLA sharded step.
 # ---------------------------------------------------------------------------
 
-def _fused_input_specs(rt_gt_1: bool = True):
+def _fused_input_specs(mixed: bool = False):
     return (
         P("row", None, None),              # payload [S, V, Cpad]
         P("row", "pos", None),             # live_rt [S, T, bt]
@@ -192,6 +192,7 @@ def _fused_input_specs(rt_gt_1: bool = True):
         P("pos", None),                    # recnm_rt [T, bt]
         P("pos", None),                    # recnr_rt [T, bt]
         P("pos", None, "row"),             # w2 [T2, rt, S]
+    ) + ((P("row", "pos", None),) if mixed else ()) + (   # gtl_rt
         P("pos", "row"),                   # del_rw [B, S]
         P("pos", "row"),                   # live_bs [B, S]
     )
@@ -210,11 +211,13 @@ def sharded_combine_step_fused(mesh: Mesh, cfg, b_local: int,
     reduce_fn = partial(_reduce_math, axis_name="row")
 
     def step(pay, live_rt, inv_rt, nr_rt, recnm_rt, recnr_rt, w2,
-             del_rw, live_bs) -> Dict[str, jnp.ndarray]:
+             *rest) -> Dict[str, jnp.ndarray]:
+        gtl_rt = rest[0] if cfg.mixed else None
+        del_rw, live_bs = rest[-2], rest[-1]
         S_loc = pay.shape[0]
         out = PC.fused_gather_remap_rt(pay, live_rt, inv_rt, nr_rt,
-                                       recnm_rt, recnr_rt, w2, cfg=cfg,
-                                       interpret=interpret)
+                                       recnm_rt, recnr_rt, w2, gtl_rt,
+                                       cfg=cfg, interpret=interpret)
         out = out.reshape(S_loc, cfg.vout, b_local)
         return PC._fused_post(out, del_rw, live_bs, cfg, b_local,
                               reduce_fn)
@@ -230,16 +233,19 @@ def sharded_combine_step_fused(mesh: Mesh, cfg, b_local: int,
         "dp_info_sum": P("pos"),
     }
     try:
-        fn = shard_map(step, mesh=mesh, in_specs=_fused_input_specs(),
+        fn = shard_map(step, mesh=mesh,
+                       in_specs=_fused_input_specs(cfg.mixed),
                        out_specs=specs_out, check_vma=False)
     except TypeError:  # pre-0.8 jax
-        fn = shard_map(step, mesh=mesh, in_specs=_fused_input_specs(),
+        fn = shard_map(step, mesh=mesh,
+                       in_specs=_fused_input_specs(cfg.mixed),
                        out_specs=specs_out, check_rep=False)
     return jax.jit(fn)
 
 
 def shard_block_fused(mesh: Mesh, blk: CellBlock, *, max_merged: int,
-                      ploidy: int, gt_phase: bool = False, rt: int = 0):
+                      ploidy: int, gt_phase: bool = False, rt: int = 0,
+                      mixed_ploidy: bool = False):
     """Prepare + device-put a block for the fused sharded step.
 
     Pads records to a multiple of n_pos*rt*128 and samples to n_row,
@@ -251,8 +257,11 @@ def shard_block_fused(mesh: Mesh, blk: CellBlock, *, max_merged: int,
     if ploidy > 4:
         return None
     n_pos, n_row = mesh.devices.shape
+    if mixed_ploidy and blk.gt_len_bs is None:
+        return None
     cfg = PC.make_fused_config(blk, max_merged=max_merged, ploidy=ploidy,
-                               gt_phase=gt_phase, rt=rt)
+                               gt_phase=gt_phase, rt=rt,
+                               mixed=mixed_ploidy)
     if cfg.rt <= 1:
         return None
     B, S = np.asarray(blk.live).shape
@@ -272,10 +281,18 @@ def shard_block_fused(mesh: Mesh, blk: CellBlock, *, max_merged: int,
         prep["recnm2"][0].reshape(T, cfg.bt),
         prep["recnr2"][0].reshape(T, cfg.bt),
         prep["w0b"].reshape(T // cfg.rt, cfg.rt, S_p),
+    )
+    if cfg.mixed:
+        gtl = np.asarray(pblk.gt_len_bs)
+        gtl_p = np.pad(gtl, ((0, Bp - gtl.shape[0]), (0, 0)),
+                       constant_values=0)
+        arrs += (np.ascontiguousarray(gtl_p.T).astype(
+            np.int32).reshape(S_p, T, cfg.bt),)
+    arrs += (
         prep["del_rw_p"],
         prep["live_p"].astype(np.int32),
     )
     shardings = tuple(NamedSharding(mesh, s)
-                      for s in _fused_input_specs())
+                      for s in _fused_input_specs(cfg.mixed))
     args = tuple(jax.device_put(a, s) for a, s in zip(arrs, shardings))
     return args, cfg, Bp // n_pos, B, S

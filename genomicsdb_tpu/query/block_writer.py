@@ -136,14 +136,14 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
         out_s = None
         fused_flag = _os.environ.get("GENOMICSDB_TPU_FUSED")
         use_fused = (fused_flag == "1"
-                     or (fused_flag != "0" and jnp_backend_is_tpu())) \
-            and not mixed_ploidy
+                     or (fused_flag != "0" and jnp_backend_is_tpu()))
         if use_fused:
             # per-shard fused VMEM kernel (same kernel as single-chip);
             # None on window-premise failure -> XLA sharded step
             prep = shard_block_fused(mesh, blk, max_merged=max_merged,
                                      ploidy=ploidy,
-                                     gt_phase=plan.gt_phase)
+                                     gt_phase=plan.gt_phase,
+                                     mixed_ploidy=mixed_ploidy)
             if prep is not None:
                 fargs, fcfg, b_local, _, _ = prep
                 fstep = sharded_combine_step_fused(
@@ -188,15 +188,16 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
         out = None
         fused_flag = _os.environ.get("GENOMICSDB_TPU_FUSED")
         use_fused = (fused_flag == "1"
-                     or (fused_flag != "0" and jnp_backend_is_tpu())) \
-            and not mixed_ploidy
+                     or (fused_flag != "0" and jnp_backend_is_tpu()))
         if use_fused:
-            # fused Pallas path (windowed gather + remap in VMEM); falls
-            # back to XLA when the window premise fails for this block
+            # fused Pallas path (windowed gather + remap in VMEM);
+            # mixed (per-call) ploidy runs the per-ploidy-select kernel
+            # variant; falls back to XLA when the window premise fails
             from ..ops.pallas_combine import combine_step_fused
             out = combine_step_fused(blk, max_merged=max_merged,
                                      ploidy=ploidy,
                                      gt_phase=plan.gt_phase,
+                                     mixed_ploidy=mixed_ploidy,
                                      interpret=not jnp_backend_is_tpu())
         if out is None:
             use_pallas = (_os.environ.get("GENOMICSDB_TPU_PALLAS") == "1"

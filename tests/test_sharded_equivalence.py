@@ -183,3 +183,31 @@ def test_mesh_block_query_golden_fused(monkeypatch):
                                     "inputs/chr1_10MB.fasta.gz"),
         mesh=make_mesh(4, 2))
     assert got == golden("t0_1_2_vcf_at_0")
+
+
+def test_mesh_block_query_golden_general_ploidy_fused(monkeypatch):
+    """Mixed-ploidy cohort through the mesh with the per-shard fused
+    kernel's per-call-ploidy variant forced on: golden-exact."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from golden_utils import (REF_TESTS, VCF_ATTRIBUTES_ORDER, golden,
+                              load_setup, make_query_params)
+    from genomicsdb_tpu.query import driver
+    monkeypatch.setenv("GENOMICSDB_TPU_FUSED", "1")
+    vid, store = load_setup(
+        "inputs/callsets/t0_haploid_triploid_1_2_3_triploid_deletion.json",
+        vid_file="inputs/vid_DS_ID_phased_GT.json")
+    qp = make_query_params(VCF_ATTRIBUTES_ORDER, [(0, 1000000000)])
+    qc = driver.make_query_config(qp, vid)
+    got = driver.run_vcf_query_block(
+        store, qc, qp, vid,
+        template_path=os.path.join(REF_TESTS,
+                                   "inputs/template_vcf_header.vcf"),
+        reference_path=os.path.join(REF_TESTS,
+                                    "inputs/chr1_10MB.fasta.gz"),
+        mesh=make_mesh(4, 2))
+    assert got == golden(
+        "t0_haploid_triploid_1_2_3_triploid_deletion_vcf")
