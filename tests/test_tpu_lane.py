@@ -127,3 +127,31 @@ assert got == gu.golden("t0_1_2_vcf_at_0"), "chip block query != golden"
 print("CHIP_GOLDEN_OK")
 """, timeout=1500)
     assert "CHIP_GOLDEN_OK" in out
+
+
+def test_fused_mixed_ploidy_compiled_on_chip():
+    """The per-call-ploidy fused variant compiles and matches the XLA
+    mixed path on the real chip."""
+    out = _run_on_tpu(PREAMBLE + r"""
+import numpy as np
+from genomicsdb_tpu.ops.combine_step import (block_to_args, combine_step,
+                                             synthesize_cohort)
+from genomicsdb_tpu.ops import pallas_combine as PC
+blk = synthesize_cohort(num_samples=8, cells_per_sample=64,
+                        region_len=4096, seed=21)
+B, S = np.asarray(blk.live).shape
+rng = np.random.default_rng(5)
+blk.gt_len_bs = rng.integers(1, 3, size=(B, S)).astype(np.int32)
+with jax.default_device(tpu):
+    fused = PC.combine_step_fused(blk, max_merged=4, ploidy=2, rt=8,
+                                  mixed_ploidy=True)
+    assert fused is not None, "window premise failed"
+    fused = {k: np.asarray(v) for k, v in fused.items()}
+    ref = combine_step(*block_to_args(blk), max_merged=4, ploidy=2,
+                       mixed_ploidy=True)
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+for k in ("pl", "ad", "gt", "gq", "dp_format", "min_dp", "dp_info_sum"):
+    assert np.array_equal(fused[k], ref[k]), k
+print("FUSED_MIXED_CHIP_OK")
+""")
+    assert "FUSED_MIXED_CHIP_OK" in out
