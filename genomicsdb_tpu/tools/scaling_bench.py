@@ -61,8 +61,33 @@ def main(argv=None):
     p.add_argument("--weak", action="store_true",
                    help="weak scaling: fixed work per device; efficiency "
                         "= t(1)/t(N) (per-chip throughput held)")
+    p.add_argument("--platform", default="cpu",
+                   help="jax platform ('cpu' default: a virtual mesh "
+                        "sized to max(--devices); 'default' uses the "
+                        "environment's backend, e.g. a real pod)")
     args = p.parse_args(argv)
+    import os
+    if args.platform == "cpu":
+        # self-configure the virtual mesh: env-only pins are ignored
+        # when a TPU plugin pre-registers, so set the device count and
+        # pin via jax.config before the backend initializes
+        want = max(args.devices)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={want}"
+            ).strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    elif args.platform != "default":
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     import jax
+    if len(jax.devices()) < max(args.devices):
+        raise SystemExit(
+            f"scaling_bench: only {len(jax.devices())} device(s) "
+            f"available for --devices {args.devices} (platform "
+            f"{jax.devices()[0].platform})")
     shared_host = jax.devices()[0].platform == "cpu"
     base = None
     for n in args.devices:
