@@ -142,7 +142,14 @@ def main(argv=None):
                    metavar="DIR",
                    help="split input VCFs per column partition into DIR "
                         "instead of importing (vcf2tiledb.cc:118-151)")
+    p.add_argument("--platform", default=None,
+                   help="pin the jax platform via jax.config (env "
+                        "JAX_PLATFORMS can be overridden by a "
+                        "pre-registered TPU plugin)")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     import json as _json
     try:
         if args.split_output_dir:
