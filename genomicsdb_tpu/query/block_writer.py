@@ -893,10 +893,18 @@ def _gt_text(vec, produce: bool, phase_in: bool) -> str:
     return "".join(txt) if txt else "."
 
 def _num_genotypes(nm, ploidy: int):
-    n_alt = np.asarray(nm) - 1
+    """C(nm + ploidy - 1, ploidy): genotype count for nm alleles at a
+    uniform ploidy.  (A previous revision returned the allele count for
+    any ploidy != 2 — correct only for haploid — which truncated PL on
+    uniform-triploid cohorts, e.g. a row-subset query selecting only a
+    triploid sample.)"""
+    nm = np.asarray(nm)
+    n_alt = nm - 1
     if ploidy == 2:
         return n_alt * (n_alt + 3) // 2 + 1
-    return n_alt + 1
+    if ploidy == 1:
+        return nm
+    return _num_genotypes_ploidy(nm, np.full_like(nm, ploidy))
 
 
 def _num_genotypes_ploidy(nm, p):

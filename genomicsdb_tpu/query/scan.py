@@ -157,6 +157,13 @@ def scan_variants(store: ColumnarStore, qc: QueryConfig,
         cell_idxs = store.cells_in_column_range(0, INT64_MAX - 1)
     ended = False
     for ci in cell_idxs:
+        # row-subset filter FIRST: the reference's storage iterator is
+        # restricted to the queried rows (do_query_bookkeeping row
+        # bounds -> TileDB subarray), so cells of non-queried rows must
+        # not create aligned-sub-interval boundaries in the sweep
+        r = int(store.row[ci])
+        if r not in row_to_qidx:
+            continue
         if profile.ENABLED:
             profile.GLOBAL_STATS.bump("cells_traversed")
         col = int(store.col[ci])
@@ -168,9 +175,6 @@ def scan_variants(store: ColumnarStore, qc: QueryConfig,
         if col != current_start:
             yield from handle_gvcf_ranges(col, False)
             current_start = col
-        r = int(store.row[ci])
-        if r not in row_to_qidx:
-            continue
         qidx = row_to_qidx[r]
         # overlapping same-row cell: overwrite live call
         # (reference query_variants.cc:512-541)

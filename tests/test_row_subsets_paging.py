@@ -84,3 +84,64 @@ def test_cotton_and_positions_json():
         [((12140, 12294), variants[:1])], qc)
     pdoc = _json.loads(pos)
     assert "12141_12295" in pdoc
+
+
+def test_row_subset_sweep_boundaries_and_uniform_triploid():
+    """Two row-subset regressions:
+
+    1. the sweep must NOT split aligned sub-intervals at non-queried
+       rows' cell starts (the reference's storage iterator is
+       restricted to the queried rows, so a single-sample query of a
+       spanning ref block emits ONE record even where other samples'
+       cells begin);
+    2. a subset selecting only the triploid sample makes the cohort
+       UNIFORM ploidy-3 (not mixed), which must render the full
+       C(nm+2, 3) PL length (a prior revision truncated to nm).
+    Both engines must agree byte-exactly on randomized subsets."""
+    import os
+    import random
+
+    from golden_utils import (REF_TESTS, VCF_ATTRIBUTES_ORDER,
+                              load_setup, make_query_params)
+    from genomicsdb_tpu.query import driver
+
+    configs = [
+        ("inputs/callsets/t0_1_2.json", "inputs/vid.json"),
+        ("inputs/callsets/"
+         "t0_haploid_triploid_1_2_3_triploid_deletion.json",
+         "inputs/vid_DS_ID_phased_GT.json"),
+    ]
+    kw = dict(
+        template_path=os.path.join(REF_TESTS,
+                                   "inputs/template_vcf_header.vcf"),
+        reference_path=os.path.join(REF_TESTS,
+                                    "inputs/chr1_10MB.fasta.gz"))
+    rng = random.Random(11)
+    for cs, vidf in configs:
+        vid, store = load_setup(cs, vid_file=vidf)
+        n_rows = len(vid.callsets)
+        cases = [[0], [n_rows - 1]]
+        for _ in range(6):
+            cases.append(sorted(rng.sample(
+                range(n_rows), rng.randint(1, n_rows))))
+        for rows in cases:
+            lo = rng.randint(0, 20000)
+            hi = lo + rng.randint(0, 3_000_000)
+            qp = make_query_params(VCF_ATTRIBUTES_ORDER, [(lo, hi)])
+            qp.row_ranges = [[(r, r) for r in rows]]
+            qc = driver.make_query_config(qp, vid)
+            a = driver.run_vcf_query_block(store, qc, qp, vid, **kw)
+            qc2 = driver.make_query_config(qp, vid)
+            b = driver.run_vcf_query(store, qc2, qp, vid, **kw)
+            assert a == b, (cs, rows, lo, hi)
+    # the specific single-triploid-sample case that caught both bugs
+    vid, store = load_setup(
+        "inputs/callsets/t0_haploid_triploid_1_2_3_triploid_deletion.json",
+        vid_file="inputs/vid_DS_ID_phased_GT.json")
+    qp = make_query_params(VCF_ATTRIBUTES_ORDER, [(2204, 1306897)])
+    qp.row_ranges = [[(3, 3)]]
+    qc = driver.make_query_config(qp, vid)
+    text = driver.run_vcf_query_block(store, qc, qp, vid, **kw)
+    rec = [l for l in text.splitlines() if l.startswith("1\t17384\t")][0]
+    pl = rec.split("\t")[-1].split(":")[4]
+    assert len(pl.split(",")) == 20    # C(4+2, 3): full triploid PL
