@@ -19,6 +19,9 @@ from .columnar import ColumnarStore
 from .import_pipeline import VCFCellConverter, cells_to_store
 
 
+BCF_MAGIC = b"BCF\x02\x02"
+
+
 class _BufferStream:
     def __init__(self, name: str):
         self.name = name
@@ -26,10 +29,20 @@ class _BufferStream:
         self.header: Optional[VCFHeader] = None
         self.header_lines: List[str] = []
         self.exhausted = False
+        # "text" | "bcf", sniffed from the first 5 bytes — GATK4's
+        # streaming import pushes BCF2-encoded streams by default
+        # (GenomicsDBImporter useBCF; the JNI buffer carries the BCF2
+        # header block + records)
+        self.mode: Optional[str] = None
 
     def write(self, data: bytes):
         self.buffer += data
         self.exhausted = False
+
+    def sniff(self) -> Optional[str]:
+        if self.mode is None and len(self.buffer) >= 5:
+            self.mode = "bcf" if self.buffer[:5] == BCF_MAGIC else "text"
+        return self.mode
 
     def take_complete_lines(self) -> List[str]:
         if b"\n" not in self.buffer:
@@ -37,6 +50,38 @@ class _BufferStream:
         body, _, rest = self.buffer.rpartition(b"\n")
         self.buffer = rest
         return (body.decode()).split("\n")
+
+    def take_bcf_records(self) -> List[str]:
+        """Consume complete BCF2 records (after the header block),
+        decoded to VCF text lines via the from-spec reader."""
+        import struct as _struct
+
+        from ..vcf import bcf as _bcf
+        out: List[str] = []
+        if self.header is None:
+            if len(self.buffer) < 9:
+                return out
+            (l_header,) = _struct.unpack_from("<I", self.buffer, 5)
+            if len(self.buffer) < 9 + l_header:
+                return out
+            htext = self.buffer[9:9 + l_header].rstrip(b"\0").decode()
+            self.header_lines = htext.splitlines()
+            self._hd = _bcf._HeaderDict(self.header_lines)
+            self._n_sample = max(
+                0, len(self.header_lines[-1].split("\t")) - 9)
+            self.header = read_header(io.StringIO(
+                "\n".join(self.header_lines) + "\n"))
+            self.buffer = self.buffer[9 + l_header:]
+        while len(self.buffer) >= 8:
+            l_shared, l_indiv = _struct.unpack_from("<II", self.buffer,
+                                                    0)
+            total = 8 + l_shared + l_indiv
+            if len(self.buffer) < total:
+                break
+            r = _bcf._Reader(self.buffer[:total])
+            out.append(_bcf._decode_record(r, self._hd, self._n_sample))
+            self.buffer = self.buffer[total:]
+        return out
 
 
 class StreamingImporter:
@@ -80,8 +125,15 @@ class StreamingImporter:
         if not self._setup_done:
             self.setup()
         for stream in self.streams.values():
-            lines = stream.take_complete_lines()
-            records = []
+            mode = stream.sniff()
+            if mode is None and stream.buffer:
+                continue              # <5 bytes buffered: undetermined
+            if mode == "bcf":
+                records = stream.take_bcf_records()
+                lines = []
+            else:
+                lines = stream.take_complete_lines()
+                records = []
             for line in lines:
                 if not line:
                     continue
