@@ -157,21 +157,24 @@ def scan_variants(store: ColumnarStore, qc: QueryConfig,
         cell_idxs = store.cells_in_column_range(0, INT64_MAX - 1)
     ended = False
     for ci in cell_idxs:
-        # row-subset filter FIRST: the reference's storage iterator is
-        # restricted to the queried rows (do_query_bookkeeping row
-        # bounds -> TileDB subarray), so cells of non-queried rows must
-        # not create aligned-sub-interval boundaries in the sweep
+        # interval-end break first (cells are col-sorted, so any cell
+        # past the end means every later cell is too)...
+        col = int(store.col[ci])
+        if interval is not None and col > interval[1]:
+            ended = True
+            break
+        # ...then the row-subset filter BEFORE any boundary handling:
+        # the reference's storage iterator is restricted to the queried
+        # rows (do_query_bookkeeping row bounds -> TileDB subarray), so
+        # cells of non-queried rows must not create aligned-sub-interval
+        # boundaries in the sweep
         r = int(store.row[ci])
         if r not in row_to_qidx:
             continue
         if profile.ENABLED:
             profile.GLOBAL_STATS.bump("cells_traversed")
-        col = int(store.col[ci])
         if current_start < 0:
             current_start = col
-        if interval is not None and col > interval[1]:
-            ended = True
-            break
         if col != current_start:
             yield from handle_gvcf_ranges(col, False)
             current_start = col
