@@ -182,10 +182,12 @@ def main(argv=None):
                         "axis = column partitions, row axis = samples; "
                         "outputs are bit-identical to single-device")
     p.add_argument("--engine", choices=["sequential", "block"],
-                   default="sequential",
-                   help="combined-VCF engine: 'block' renders "
-                        "deletion-free spans from batched device combine "
-                        "outputs (faster at scale), byte-identical output")
+                   default="block",
+                   help="combined-VCF engine (default: block — the "
+                        "batched device engine; byte-identical to "
+                        "'sequential', the per-record reference-"
+                        "semantics oracle, on every golden and "
+                        "60k+ fuzz cases)")
     p.add_argument("-O", "--output-format", dest="output_format",
                    default="", choices=["", "Cotton-JSON",
                                         "Positions-JSON", "GA4GH"],
