@@ -150,7 +150,6 @@ def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
                   rec_has_nr, gt_lens=None, *,
                   max_merged: int, ploidy: int, gt_phase: bool = False,
                   mixed_ploidy: bool = False,
-                  use_pallas: bool = False,
                   axis_name: Optional[str] = None
                   ) -> Dict[str, jnp.ndarray]:
     """The shared combine math over GATHERED (dense [B, S, ...]) inputs.
@@ -179,11 +178,6 @@ def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
                 v = jnp.pad(v, ((0, 0), (0, 0), (0, pad)),
                             constant_values=formats.INT_VECTOR_END)
             pl_out = jnp.where((ploidy_bs == p)[..., None], v, pl_out)
-    elif use_pallas:
-        from .pallas_remap import remap_genotype_fields_pallas
-        pl_out = remap_genotype_fields_pallas(
-            plg, invg, pllg, nrg, rec_num_merged,
-            num_merged_alleles=max_merged, ploidy=ploidy)
     else:
         pl_out = K.remap_genotype_fields(plg, invg, pllg, nrg,
                                          rec_num_merged,
@@ -276,14 +270,13 @@ def gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp, dp_info,
 
 
 @partial(jax.jit, static_argnames=("max_merged", "ploidy", "gt_phase",
-                                   "mixed_ploidy", "use_pallas"))
+                                   "mixed_ploidy"))
 def combine_step(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                  dp_info, info_f, info_i, info_fs, inv_bs, nr_bs,
                  rec_num_merged, rec_has_nr, live, del_rw=None,
                  gt_len_bs=None, *,
                  max_merged: int, ploidy: int, gt_phase: bool = False,
-                 mixed_ploidy: bool = False,
-                 use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
+                 mixed_ploidy: bool = False) -> Dict[str, jnp.ndarray]:
     g = gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                          dp_info, info_f, info_i, info_fs, live, del_rw)
     out = _combine_math(g["plg"], inv_bs, g["pllg"], nr_bs, g["adg"],
@@ -292,8 +285,7 @@ def combine_step(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                         g["infofsg"], g["valid"], rec_num_merged,
                         rec_has_nr, gt_len_bs,
                         max_merged=max_merged, ploidy=ploidy,
-                        gt_phase=gt_phase, mixed_ploidy=mixed_ploidy,
-                        use_pallas=use_pallas)
+                        gt_phase=gt_phase, mixed_ploidy=mixed_ploidy)
     out["live"] = live
     return out
 
@@ -335,14 +327,13 @@ def gather_block_host(blk: CellBlock, live: np.ndarray) -> Dict[str,
 
 
 @partial(jax.jit, static_argnames=("max_merged", "ploidy", "gt_phase",
-                                   "mixed_ploidy", "use_pallas"))
+                                   "mixed_ploidy"))
 def combine_step_dense(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg,
                        mdpg, dpig, infog, infoig, infofsg, valid,
                        rec_num_merged, rec_has_nr=None, gt_lens=None, *,
                        max_merged: int, ploidy: int,
                        gt_phase: bool = False,
-                       mixed_ploidy: bool = False,
-                       use_pallas: bool = False
+                       mixed_ploidy: bool = False
                        ) -> Dict[str, jnp.ndarray]:
     """combine_step on HOST-pre-gathered dense inputs (gather_block_host):
     the device runs only the dense remap + reduction math."""
@@ -352,8 +343,7 @@ def combine_step_dense(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg,
                          mdpg, dpig, infog, infoig, infofsg, valid,
                          rec_num_merged, rec_has_nr, gt_lens,
                          max_merged=max_merged, ploidy=ploidy,
-                         gt_phase=gt_phase, mixed_ploidy=mixed_ploidy,
-                         use_pallas=use_pallas)
+                         gt_phase=gt_phase, mixed_ploidy=mixed_ploidy)
 
 
 def block_to_args(blk: CellBlock):

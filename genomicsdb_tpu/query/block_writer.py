@@ -200,12 +200,9 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
                                      mixed_ploidy=mixed_ploidy,
                                      interpret=not jnp_backend_is_tpu())
         if out is None:
-            use_pallas = (_os.environ.get("GENOMICSDB_TPU_PALLAS") == "1"
-                          and jnp_backend_is_tpu())
             out = combine_step(*block_to_args(blk), max_merged=max_merged,
                                ploidy=ploidy, gt_phase=plan.gt_phase,
-                               mixed_ploidy=mixed_ploidy,
-                               use_pallas=use_pallas)
+                               mixed_ploidy=mixed_ploidy)
         live = None
     # dispatch complete: under jit the combine runs asynchronously from
     # here; the caller may dispatch/render other chunks before resuming
