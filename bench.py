@@ -373,13 +373,30 @@ def bench_cpp_baseline(num_samples=128, cells_per_sample=2048,
     chk2 = fn(*args)
     dt = time.perf_counter() - t0
     assert chk2 == chk
-    return {
+    out = {
         "positions_per_sec": region_len / dt,
         "records_per_sec": B / dt,
         "records": int(B),
         "seconds": dt,
         "checksum": int(chk),
     }
+    # multi-threaded variant: records range-partitioned across all
+    # cores — the reference's rank-per-partition process model
+    # (vcf2tiledb.cc:44-52) run thread-per-core.  Checksum must equal
+    # the single-threaded run (commutative int32 wraparound sum).
+    n_threads = os.cpu_count() or 1
+    fn_mt = lib.gdb_seq_combine_bench_mt
+    fn_mt.restype = ctypes.c_int32
+    fn_mt.argtypes = fn.argtypes + [i64]
+    chk_mt = fn_mt(*args, n_threads)   # warm
+    t0 = time.perf_counter()
+    chk_mt2 = fn_mt(*args, n_threads)
+    dt_mt = time.perf_counter() - t0
+    assert chk_mt == chk and chk_mt2 == chk, (chk_mt, chk)
+    out["mt_threads"] = n_threads
+    out["mt_positions_per_sec"] = region_len / dt_mt
+    out["mt_seconds"] = dt_mt
+    return out
 
 
 def bench_import(n_records=20000, n_samples=8, tmpdir="/tmp"):
@@ -667,11 +684,16 @@ def _bench_impl():
     base = cpp["positions_per_sec"] if cpp else \
         oracle["positions_per_sec"]
     vs = value / base
+    # the honest system-level ratio: one chip vs the sequential engine
+    # running rank-per-core on every host core
+    vs_mt = value / cpp["mt_positions_per_sec"] \
+        if cpp and cpp.get("mt_positions_per_sec") else None
     line = {
         "metric": "combine_positions_per_sec_per_chip",
         "value": round(value, 1),
         "unit": "positions/sec",
         "vs_baseline": round(vs, 2),
+        "vs_baseline_mt": round(vs_mt, 2) if vs_mt else None,
         "detail": {
             "device": {k: round(v, 2) if isinstance(v, float) else v
                        for k, v in dev.items()},
