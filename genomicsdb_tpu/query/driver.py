@@ -107,7 +107,7 @@ def run_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
     return "\n".join(out_lines) + "\n"
 
 
-def iter_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
+def iter_vcf_query_block(store, qc: QueryConfig,
                          qp: QueryParams, vid: VidMapper,
                          template_path: Optional[str] = None,
                          reference_path: Optional[str] = None,
@@ -117,8 +117,16 @@ def iter_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
     """Lazy form of run_vcf_query_block: yields header + record lines
     chunk by chunk (record-aligned blocks), so streaming consumers
     (CombinedRecordStream, the socket stream server) ride the batched
-    engine without materializing the whole result."""
-    from .block_writer import render_block_vcf
+    engine without materializing the whole result.
+
+    `store` may be a ColumnarStore (in-RAM / memmapped) or an
+    out-of-core fragment_v2.OocArray: then each interval is served in
+    memory-bounded column windows (segment_size granularity — the
+    reference's TileDB segment reads, variant_storage_manager.cc:478-513)
+    and nothing store-wide is ever materialized.  Window edges fall on
+    cell-start columns, so the concatenated output is byte-identical to
+    an in-RAM query."""
+    from ..store.fragment_v2 import OocArray
     ref_genome = ReferenceGenome(reference_path) if reference_path else None
     sample_names = [vid.callset_name(r) for r in qc.rows_to_query]
     filter_names = {info.field_idx: name
@@ -129,6 +137,33 @@ def iter_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
         yield chrom_line(sample_names, qc.sites_only_query)
     intervals = qc.column_intervals if qc.column_intervals \
         else [(0, INT64_MAX - 2)]
+    if isinstance(store, OocArray):
+        lo0, hi0 = store.column_bounds()
+        for iv in intervals:
+            # clip to the data's column bounds: no record can render
+            # outside them, and windows must not walk empty space
+            lo, hi = max(int(iv[0]), lo0), min(int(iv[1]), hi0)
+            if lo > hi:
+                continue
+            for wlo, whi, wstore in store.windows((lo, hi)):
+                yield from _iter_interval_blocks(
+                    wstore, (wlo, whi), qc, qp, vid, ref_genome,
+                    reference_path, filter_names, max_merged,
+                    max_records_per_block, mesh, coalesce)
+        return
+    for iv in intervals:
+        yield from _iter_interval_blocks(
+            store, iv, qc, qp, vid, ref_genome, reference_path,
+            filter_names, max_merged, max_records_per_block, mesh,
+            coalesce)
+
+
+def _iter_interval_blocks(store: ColumnarStore, iv, qc, qp, vid,
+                          ref_genome, reference_path, filter_names,
+                          max_merged, max_records_per_block, mesh,
+                          coalesce):
+    """Record lines of ONE interval on ONE (window) store — the chunked
+    pipelined block-engine body shared by in-RAM and out-of-core paths."""
 
     def make_seq_fn():
         def seq(lo, hi):
@@ -145,53 +180,52 @@ def iter_vcf_query_block(store: ColumnarStore, qc: QueryConfig,
         return seq
 
     from ..ops.store_block import record_starts
-    for iv in intervals:
-        # genome-scale intervals: chunk at RECORD boundaries so block
-        # tensors stay bounded; sub-interval [starts[i], starts[j]-1]
-        # yields exactly records i..j-1 (chunk edges are event starts,
-        # so no record is split)
-        starts = record_starts(store, qc, iv)
-        if len(starts) <= max_records_per_block:
-            chunks = [iv]
-            # bucket-pad small blocks to power-of-two record counts
-            # (and coarse cell counts) so repeated small-interval
-            # queries — the Spark/GATK split pattern — hit the XLA
-            # compile cache instead of recompiling per shape: p50
-            # latency on a 200k-record store drops from ~2.7 s
-            # (per-shape compile) to the compile-free cost
-            pad_kw = {}
-            if len(starts):
-                bucket = 64
-                while bucket < len(starts):
-                    bucket *= 2
-                pad_kw = {"pad_records": bucket, "pad_cells_to": 256}
-        else:
-            chunks = []
-            for i in range(0, len(starts), max_records_per_block):
-                lo = int(starts[i])
-                j = i + max_records_per_block
-                hi = int(starts[j]) - 1 if j < len(starts) else int(iv[1])
-                chunks.append((lo, hi))
-            # uniform shapes across chunks -> one compiled combine step
-            pad_kw = {"pad_records": max_records_per_block,
-                      "pad_cells_to": 256}
-        # software pipeline: dispatch chunk k+1's device combine (async
-        # under jit) before rendering chunk k's text, so the device
-        # computes while the host formats
-        from .block_writer import render_block_vcf_pipelined
-        pending = None
-        for civ in chunks:
-            g = render_block_vcf_pipelined(
-                store, qc, vid, civ, ref_genome=ref_genome,
-                max_merged=max_merged, sequential_fn=make_seq_fn(),
-                filter_name_by_field_idx=filter_names, mesh=mesh,
-                coalesce=coalesce, **pad_kw)
-            next(g)
-            if pending is not None:
-                yield from next(pending)
-            pending = g
+    # genome-scale intervals: chunk at RECORD boundaries so block
+    # tensors stay bounded; sub-interval [starts[i], starts[j]-1]
+    # yields exactly records i..j-1 (chunk edges are event starts,
+    # so no record is split)
+    starts = record_starts(store, qc, iv)
+    if len(starts) <= max_records_per_block:
+        chunks = [iv]
+        # bucket-pad small blocks to power-of-two record counts
+        # (and coarse cell counts) so repeated small-interval
+        # queries — the Spark/GATK split pattern — hit the XLA
+        # compile cache instead of recompiling per shape: p50
+        # latency on a 200k-record store drops from ~2.7 s
+        # (per-shape compile) to the compile-free cost
+        pad_kw = {}
+        if len(starts):
+            bucket = 64
+            while bucket < len(starts):
+                bucket *= 2
+            pad_kw = {"pad_records": bucket, "pad_cells_to": 256}
+    else:
+        chunks = []
+        for i in range(0, len(starts), max_records_per_block):
+            lo = int(starts[i])
+            j = i + max_records_per_block
+            hi = int(starts[j]) - 1 if j < len(starts) else int(iv[1])
+            chunks.append((lo, hi))
+        # uniform shapes across chunks -> one compiled combine step
+        pad_kw = {"pad_records": max_records_per_block,
+                  "pad_cells_to": 256}
+    # software pipeline: dispatch chunk k+1's device combine (async
+    # under jit) before rendering chunk k's text, so the device
+    # computes while the host formats
+    from .block_writer import render_block_vcf_pipelined
+    pending = None
+    for civ in chunks:
+        g = render_block_vcf_pipelined(
+            store, qc, vid, civ, ref_genome=ref_genome,
+            max_merged=max_merged, sequential_fn=make_seq_fn(),
+            filter_name_by_field_idx=filter_names, mesh=mesh,
+            coalesce=coalesce, **pad_kw)
+        next(g)
         if pending is not None:
             yield from next(pending)
+        pending = g
+    if pending is not None:
+        yield from next(pending)
 
 
 def run_vcf_query_paged(store: ColumnarStore, qc: QueryConfig,

@@ -6,8 +6,13 @@ each array holds immutable fragments (one per import batch) plus JSON
 metadata (schema, row bounds).  `consolidate` merges fragments into one —
 the equivalent of consolidate_tiledb_array (tools/src/consolidate_tiledb_array.cc).
 
-Fragment payload is a single .npz of the columnar SoA — loads straight into
-host RAM and uploads to HBM without per-cell decoding.
+Fragment payloads come in two formats:
+  * v2 (default for local paths): a directory of raw memory-mappable
+    column files (`fragment_v2.py`) — opens at zero RAM cost, serves
+    out-of-core queries at `segment_size` granularity like the
+    reference's TileDB segment reads (variant_storage_manager.cc:478-513)
+  * npz (URI/fsspec backends): one compressed .npz of the columnar SoA,
+    loaded whole into host RAM
 
 Workspace paths may carry a URI scheme (hdfs://, s3://, gs://,
 memory://, ...): those route through fsspec, the reference's
@@ -100,11 +105,17 @@ def _store_to_npz_dict(store: ColumnarStore) -> Dict[str, np.ndarray]:
 
 
 def write_fragment(workspace: str, array_name: str, store: ColumnarStore,
-                   metadata: Optional[dict] = None) -> str:
+                   metadata: Optional[dict] = None,
+                   fmt: Optional[str] = None) -> str:
+    """Write one immutable fragment.  fmt: 'v2' (chunked raw columns,
+    memory-mappable — the local-path default) or 'npz' (single
+    compressed blob — the URI-backend format)."""
     adir = _array_dir(workspace, array_name)
     fsp = _fs_for(adir)
     frag_name = f"fragment_{time.time_ns()}"
     if fsp is not None:
+        if fmt == "v2":
+            raise ValueError("v2 fragments require a local path")
         fs, p = fsp
         fs.makedirs(p, exist_ok=True)
         frag_path = p.rstrip("/") + "/" + frag_name + ".npz"
@@ -113,9 +124,16 @@ def write_fragment(workspace: str, array_name: str, store: ColumnarStore,
         with fs.open(frag_path, "wb") as f:
             f.write(buf.getvalue())
         return _finish_fragment_meta(fs, p, store, metadata, frag_path)
+    if fmt is None:
+        fmt = "v2"
     os.makedirs(adir, exist_ok=True)
-    frag_path = os.path.join(adir, frag_name + ".npz")
-    np.savez_compressed(frag_path, **_store_to_npz_dict(store))
+    if fmt == "v2":
+        from .fragment_v2 import V2_SUFFIX, write_fragment_v2
+        frag_path = os.path.join(adir, frag_name + V2_SUFFIX)
+        write_fragment_v2(frag_path, store)
+    else:
+        frag_path = os.path.join(adir, frag_name + ".npz")
+        np.savez_compressed(frag_path, **_store_to_npz_dict(store))
     meta = {
         "attribute_order": store.attribute_order,
         "num_rows": store.num_rows,
@@ -189,11 +207,19 @@ def _fragment_paths(workspace: str, array_name: str) -> List[str]:
                       if f.endswith(".npz"))
     if not os.path.isdir(adir):
         return []
+    from .fragment_v2 import V2_SUFFIX
     return sorted(os.path.join(adir, f) for f in os.listdir(adir)
-                  if f.endswith(".npz"))
+                  if f.endswith(".npz") or f.endswith(V2_SUFFIX))
 
 
 def _load_fragment(path: str, meta: dict, fs=None) -> ColumnarStore:
+    from .fragment_v2 import V2_SUFFIX, open_fragment_v2
+    if path.endswith(V2_SUFFIX):
+        st = open_fragment_v2(path, mmap=True)
+        # row bounds grow across fragments; metadata.json carries the max
+        if meta and meta.get("num_rows"):
+            st.num_rows = max(st.num_rows, meta["num_rows"])
+        return st
     if fs is not None:
         with fs.open(path, "rb") as f:
             data = np.load(io.BytesIO(f.read()))
@@ -242,6 +268,70 @@ def open_array(workspace: str, array_name: str) -> ColumnarStore:
     if len(stores) == 1:
         return stores[0]
     return merge_stores(stores)
+
+
+def create_fragment_writer(workspace: str, array_name: str,
+                           attribute_order: List[str],
+                           field_meta: Dict[str, dict], num_rows: int,
+                           lb_row: int = 0):
+    """Streaming fragment writer for imports larger than RAM: append
+    (col,row)-sorted cell chunks, then .close().  Registers the array's
+    metadata.json like write_fragment (schema guard included)."""
+    if "://" in workspace:
+        raise ValueError("streaming fragment writes require a local path")
+    from .fragment_v2 import V2_SUFFIX, FragmentV2Writer
+    adir = _array_dir(workspace, array_name)
+    os.makedirs(adir, exist_ok=True)
+    meta = {
+        "attribute_order": list(attribute_order),
+        "num_rows": num_rows,
+        "lb_row": lb_row,
+        "field_meta": {k: dict(v) for k, v in field_meta.items()},
+    }
+    meta_path = os.path.join(adir, "metadata.json")
+    existing = {}
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            existing = json.load(f)
+    if existing.get("attribute_order") is not None and \
+            list(existing["attribute_order"]) != meta["attribute_order"]:
+        raise ValueError(
+            f"fragment attribute set {meta['attribute_order']} does not "
+            f"match the array's existing schema "
+            f"{existing['attribute_order']}")
+    if "num_rows" in existing:
+        meta["num_rows"] = max(existing["num_rows"], meta["num_rows"])
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=1)
+    frag_dir = os.path.join(adir,
+                            f"fragment_{time.time_ns()}{V2_SUFFIX}")
+    return FragmentV2Writer(frag_dir, attribute_order, field_meta,
+                            num_rows=meta["num_rows"], lb_row=lb_row)
+
+
+def open_array_ooc(workspace: str, array_name: str,
+                   segment_size: int = 10 << 20):
+    """Open an array for OUT-OF-CORE querying: returns an
+    fragment_v2.OocArray that serves memory-bounded column windows
+    (the reference's segment_size-granular TileDB reads,
+    variant_storage_manager.cc:478-513).  Requires a local array whose
+    fragments are v2; multiple fragments are consolidated out-of-core
+    first (immutable-fragment arrays consolidate exactly once)."""
+    from .fragment_v2 import V2_SUFFIX, OocArray
+    if "://" in workspace:
+        raise ValueError("out-of-core reads require a local workspace")
+    frags = _fragment_paths(workspace, array_name)
+    if not frags:
+        raise FileNotFoundError(
+            f"no fragments in {_array_dir(workspace, array_name)}")
+    if len(frags) > 1 or not frags[0].endswith(V2_SUFFIX):
+        if not all(p.endswith(V2_SUFFIX) for p in frags):
+            raise ValueError(
+                "out-of-core reads need v2 fragments; re-import or "
+                "consolidate this array with a current build")
+        consolidate_array(workspace, array_name)
+        frags = _fragment_paths(workspace, array_name)
+    return OocArray(frags[0], segment_size=segment_size)
 
 
 def merge_stores(stores: List[ColumnarStore]) -> ColumnarStore:
@@ -331,15 +421,30 @@ def merge_stores(stores: List[ColumnarStore]) -> ColumnarStore:
 
 
 def consolidate_array(workspace: str, array_name: str):
-    """Merge all fragments into one (consolidate_tiledb_array equivalent)."""
+    """Merge all fragments into one (consolidate_tiledb_array equivalent).
+
+    All-v2 local arrays consolidate OUT-OF-CORE: fragments are k-way
+    merged in bounded column windows (fragment_v2.consolidate_v2_
+    streaming), so partitions larger than RAM consolidate fine."""
     frags = _fragment_paths(workspace, array_name)
     if len(frags) <= 1:
+        return
+    from .fragment_v2 import V2_SUFFIX, consolidate_v2_streaming
+    fsp = _fs_for(_array_dir(workspace, array_name))
+    if fsp is None and all(p.endswith(V2_SUFFIX) for p in frags):
+        adir = _array_dir(workspace, array_name)
+        out = os.path.join(adir, f"fragment_{time.time_ns()}{V2_SUFFIX}")
+        consolidate_v2_streaming(frags, out)
+        for p in frags:
+            shutil.rmtree(p)
         return
     store = open_array(workspace, array_name)
     fsp = _fs_for(_array_dir(workspace, array_name))
     for p in frags:
         if fsp is not None:
             fsp[0].rm(p)
+        elif os.path.isdir(p):
+            shutil.rmtree(p)
         else:
             os.remove(p)
     write_fragment(workspace, array_name, store)

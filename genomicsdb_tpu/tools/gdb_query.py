@@ -50,7 +50,7 @@ def load_context(args, rank: int):
     workspace = qp.workspace or ""
     store = None
     if workspace and qp.array_name and ws.is_workspace(workspace):
-        store = ws.open_array(workspace, qp.array_name)
+        store = _open_store(args, qp, workspace)
     if store is None:
         if ip is not None:
             store = qdriver.build_store_from_loader(ip, vid, rank)
@@ -71,8 +71,37 @@ def load_context(args, rank: int):
     return ip, qp, vid, store
 
 
+def _open_store(args, qp, workspace):
+    """Open the workspace array — out-of-core (memory-bounded column
+    windows at segment_size granularity) with --ooc, or automatically
+    when a single v2 fragment exceeds GENOMICSDB_TPU_OOC_THRESHOLD
+    (default 4 GiB); in-RAM otherwise."""
+    import os as _os
+    use_ooc = getattr(args, "ooc", False)
+    if not use_ooc and "://" not in workspace:
+        from ..store.fragment_v2 import V2_SUFFIX, read_manifest
+        frags = ws._fragment_paths(workspace, qp.array_name)
+        if len(frags) == 1 and frags[0].endswith(V2_SUFFIX):
+            thresh = int(_os.environ.get(
+                "GENOMICSDB_TPU_OOC_THRESHOLD", 4 << 30))
+            if read_manifest(frags[0])["total_bytes"] > thresh:
+                use_ooc = True
+    if use_ooc:
+        return ws.open_array_ooc(workspace, qp.array_name,
+                                 segment_size=qp.segment_size)
+    return ws.open_array(workspace, qp.array_name)
+
+
 def run_rank(args, rank: int) -> str:
     ip, qp, vid, store = load_context(args, rank)
+    from ..store.fragment_v2 import OocArray
+    if isinstance(store, OocArray) and not (
+            args.produce_Broad_GVCF and args.engine == "block"
+            and not args.java_vcf and args.page_size == 0):
+        # only the block combine engine streams OocArray windows; the
+        # other query types run on the memmap-backed store view (still
+        # no .npz decompress — the OS pages in what the query touches)
+        store = store.store
     qc = qdriver.make_query_config(qp, vid)
     if args.print_calls:
         return qdriver.run_calls_query(store, qc)
@@ -156,6 +185,12 @@ def main(argv=None):
                         "(reference-schema wire format) instead of -j")
     p.add_argument("-l", "--loader", default=None)
     p.add_argument("-s", "--segment-size", type=int, default=0)
+    p.add_argument("--ooc", action="store_true",
+                   help="serve the query out-of-core: memory-bounded "
+                        "column windows of segment_size bytes instead "
+                        "of loading the partition into RAM (v2 "
+                        "fragments; auto-enabled past "
+                        "GENOMICSDB_TPU_OOC_THRESHOLD, default 4 GiB)")
     p.add_argument("-p", "--page-size", type=int, default=0)
     p.add_argument("-r", "--rank", type=int, default=0)
     p.add_argument("--num-ranks", type=int, default=1,
