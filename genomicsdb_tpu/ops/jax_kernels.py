@@ -86,7 +86,11 @@ def remap_genotype_fields(values: jnp.ndarray, inv_lut: jnp.ndarray,
     with P minor would be lane-padded ~64x); per-slot tensors stay [R,S,G].
     """
     combos = genotype_combo_table(num_merged_alleles, ploidy)  # host np
-    ncr = jnp.asarray(ncr_table(num_merged_alleles + ploidy + 2))
+    # the nCr table only feeds genotype-index terms for slots >= 4
+    # (ploidy > 4, where merged_cap keeps num_merged_alleles small);
+    # building it at the 51-allele diploid width would overflow int32
+    ncr = jnp.asarray(ncr_table(num_merged_alleles + ploidy + 2)) \
+        if ploidy > 4 else None
     G = combos.shape[0]
     Kv = values.shape[-1]
     # TPU layout: compute in [R, G, S] — S rides the 128-lane axis, so a
@@ -125,10 +129,18 @@ def remap_genotype_fields(values: jnp.ndarray, inv_lut: jnp.ndarray,
         in_gt = in_gt + term
     in_range = in_gt < in_len[:, None, :]
     # lane-parallel gather: unrolled selects over the static Kv axis
-    # (take_along_axis lowers to a slow generic gather on TPU)
-    gathered = jnp.full_like(in_gt, INT_MISSING)
-    for k in range(Kv):
-        gathered = jnp.where(in_gt == k, v_t[:, k:k + 1, :], gathered)
+    # (take_along_axis lowers to a slow generic gather on TPU).  Past
+    # ~32 source slots the unroll stops paying (and its compile cost
+    # explodes at the 50-alt cap, Kv=C(52,2)=1326) — use the generic
+    # gather there; wide-allele blocks are rare multi-allelic hotspots.
+    if Kv <= 32:
+        gathered = jnp.full_like(in_gt, INT_MISSING)
+        for k in range(Kv):
+            gathered = jnp.where(in_gt == k, v_t[:, k:k + 1, :],
+                                 gathered)
+    else:
+        gathered = jnp.take_along_axis(
+            v_t, jnp.clip(in_gt, 0, Kv - 1), axis=1)
     ok = (~combo_missing) & in_range
     # genotypes beyond the record's actual count stay missing
     max_allele = np.max(combos, axis=-1)              # [G] host
@@ -162,9 +174,14 @@ def remap_allele_fields(values: jnp.ndarray, inv_lut: jnp.ndarray,
     idx = in_allele - offset
     ok = (in_allele != LUT_MISSING) & (idx >= 0) \
         & (idx < in_len[:, None, :])
-    gathered = jnp.full_like(idx, INT_MISSING)
-    for k in range(values.shape[-1]):
-        gathered = jnp.where(idx == k, v_t[:, k:k + 1, :], gathered)
+    Kv = values.shape[-1]
+    if Kv <= 32:
+        gathered = jnp.full_like(idx, INT_MISSING)
+        for k in range(Kv):
+            gathered = jnp.where(idx == k, v_t[:, k:k + 1, :], gathered)
+    else:
+        gathered = jnp.take_along_axis(
+            v_t, jnp.clip(idx, 0, Kv - 1), axis=1)
     m = jnp.arange(inv_t.shape[1])[None, :, None]
     in_record = m < (num_merged[:, None, None] - offset)
     ok = ok & in_record

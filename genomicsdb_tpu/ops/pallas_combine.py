@@ -417,6 +417,11 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
         return None
     if ploidy > 4:
         return None
+    if max_merged > 16:
+        # wide-allele blocks (multi-allelic hotspots merging up to the
+        # 50-alt reference cap) take the XLA path: the fused kernel's
+        # statically-unrolled remap selects stop paying past 16
+        return None
     if mixed_ploidy and blk.gt_len_bs is None:
         return None
     cfg = make_fused_config(blk, max_merged=max_merged, ploidy=ploidy,

@@ -26,10 +26,45 @@ from .combine_step import CellBlock
 
 INT_MISSING = formats.INT_MISSING
 INT64_MAX = np.iinfo(np.int64).max
-# hard ceiling on merged alleles per record on the device path; records
-# merging more alleles splice to the sequential engine (mirrors the
-# reference's own too-many-alt cutoff, broad_combined_gvcf.cc)
-MAX_MERGED_CAP = 16
+# ceiling on merged alleles per record on the device path at diploid:
+# the reference's 50-alt genotyping cap + REF (gt_common.h:48,
+# max_diploid_alt_alleles_that_can_be_genotyped).  Records merging MORE
+# splice to the sequential engine, which implements the reference's
+# skip-genotype-length-fields-with-warning semantics for them
+# (broad_combined_gvcf.cc too_many_alt_alleles; combine.py
+# _too_many_alts) — so the two caps compose exactly.
+MAX_MERGED_CAP = 51
+# max per-call ploidy the batched path enumerates genotypes for; beyond
+# it records splice (sex-chromosome/polyploid cohorts top out well
+# below this; the genotype count explodes combinatorially past it)
+PLOIDY_CAP = 6
+# genotype-table budget: the block's (merged alleles, ploidy) genotype
+# count must stay under this, or the padded [*, G] tensors explode
+GENOTYPE_TABLE_LIMIT = 4096
+# per-block PL-tensor byte budget: one wide-allele site grows the G
+# axis of the WHOLE block's [B, S, G] tensors, so the cap tightens on
+# huge blocks (records past it splice to the sequential engine, whose
+# too-many-alts semantics then apply); interval- and fuzz-sized blocks
+# keep the full 50-alt reference cap
+PL_TENSOR_BUDGET = int(
+    __import__("os").environ.get("GENOMICSDB_TPU_PL_BUDGET", 1 << 30))
+
+
+def merged_cap(ploidy: int, block_elems: int = 0) -> int:
+    """Largest merged-allele width whose genotype table for `ploidy`
+    stays within GENOTYPE_TABLE_LIMIT and whose [block_elems, G] int32
+    PL tensors stay within PL_TENSOR_BUDGET (never above
+    MAX_MERGED_CAP).  Diploid at interval-query block sizes resolves to
+    the full 51 (C(52,2)=1326 genotypes)."""
+    import math
+    g_limit = GENOTYPE_TABLE_LIMIT
+    if block_elems > 0:
+        g_limit = min(g_limit,
+                      max(PL_TENSOR_BUDGET // (4 * block_elems), 16))
+    m = MAX_MERGED_CAP
+    while m > 2 and math.comb(m + ploidy - 1, ploidy) > g_limit:
+        m -= 1
+    return m
 
 
 def _eff_valid_store(store, name, n_cells):
@@ -263,7 +298,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             pl_max = max((int(gt_info0.length.ploidy(int(g)))
                           for g in uniq), default=ploidy)
             store._gt_ploidy_max_cache = pl_max
-        if 0 < pl_max <= 4:
+        if 0 < pl_max <= PLOIDY_CAP:
             ploidy = max(ploidy, pl_max)
     # (PL/AD matrices are allocated AFTER the allele-merge loop, once
     # the block's effective max_merged is known — see below)
@@ -505,6 +540,16 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             starts, np.full(pad_records - len(starts), INT64_MAX - 1,
                             dtype=np.int64)])
     B = len(starts)
+    # effective merged-allele cap for this block: the reference's 50-alt
+    # genotyping cap, tightened by (a) the block's ploidy × the
+    # genotype-table budget, (b) the block's [B*S, G] / [S*C, G_in]
+    # PL-tensor byte budget, and (c) the query's max_diploid_alt_alleles
+    # knob.  Records past the cap splice to the sequential engine
+    # (which skips their genotype-length fields with the reference's
+    # warning semantics, combine.py _too_many_alts).
+    cap = min(merged_cap(ploidy, block_elems=max(B * S, S * C)),
+              qc.params.max_diploid_alt_alleles_that_can_be_genotyped
+              + 1)
     live = _live_at(starts)
     # --- [B, S] live-cell views ---
     live_ok = live >= 0
@@ -638,8 +683,8 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                     sig_cache[sig_key] = got
                 merged_ref, merged_alts, non_ref, inv_rows, _ = got
                 nm = len(merged_alts) + 1
-                if inv_bs.shape[2] < nm <= MAX_MERGED_CAP:
-                    grow = min(MAX_MERGED_CAP,
+                if inv_bs.shape[2] < nm <= cap:
+                    grow = min(cap,
                                max(max_merged,
                                    1 << (nm - 1).bit_length()))
                     inv_bs = np.pad(
@@ -649,7 +694,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                 W = min(nm, inv_bs.shape[2])
                 rec_num_merged[members] = W
                 rec_has_nr[members] = non_ref
-                if nm > MAX_MERGED_CAP:
+                if nm > cap:
                     rec_overflow.extend(members.tolist())
                 inv_w = inv_rows[:, :inv_bs.shape[2]]
                 inv_bs[np.ix_(members, s_var,
@@ -742,8 +787,8 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             del_rw[b, s_var[np.asarray(rewritten)]] = True
         rec_has_nr[b] = non_ref
         nm = len(merged_alts) + 1
-        if inv_bs.shape[2] < nm <= MAX_MERGED_CAP:
-            grow = min(MAX_MERGED_CAP,
+        if inv_bs.shape[2] < nm <= cap:
+            grow = min(cap,
                        max(max_merged, 1 << (nm - 1).bit_length()))
             inv_bs = np.pad(inv_bs,
                             ((0, 0), (0, 0), (0, grow - inv_bs.shape[2])),
@@ -756,9 +801,10 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             rec_refs[b] = (chr(ref_first[c0]) if ref_len[c0] == 1
                            else get_ref(c0))
         rec_alts[b] = list(merged_alts)
-        if nm > MAX_MERGED_CAP:
+        if nm > cap:
             # more merged alleles than the cap: the device remap would
-            # silently truncate -> sequential splice (rare)
+            # silently truncate -> sequential splice (the sequential
+            # engine then applies the reference's too-many-alts skip)
             rec_overflow.append(b)
         W = min(nm, inv_bs.shape[2])
         # variant samples: their index in var_cells IS their position
@@ -780,7 +826,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         # the merge (broad_combined_gvcf.cc:912-1078 + GA4GH GT remap);
         # the composed device remap cannot express the argmin, so the
         # handful of rewritten calls get host-computed overrides
-        if plan.produce_gt and any(rewritten) and nm <= MAX_MERGED_CAP:
+        if plan.produce_gt and any(rewritten) and nm <= cap:
             for i, (c, rw) in enumerate(zip(var_cells, rewritten)):
                 if not rw:
                     continue
@@ -810,8 +856,9 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             continue
         if N:
             rec_hasother |= (live_ok & fd.valid[safe_cm]).any(axis=1)
-    # ploidy beyond the closed-form genotype-index terms (>4): splice
-    # (the reference's own 50-alt cutoff territory; rare)
+    # ploidy beyond the batched enumeration cap: splice (the genotype
+    # count explodes combinatorially; the reference's general-ploidy
+    # iterative enumeration territory, variant_field_handler.cc:199-296)
     if N and gt_fd is not None and qc.is_queried("GT"):
         glens = gt_fd.lens()
         if gt_info is not None:
@@ -823,7 +870,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             pls = pl_u[np.searchsorted(uniq, glens)]
         else:
             pls = glens
-        cell_gt_bad = gt_fd.valid & (pls > 4)
+        cell_gt_bad = gt_fd.valid & (pls > PLOIDY_CAP)
         rec_hasother |= (live_ok & cell_gt_bad[safe_cm]).any(axis=1)
     gt_len_bs = np.where(live_ok, gt_len_sc[s_grid, live_k],
                          0).astype(np.int32)

@@ -8,9 +8,9 @@ multi-GB single-fragment partition by TILING an imported cohort along
 the column axis at streaming-write memory cost, then serves a
 whole-partition block-engine combine query in segment_size windows and
 reports wall time, throughput, on-disk partition bytes, and the
-process's peak RSS (ru_maxrss).
+process's peak RSS (VmHWM).
 
-Run in a FRESH subprocess so ru_maxrss reflects only this workload:
+Run in a FRESH subprocess so peak RSS reflects only this workload:
 
     python -m genomicsdb_tpu.tools.ooc_bench --target-bytes 2e9 \
         --workspace /tmp/ooc_ws [--segment-size 10485760]
@@ -23,12 +23,23 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import resource
 import sys
 import tempfile
 import time
 
 import numpy as np
+
+
+def _peak_rss() -> int:
+    """Peak resident set (bytes) of THIS process image: VmHWM from
+    /proc/self/status.  (ru_maxrss is wrong here — it survives execve,
+    so a child forked from a large parent, e.g. a test harness,
+    inherits the parent's high-water mark.)"""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmHWM:"):
+                return int(line.split()[1]) * 1024
+    return 0
 
 
 def _template_cohort(tmpdir: str, n_samples: int = 16,
@@ -146,6 +157,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # a test-harness XLA_FLAGS=--xla_force_host_platform_device_count=8
+    # would inflate XLA's per-device buffers and skew the RSS figures
+    os.environ["XLA_FLAGS"] = ""
     import jax
     jax.config.update("jax_platforms", "cpu")
 
@@ -161,8 +175,7 @@ def main(argv=None):
     build_s = time.perf_counter() - t0
     part_bytes = sum(
         os.path.getsize(os.path.join(frag, f)) for f in os.listdir(frag))
-    rss_after_build = resource.getrusage(
-        resource.RUSAGE_SELF).ru_maxrss * 1024
+    rss_after_build = _peak_rss()
 
     ooc = ws.open_array_ooc(workspace, args.array,
                             segment_size=args.segment_size)
@@ -183,7 +196,7 @@ def main(argv=None):
     for _line in driver.iter_vcf_query_block(ooc, qc, qp, vid):
         n_lines += 1
     query_s = time.perf_counter() - t0
-    peak_rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    peak_rss = _peak_rss()
     out = {
         "partition_bytes": part_bytes,
         "build_seconds": round(build_s, 2),
