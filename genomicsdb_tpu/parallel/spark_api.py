@@ -102,12 +102,25 @@ def read_split(split: InputSplit, qp: QueryParams, vid,
     return list(RecordReader(split, qp, vid, store=store, ip=ip))
 
 
+def _read_split_task(split: InputSplit, qp: QueryParams, vid,
+                     ip: Optional[ImportParams]) -> list:
+    """Module-level executor task (lambdas don't survive stdlib
+    pickling to executor processes; a partial of this does — and works
+    identically under pyspark's cloudpickle)."""
+    return read_split(split, qp, vid, ip=ip)
+
+
 def build_rdd(sc, ip: ImportParams, qp: QueryParams, vid,
               query_block_size: int = 0):
-    """GenomicsDBRDD: parallelize splits over a live SparkContext.
+    """GenomicsDBRDD: parallelize splits over a SparkContext.
 
-    Requires pyspark (not bundled); each executor re-opens its split's
-    partition via the loader config."""
+    `sc` is a live pyspark SparkContext when pyspark is installed, or
+    parallel.local_spark.LocalSparkContext — a process-isolated
+    executor implementing the same RDD API subset — where it is not.
+    Each executor re-opens its split's partition via the loader config
+    (the reference's per-executor GenomicsDBRecordReader pattern,
+    spark/GenomicsDBInputFormat.java:65)."""
+    import functools
     splits = get_splits(ip, qp, query_block_size)
-    return sc.parallelize(splits, len(splits)).flatMap(
-        lambda s: read_split(s, qp, vid, ip=ip))
+    task = functools.partial(_read_split_task, qp=qp, vid=vid, ip=ip)
+    return sc.parallelize(splits, len(splits)).flatMap(task)
