@@ -346,6 +346,237 @@ def combine_step_dense(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg,
                          gt_phase=gt_phase, mixed_ploidy=mixed_ploidy)
 
 
+# ---------------- device->host fetch compaction ----------------
+#
+# Through a remote/tunnel attachment the device->host fetch of the
+# combine outputs dominates end-to-end time at production cohort widths
+# (~200 MB/chunk at ~1.45 GB/s, docs/performance.md).  The big output
+# tensors carry small values (PL/AD counters, allele codes), so the
+# device narrows them to int16/int8 after the combine; the host fetches
+# the narrow copy plus a per-tensor "fits" flag and falls back to the
+# (still-on-device) int32 original only when a value genuinely
+# overflows.  Sentinels map to the matching BCF narrow sentinels.
+
+PACK_SPECS = {
+    # key -> (np dtype, missing, vector_end, lo, hi)
+    "pl": (np.int16, -32768, -32767, -32000, 32000),
+    "ad": (np.int16, -32768, -32767, -32000, 32000),
+    "gt": (np.int8, -128, -127, -100, 100),
+    "gq": (np.int16, -32768, -32767, -32000, 32000),
+    "dp_format": (np.int16, -32768, -32767, -32000, 32000),
+    "min_dp": (np.int16, -32768, -32767, -32000, 32000),
+    "live": (np.int16, -32768, -32767, -32000, 32000),
+}
+
+
+def pack_outputs(out: Dict, rows: Optional[np.ndarray] = None
+                 ) -> Optional[Dict]:
+    """Dispatch the narrowing step over the device-resident packable
+    outputs (host-side np entries are left alone — uploading them just
+    to narrow them would defeat the purpose).  With `rows`, only those
+    [B, ...] rows are kept — the variant-record-only fetch: ref-block
+    rows are identity remaps the host reconstructs from block data it
+    already holds (host_identity_outputs)."""
+    packable = {k: v for k, v in out.items()
+                if k in PACK_SPECS and k != "live"
+                and not isinstance(v, np.ndarray)}
+    if not packable:
+        return None
+    if rows is None:
+        return _pack_outputs_step(packable)
+    return _pack_outputs_rows_step(packable,
+                                   np.asarray(rows, dtype=np.int32))
+
+
+@jax.jit
+def _pack_outputs_rows_step(out: Dict[str, jnp.ndarray],
+                            rows: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    sliced = {k: v[rows] for k, v in out.items()}
+    return _pack_outputs_step(sliced)
+
+
+@jax.jit
+def _pack_outputs_step(out: Dict[str, jnp.ndarray]
+                       ) -> Dict[str, jnp.ndarray]:
+    """Narrowed copies + fits-flags of the big int32 outputs (device)."""
+    packed = {}
+    for k, (dt, miss, eov, lo, hi) in PACK_SPECS.items():
+        v = out.get(k)
+        if v is None:
+            continue
+        is_m = v == INT_MISSING
+        is_e = v == formats.INT_VECTOR_END
+        ok = jnp.all(is_m | is_e | ((v >= lo) & (v <= hi)))
+        p = jnp.where(is_m, miss,
+                      jnp.where(is_e, eov, jnp.clip(v, lo, hi))
+                      ).astype(dt)
+        packed[k + "__p"] = p
+        packed[k + "__fits"] = ok
+    return packed
+
+
+def fetch_outputs(out: Dict, packed: Optional[Dict] = None
+                  ) -> Dict[str, np.ndarray]:
+    """Host fetch of a combine-step output dict.  With `packed` (from
+    pack_outputs), narrow tensors are fetched and widened on the host;
+    an int32 original is fetched only if its values overflowed.  Two
+    batched device_get round trips total (flags, then data) — per-array
+    fetches would each pay the tunnel RTT."""
+    import jax
+    if packed is None:
+        return {k: np.asarray(v)
+                for k, v in jax.device_get(dict(out)).items()}
+    fits = jax.device_get({k: v for k, v in packed.items()
+                           if k.endswith("__fits")})
+    tree = {}
+    narrow = set()
+    for k, v in out.items():
+        if k in PACK_SPECS and (k + "__p") in packed \
+                and bool(fits[k + "__fits"]):
+            tree[k] = packed[k + "__p"]
+            narrow.add(k)
+        else:
+            tree[k] = v
+    got = jax.device_get(tree)
+    dev: Dict[str, np.ndarray] = {}
+    for k, v in got.items():
+        v = np.asarray(v)
+        if k in narrow:
+            _, miss, eov, _, _ = PACK_SPECS[k]
+            w = v.astype(np.int32)
+            w[v == miss] = INT_MISSING
+            w[v == eov] = formats.INT_VECTOR_END
+            dev[k] = w
+        else:
+            dev[k] = v
+    return dev
+
+
+def fetch_outputs_split(out: Dict, packed: Dict, var_rows: np.ndarray,
+                        ref_rows: np.ndarray, ident: Dict[str, np.ndarray]
+                        ) -> Dict[str, np.ndarray]:
+    """Assemble full-size host outputs from a variant-row-only device
+    fetch (pack_outputs(rows=var_rows)) plus host-reconstructed
+    ref-block rows (`ident` from host_identity_outputs).  Reductions
+    and int32 overflow fallbacks fetch full."""
+    import jax
+    fits = jax.device_get({k: v for k, v in packed.items()
+                           if k.endswith("__fits")})
+    tree = {}
+    narrow = set()
+    for k, v in out.items():
+        if k == "live":
+            continue
+        if k in PACK_SPECS and (k + "__p") in packed \
+                and bool(fits[k + "__fits"]):
+            tree[k] = packed[k + "__p"]
+            narrow.add(k)
+        else:
+            tree[k] = v
+    got = jax.device_get(tree)
+    B = out["live"].shape[0] if hasattr(out.get("live"), "shape") \
+        else len(var_rows) + len(ref_rows)
+    dev: Dict[str, np.ndarray] = {}
+    for k, v in got.items():
+        v = np.asarray(v)
+        if k in narrow:
+            _, miss, eov, _, _ = PACK_SPECS[k]
+            w = v.astype(np.int32)
+            w[v == miss] = INT_MISSING
+            w[v == eov] = formats.INT_VECTOR_END
+            full = np.empty((B,) + w.shape[1:], dtype=np.int32)
+            full[var_rows] = w
+            if k in ident:
+                full[ref_rows] = ident[k]
+            dev[k] = full
+        else:
+            dev[k] = v
+    return dev
+
+
+def host_identity_outputs(blk: CellBlock, rows: np.ndarray,
+                          widths: Tuple[int, int, int],
+                          gt_phase: bool, mixed_ploidy: bool
+                          ) -> Dict[str, np.ndarray]:
+    """Combine outputs for REF-BLOCK-ONLY records, computed on the host.
+
+    For a ref-block-only record every live cell is a pure reference
+    block: the allele LUT is the identity [REF, NON_REF] and the device
+    remap degenerates to a masked passthrough of the raw cell values —
+    which the host already holds in the block tensors.  Reproducing
+    that passthrough here lets the device fetch carry ONLY variant-
+    record rows (pack_outputs(rows=...)), cutting the device->host
+    volume by the cohort's ref-block fraction (~90% for gVCF).
+
+    Matches _combine_math exactly at these rows: PL slots g <= ploidy
+    (genotypes over [REF, NON_REF]) gated by pl_len / ploidy-class
+    (ploidy-0 calls stay INT_VECTOR_END in mixed mode, the per-class
+    select's init); AD slots m < 2 gated by ad_len; GT allele slots
+    pass through with absent alleles mapped to the NON_REF merged index
+    1, phase slots untouched; GQ/DP/MIN_DP masked passthroughs.
+    Byte-equality with the device path is pinned by the golden + fuzz
+    suites with GENOMICSDB_TPU_PACK=1 forced on CPU."""
+    from ..core import formats as F
+    G_out, M_out, P_out = widths
+    S = blk.live.shape[1]
+    live = np.asarray(blk.live)[rows]
+    ok = live >= 0
+    kk = np.clip(live, 0, blk.col.shape[1] - 1)
+    s_i = np.arange(S)[None, :]
+
+    def g2(x, fill, dtype=np.int32):
+        return np.where(ok, x[s_i, kk], fill).astype(dtype)
+
+    def g3(x, fill, width):
+        g = np.where(ok[..., None], x[s_i, kk], fill)
+        if g.shape[2] < width:
+            g = np.pad(g, ((0, 0), (0, 0), (0, width - g.shape[2])),
+                       constant_values=fill)
+        return g[:, :, :width].astype(np.int32)
+
+    if mixed_ploidy:
+        gl = np.asarray(blk.gt_len_bs)[rows]
+        p_bs = (gl + 1) // 2 if gt_phase else gl
+    else:
+        p_bs = np.full(ok.shape, blk.ploidy, dtype=np.int64)
+    # PL: genotypes over 2 alleles at ploidy p are the first p+1 slots
+    pl_raw = g3(blk.pl, INT_MISSING, G_out)
+    pl_len = g2(blk.pl_len, 0)
+    g_idx = np.arange(G_out)[None, None, :]
+    ok_pl = (g_idx <= p_bs[..., None]) & (g_idx < pl_len[..., None]) \
+        & ok[..., None]
+    pl_out = np.where(ok_pl, pl_raw, INT_MISSING)
+    if mixed_ploidy:
+        pl_out = np.where((p_bs == 0)[..., None], F.INT_VECTOR_END,
+                          pl_out)
+    # AD: slots m < num_merged (=2) gated by ad_len
+    ad_raw = g3(blk.ad, INT_MISSING, M_out)
+    ad_len = g2(blk.ad_len, 0)
+    m_idx = np.arange(M_out)[None, None, :]
+    ok_ad = (m_idx < 2) & (m_idx < ad_len[..., None]) & ok[..., None]
+    ad_out = np.where(ok_ad, ad_raw, INT_MISSING)
+    # GT: identity allele remap with NON_REF fallback (merged idx 1)
+    gt_raw = g3(blk.gt, INT_MISSING, P_out)
+    gt_out = np.empty_like(gt_raw)
+    for p in range(P_out):
+        a = gt_raw[..., p]
+        if gt_phase and p % 2 == 1:
+            o = a
+        else:
+            oka = (a >= 0) & (a != INT_MISSING)
+            o = np.where(oka, np.where(a < 2, a, 1), a)
+        if mixed_ploidy:
+            gl = np.asarray(blk.gt_len_bs)[rows]
+            o = np.where(p < gl, o, F.INT_VECTOR_END)
+        gt_out[..., p] = o
+    return {
+        "pl": pl_out, "ad": ad_out, "gt": gt_out,
+        "gq": g2(blk.gq, INT_MISSING),
+        "dp_format": g2(blk.dp, INT_MISSING),
+        "min_dp": g2(blk.min_dp, INT_MISSING),
+    }
+
+
 def block_to_args(blk: CellBlock):
     del_rw = blk.del_rw if blk.del_rw is not None \
         else np.zeros(blk.live.shape, dtype=bool)

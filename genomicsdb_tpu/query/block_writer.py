@@ -204,12 +204,50 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
                                ploidy=ploidy, gt_phase=plan.gt_phase,
                                mixed_ploidy=mixed_ploidy)
         live = None
+    # through a tunnel/remote attachment the output FETCH dominates at
+    # production widths.  Two compactions (GENOMICSDB_TPU_PACK=0 opts
+    # out; forced on with =1): (a) narrow the big int32 outputs to
+    # int16/int8 on device; (b) fetch ONLY variant-record rows —
+    # ref-block-only records are identity remaps the host reconstructs
+    # from the block tensors it already holds (host_identity_outputs),
+    # cutting fetch volume by the cohort's ref-block fraction (~90%
+    # for gVCF).  `live` is a host-computed input and is never fetched.
+    packed = None
+    split = None
+    _pk = _os.environ.get("GENOMICSDB_TPU_PACK", "")
+    if _pk == "1" or (_pk != "0" and jnp_backend_is_tpu()):
+        from ..ops.combine_step import pack_outputs
+        ref_mask = meta.is_ref_block_only
+        var_rows = np.nonzero(~ref_mask)[0]
+        ref_rows = np.nonzero(ref_mask)[0]
+        if len(ref_rows) >= max(len(ref_mask) // 4, 1):
+            packed = pack_outputs(out, rows=var_rows)
+            split = (var_rows, ref_rows)
+        else:
+            packed = pack_outputs(out)
+    if live is None and blk.live is not None:
+        live = np.asarray(blk.live)
     # dispatch complete: under jit the combine runs asynchronously from
     # here; the caller may dispatch/render other chunks before resuming
     yield
+    from ..ops.combine_step import (fetch_outputs, fetch_outputs_split,
+                                    host_identity_outputs)
+    fetchable = {k: v for k, v in out.items()
+                 if not (k == "live" and live is not None)}
+    if split is not None and packed is not None:
+        var_rows, ref_rows = split
+        widths = (out["pl"].shape[-1], out["ad"].shape[-1],
+                  out["gt"].shape[-1])
+        ident = host_identity_outputs(blk, ref_rows, widths,
+                                      plan.gt_phase, mixed_ploidy)
+        dev = fetch_outputs_split(out, packed, var_rows, ref_rows,
+                                  ident)
+    else:
+        dev = fetch_outputs(fetchable, packed)
     if live is None:
-        live = np.asarray(out["live"])
-    dev = {k: np.asarray(v) for k, v in out.items()}
+        live = dev["live"]
+    else:
+        dev["live"] = live
     B, S = live.shape
     live_ok = live >= 0
     starts = blk.starts
