@@ -277,6 +277,14 @@ def combine_step(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                  gt_len_bs=None, *,
                  max_merged: int, ploidy: int, gt_phase: bool = False,
                  mixed_ploidy: bool = False) -> Dict[str, jnp.ndarray]:
+    # per-chunk args may arrive narrowed (int8/int16) to cut the
+    # host->device upload (block_to_args_cached); math runs int32
+    live = live.astype(jnp.int32)
+    inv_bs = inv_bs.astype(jnp.int32)
+    nr_bs = nr_bs.astype(jnp.int32)
+    rec_num_merged = rec_num_merged.astype(jnp.int32)
+    if gt_len_bs is not None:
+        gt_len_bs = gt_len_bs.astype(jnp.int32)
     g = gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                          dp_info, info_f, info_i, info_fs, live, del_rw)
     out = _combine_math(g["plg"], inv_bs, g["pllg"], nr_bs, g["adg"],
@@ -589,6 +597,31 @@ def block_to_args(blk: CellBlock):
             blk.gt, blk.gq, blk.dp, blk.min_dp, blk.dp_info, blk.info_f,
             blk.info_i, blk.info_fs, blk.inv_bs, blk.nr_bs,
             blk.rec_num_merged, has_nr, blk.live, del_rw, gt_lens)
+
+
+def block_to_args_cached(blk: CellBlock):
+    """block_to_args with the 12 store-wide [S, C, ...] slab tensors
+    replaced by device-resident copies cached on the block's dense
+    layout: chunks and repeated queries over the same store upload the
+    slabs ONCE (through a slow chip attachment the per-chunk slab
+    upload otherwise dominates end-to-end time)."""
+    args = list(block_to_args(blk))
+    lay = getattr(blk, "_dense_layout", None)
+    if lay is not None:
+        dev = lay.get("_device_slabs")
+        if dev is None:
+            dev = lay["_device_slabs"] = [jax.device_put(a)
+                                          for a in args[:12]]
+        args[:12] = dev
+        # per-chunk args travel narrow (combine_step upcasts in-jit)
+        C = blk.col.shape[1]
+        live_dt = np.int16 if C < 2**15 else np.int32
+        args[12] = args[12].astype(np.int8)        # inv_bs
+        args[13] = args[13].astype(np.int8)        # nr_bs
+        args[14] = args[14].astype(np.int8)        # rec_num_merged
+        args[16] = args[16].astype(live_dt)        # live
+        args[18] = args[18].astype(np.int8)        # gt_len_bs
+    return tuple(args)
 
 
 def live_cells_at_host(starts: np.ndarray, col: np.ndarray,

@@ -306,6 +306,13 @@ def fused_gather_remap(payload, live_t, inv_t, nr_t, recnm2, recnr2, w0b,
     S = payload.shape[0]
     Bpad = live_t.shape[2]
     T = Bpad // cfg.bt
+    # per-chunk inputs may arrive narrowed (int8/int16) to cut the
+    # host->device upload; the kernel consumes int32
+    live_t = live_t.astype(jnp.int32)
+    inv_t = inv_t.astype(jnp.int32)
+    nr_t = nr_t.astype(jnp.int32)
+    recnm2 = recnm2.astype(jnp.int32)
+    recnr2 = recnr2.astype(jnp.int32)
     kernel = _make_kernel(cfg)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -384,14 +391,33 @@ def fused_host_prep(blk, cfg: FusedConfig, bpad_to: int = 0):
         return None
     C = blk.col.shape[1]
     cpad = (-C) % cfg.cb + cfg.cb          # room for the +1 window block
-    pay = build_payload(blk, cfg, cpad)
-    live_t = np.ascontiguousarray(live_p.T).astype(np.int32)[:, None]
+    # the payload slab is a pure function of the store-wide dense
+    # layout + the static config dims: cache it (host AND device) so
+    # chunks / repeated queries upload it once
+    lay = getattr(blk, "_dense_layout", None)
+    pay = None
+    if lay is not None:
+        pkey = (cfg.g_in, cfg.a_in, cfg.gt_w, cfg.f_med, cfg.f_imed,
+                cfg.f_fsum, cpad)
+        pcache = lay.setdefault("_pay_cache", {})
+        pay = pcache.get(pkey)
+        if pay is None:
+            import jax
+            pay = jax.device_put(build_payload(blk, cfg, cpad))
+            pcache[pkey] = pay
+    if pay is None:
+        pay = build_payload(blk, cfg, cpad)
+    # per-chunk kernel inputs travel NARROW (upcast to int32 inside the
+    # jit wrappers): allele indices/counts fit int8, live cell indices
+    # fit int16 up to 32k cells/row — the chunk upload shrinks ~4x
+    live_dt = np.int16 if C + cpad < 2**15 else np.int32
+    live_t = np.ascontiguousarray(live_p.T).astype(live_dt)[:, None]
     inv_t = np.ascontiguousarray(
-        np.moveaxis(padB(blk.inv_bs, -1), 0, 2)).astype(np.int32)
+        np.moveaxis(padB(blk.inv_bs, -1), 0, 2)).astype(np.int8)
     nr_t = np.ascontiguousarray(
-        padB(blk.nr_bs, -1).T).astype(np.int32)[:, None]
-    recnm2 = padB(blk.rec_num_merged, 1)[None].astype(np.int32)
-    recnr2 = padB(has_nr, True)[None].astype(np.int32)
+        padB(blk.nr_bs, -1).T).astype(np.int8)[:, None]
+    recnm2 = padB(blk.rec_num_merged, 1)[None].astype(np.int8)
+    recnr2 = padB(has_nr, True)[None].astype(np.int8)
     return {
         "pay": pay, "live_t": live_t, "inv_t": inv_t, "nr_t": nr_t,
         "recnm2": recnm2, "recnr2": recnr2, "w0b": w0b,
@@ -446,7 +472,7 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
             gtl_p = np.pad(np.asarray(blk.gt_len_bs), ((0, bpad), (0, 0)),
                            constant_values=0)
             gtl_rt = np.ascontiguousarray(gtl_p.T).astype(
-                np.int32).reshape(S, T, cfg.bt)
+                np.int8).reshape(S, T, cfg.bt)
         out = fused_gather_remap_rt(
             pay, live_t[:, 0].reshape(S, T, cfg.bt),
             inv_t.reshape(S, inv_t.shape[1], T, cfg.bt),
@@ -714,6 +740,15 @@ def fused_gather_remap_rt(payload, live_rt, inv_rt, nr_rt, recnm_rt,
     S = payload.shape[0]
     T = live_rt.shape[1]
     T2 = T // rt
+    # per-chunk inputs may arrive narrowed (int8/int16) to cut the
+    # host->device upload; the kernel consumes int32
+    live_rt = live_rt.astype(jnp.int32)
+    inv_rt = inv_rt.astype(jnp.int32)
+    nr_rt = nr_rt.astype(jnp.int32)
+    recnm_rt = recnm_rt.astype(jnp.int32)
+    recnr_rt = recnr_rt.astype(jnp.int32)
+    if gtl_rt is not None:
+        gtl_rt = gtl_rt.astype(jnp.int32)
     kernel = _make_kernel_rt(cfg)
     win_specs = [
         pl.BlockSpec((1, cfg.v, cfg.cb),

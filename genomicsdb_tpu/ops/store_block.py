@@ -185,48 +185,66 @@ class BlockRecordMeta:
     # (produce_GT spanning-deletion min-PL rewrites, host-computed)
 
 
-def store_to_block(store: ColumnarStore, qc: QueryConfig,
-                   interval: Optional[Tuple[int, int]] = None,
-                   max_merged: int = 8, ploidy: int = 2,
-                   return_meta: bool = False,
-                   pad_records: Optional[int] = None,
-                   pad_cells_to: int = 1):
-    """Build a CellBlock for the queried rows over `interval`.
+def _block_ploidy(store: ColumnarStore, qc: QueryConfig,
+                  ploidy: int) -> int:
+    """Cohort max ploidy from stored GT lengths (store-cached)."""
+    gt_fd0 = store.fields.get("GT")
+    gt_info0 = qc.vid.get_field_info("GT")
+    if gt_fd0 is not None and gt_info0 is not None and store.num_cells \
+            and gt_fd0.valid.any():
+        pl_max = getattr(store, "_gt_ploidy_max_cache", None)
+        if pl_max is None:
+            # distinct stored GT lengths are a handful; never loop cells
+            glens0 = gt_fd0.lens()
+            uniq = np.unique(glens0[gt_fd0.valid & (glens0 > 0)])
+            pl_max = max((int(gt_info0.length.ploidy(int(g)))
+                          for g in uniq), default=ploidy)
+            store._gt_ploidy_max_cache = pl_max
+        if 0 < pl_max <= PLOIDY_CAP:
+            ploidy = max(ploidy, pl_max)
+    return ploidy
 
-    Field selection is vid/query-driven (query.block_fields.BlockPlan):
-    the device core carries PL/AD/GT/GQ/DP(_FORMAT)/MIN_DP/DP(INFO) and
-    the scalar INFO median/sum stacks; every other renderable queried
-    field is gathered into `meta.extras` for the generalized writer.
+
+def _pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def dense_layout(store: ColumnarStore, qc: QueryConfig, plan,
+                 gt_w: int, pad_cells_to: int) -> dict:
+    """STORE-WIDE dense per-row field slabs [S, C] — built once per
+    (store, row subset, queried-field set) and reused by every chunk of
+    every query (cached on the store).
+
+    This is the key to device-resident serving: chunks and repeated
+    interval queries index the SAME slab arrays, so (a) the per-chunk
+    host cost collapses to live-index searchsorteds + allele LUTs, and
+    (b) the device-side copies (block_writer/pallas payload caches)
+    upload once per store instead of once per chunk — through a slow
+    attachment the per-chunk upload otherwise dominates end to end.
+
+    PL/AD input widths are store-global maxima (pow2-bucketed): the
+    remap masks (in_gt/idx < in_len) make any width >= the true max
+    exact, and a store-global width keeps shapes stable across chunks.
     """
-    from ..query.block_fields import (build_block_plan, effective_valid,
-                                      remap_allele_np, remap_genotype_np)
-    plan = build_block_plan(qc, qc.vid)
     rows = qc.rows_to_query
+    key = (tuple(rows), pad_cells_to, gt_w,
+           qc.is_queried("DP_FORMAT"), qc.is_queried("MIN_DP"),
+           plan.dp_info_queried, tuple(plan.med_fields),
+           tuple(plan.imed_fields), tuple(plan.fsum_fields))
+    cache = getattr(store, "_dense_layout_cache", None)
+    if cache is not None and cache[0] == key:
+        return cache[1]
     S = len(rows)
-    # --- dense per-row cell layout (one stable row-sort, not S scans;
-    # the sort is store-wide, so chunked queries reuse it) ---
-    # row-major layout with binary-searchable per-row interval runs
-    # (cached store-wide; see ColumnarStore.row_layout)
+    # row-major layout with binary-searchable per-row runs
     row_sorted, sorted_rows, col_by_row, eff_by_row = store.row_layout()
     per_row_idx: List[np.ndarray] = []
     for r in rows:
         lo_i = np.searchsorted(sorted_rows, r, side="left")
         hi_i = np.searchsorted(sorted_rows, r, side="right")
-        if interval is not None:
-            lo, hi = interval
-            a = lo_i + np.searchsorted(eff_by_row[lo_i:hi_i], lo,
-                                       side="left")
-            b = lo_i + np.searchsorted(col_by_row[lo_i:hi_i], hi,
-                                       side="right")
-            idx = row_sorted[a:max(a, b)]
-        else:
-            idx = row_sorted[lo_i:hi_i]
-        per_row_idx.append(idx)
+        per_row_idx.append(row_sorted[lo_i:hi_i])
     C = max((len(i) for i in per_row_idx), default=1)
     C = max(C, 1)
     if pad_cells_to > 1:
-        # shape bucketing: round C up so chunked queries reuse one
-        # compiled combine_step executable instead of one per chunk
         C = -(-C // pad_cells_to) * pad_cells_to
     col = np.full((S, C), INT64_MAX, dtype=np.int64)
     end = np.full((S, C), 0, dtype=np.int64)
@@ -282,40 +300,33 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             out[sel] = fd.values[fd.offsets[:-1][safe_cells[sel]]]
         return out.reshape(S, C)
 
-    # general ploidy: size the block to the cohort's MAX ploidy (derived
-    # from stored GT lengths); per-call ploidy rides along so haploid /
-    # triploid calls remap with their own genotype enumeration
-    # (variant_field_handler.cc:199-296 general-ploidy path)
-    gt_fd0 = store.fields.get("GT")
-    gt_info0 = qc.vid.get_field_info("GT")
-    if gt_fd0 is not None and gt_info0 is not None and store.num_cells \
-            and gt_fd0.valid.any():
-        pl_max = getattr(store, "_gt_ploidy_max_cache", None)
-        if pl_max is None:
-            # distinct stored GT lengths are a handful; never loop cells
-            glens0 = gt_fd0.lens()
-            uniq = np.unique(glens0[gt_fd0.valid & (glens0 > 0)])
-            pl_max = max((int(gt_info0.length.ploidy(int(g)))
-                          for g in uniq), default=ploidy)
-            store._gt_ploidy_max_cache = pl_max
-        if 0 < pl_max <= PLOIDY_CAP:
-            ploidy = max(ploidy, pl_max)
-    # (PL/AD matrices are allocated AFTER the allele-merge loop, once
-    # the block's effective max_merged is known — see below)
-    # phased GT ("PP" descriptor) stores 2p-1 interleaved elements
-    # (broad_combined_gvcf.cc:650-652); phase slots ride along unremapped
-    gt_w = 2 * ploidy - 1 if plan.gt_phase else ploidy
-    gt, gt_len_sc = ragged_matrix("GT", gt_w, fill=-1)
-    gq = scalar_matrix("GQ")
+    def field_max_len(name) -> int:
+        fd = store.fields.get(name)
+        if fd is None or store.num_cells == 0:
+            return 1
+        if fd.kind == "fixed":
+            return int(fd.values.shape[1])
+        return max(fd.max_len(), 1)
+
+    lay = {"C": C, "col": col, "end": end, "cell_of": cell_of}
+    # input widths: store-global maxima, pow2-bucketed for shape reuse
+    lay["pl"], lay["pl_len"] = ragged_matrix(
+        "PL", _pow2(field_max_len("PL")))
+    lay["ad"], lay["ad_len"] = ragged_matrix(
+        "AD", _pow2(field_max_len("AD")))
+    lay["gt"], lay["gt_len_sc"] = ragged_matrix("GT", gt_w, fill=-1)
+    lay["gq"] = scalar_matrix("GQ")
     # the DP fallback chain (broad_combined_gvcf.cc:690-726) only sees
     # fields the query asked for: an unqueried DP_FORMAT/MIN_DP/DP must
     # not leak into the device sum or the trailing DP column
     empty_sc = np.full((S, C), INT_MISSING, dtype=np.int32)
-    dp = scalar_matrix("DP_FORMAT") if qc.is_queried("DP_FORMAT") \
+    lay["dp"] = scalar_matrix("DP_FORMAT") \
+        if qc.is_queried("DP_FORMAT") else empty_sc
+    lay["min_dp"] = scalar_matrix("MIN_DP") \
+        if qc.is_queried("MIN_DP") else empty_sc
+    lay["dp_info"] = scalar_matrix("DP") if plan.dp_info_queried \
         else empty_sc
-    min_dp = scalar_matrix("MIN_DP") if qc.is_queried("MIN_DP") \
-        else empty_sc
-    dp_info = scalar_matrix("DP") if plan.dp_info_queried else empty_sc
+
     def float_scalar_stack(names):
         out = np.full((len(names), S, C), np.nan, dtype=np.float32)
         for fi, name in enumerate(names):
@@ -326,19 +337,60 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                                np.nan, m)
         return out
 
-    info_f = float_scalar_stack(plan.med_fields)
-    info_fs = float_scalar_stack(plan.fsum_fields)
-    info_i = np.stack([scalar_matrix(n) for n in plan.imed_fields]) \
+    lay["info_f"] = float_scalar_stack(plan.med_fields)
+    lay["info_fs"] = float_scalar_stack(plan.fsum_fields)
+    lay["info_i"] = np.stack([scalar_matrix(n)
+                              for n in plan.imed_fields]) \
         if plan.imed_fields else np.zeros((0, S, C), np.int32)
-    # --- sweep events ---
-    valid_cells = col < INT64_MAX
-    events = np.unique(np.concatenate(
-        [col[valid_cells].ravel(), end[valid_cells].ravel() + 1]))
-    if interval is not None:
-        lo, hi = interval
-        events = events[(events >= lo) & (events <= hi)]
-        if len(events) == 0 or events[0] != lo:
-            events = np.concatenate([[lo], events])
+    store._dense_layout_cache = (key, lay)
+    return lay
+
+
+def store_to_block(store: ColumnarStore, qc: QueryConfig,
+                   interval: Optional[Tuple[int, int]] = None,
+                   max_merged: int = 8, ploidy: int = 2,
+                   return_meta: bool = False,
+                   pad_records: Optional[int] = None,
+                   pad_cells_to: int = 1):
+    """Build a CellBlock for the queried rows over `interval`.
+
+    Field selection is vid/query-driven (query.block_fields.BlockPlan):
+    the device core carries PL/AD/GT/GQ/DP(_FORMAT)/MIN_DP/DP(INFO) and
+    the scalar INFO median/sum stacks; every other renderable queried
+    field is gathered into `meta.extras` for the generalized writer.
+
+    The dense [S, C] field slabs are STORE-WIDE and cached
+    (dense_layout): per-chunk work is the live-index sweep, the allele
+    LUT merge, and the extras gather.
+    """
+    from ..query.block_fields import (build_block_plan, effective_valid,
+                                      remap_allele_np, remap_genotype_np)
+    plan = build_block_plan(qc, qc.vid)
+    rows = qc.rows_to_query
+    S = len(rows)
+    # general ploidy: size the block to the cohort's MAX ploidy (derived
+    # from stored GT lengths); per-call ploidy rides along so haploid /
+    # triploid calls remap with their own genotype enumeration
+    # (variant_field_handler.cc:199-296 general-ploidy path)
+    ploidy = _block_ploidy(store, qc, ploidy)
+    # phased GT ("PP" descriptor) stores 2p-1 interleaved elements
+    # (broad_combined_gvcf.cc:650-652); phase slots ride along unremapped
+    gt_w = 2 * ploidy - 1 if plan.gt_phase else ploidy
+    lay = dense_layout(store, qc, plan, gt_w, pad_cells_to)
+    C = lay["C"]
+    col, end, cell_of = lay["col"], lay["end"], lay["cell_of"]
+    pl, pl_len = lay["pl"], lay["pl_len"]
+    ad, ad_len = lay["ad"], lay["ad_len"]
+    gt, gt_len_sc = lay["gt"], lay["gt_len_sc"]
+    gq, dp, min_dp, dp_info = (lay["gq"], lay["dp"], lay["min_dp"],
+                               lay["dp_info"])
+    info_f, info_fs, info_i = (lay["info_f"], lay["info_fs"],
+                               lay["info_i"])
+    # --- sweep events (store-cached per row subset; two searchsorted
+    # probes per chunk — record_starts) ---
+    events = record_starts(store, qc,
+                           interval if interval is not None
+                           else (0, INT64_MAX - 1))
     # --- per-cell allele metadata, vectorized over the str-field bytes ---
     # (avoids 2 * num_cells Python-level cell_value decodes; full string
     # decode happens lazily, only for the rare variant cells)
@@ -835,12 +887,10 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                     gt_fd, pl_fd, gt_info, pl_q)
                 if ov is not None:
                     gt_override[(b, int(s_var[i]))] = ov
-    # effective block width after any allele-merge growth; the PL/AD
-    # matrices are sized to it so no merged record truncates
+    # effective block width after any allele-merge growth (the PL/AD
+    # INPUT slabs are store-global maxima from dense_layout — the remap
+    # masks make any width >= the true per-cell length exact)
     max_merged = inv_bs.shape[2]
-    G_in = len(M.genotype_combinations(max_merged, ploidy))
-    pl, pl_len = ragged_matrix("PL", G_in)
-    ad, ad_len = ragged_matrix("AD", max_merged)
     # splice decision is plan-driven: records carrying a valid queried
     # field the block path cannot realize go to the sequential engine
     handled = plan.handled
@@ -888,6 +938,9 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                     live=live.astype(np.int32), del_rw=del_rw,
                     gt_len_bs=gt_len_bs, ploidy=ploidy,
                     gt_phase=plan.gt_phase)
+    # the slab tensors come from the store-wide layout cache: the
+    # combine paths key their device-resident copies on it
+    blk._dense_layout = lay
     if not return_meta:
         return blk
     # --- gathered extras + effective-validity masks for the writer ---

@@ -200,7 +200,9 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
                                      mixed_ploidy=mixed_ploidy,
                                      interpret=not jnp_backend_is_tpu())
         if out is None:
-            out = combine_step(*block_to_args(blk), max_merged=max_merged,
+            from ..ops.combine_step import block_to_args_cached
+            out = combine_step(*block_to_args_cached(blk),
+                               max_merged=max_merged,
                                ploidy=ploidy, gt_phase=plan.gt_phase,
                                mixed_ploidy=mixed_ploidy)
         live = None
