@@ -432,8 +432,11 @@ def fetch_outputs(out: Dict, packed: Optional[Dict] = None
     fetches would each pay the tunnel RTT."""
     import jax
     if packed is None:
-        return {k: np.asarray(v)
-                for k, v in jax.device_get(dict(out)).items()}
+        # per-array np.asarray: on a local backend this is the cheap
+        # path (device_get's tree walk costs ~ms per call); the batched
+        # two-round-trip form below only matters with `packed` set,
+        # which implies a remote attachment
+        return {k: np.asarray(v) for k, v in out.items()}
     fits = jax.device_get({k: v for k, v in packed.items()
                            if k.endswith("__fits")})
     tree = {}
@@ -492,7 +495,15 @@ def fetch_outputs_split(out: Dict, packed: Dict, var_rows: np.ndarray,
             w = v.astype(np.int32)
             w[v == miss] = INT_MISSING
             w[v == eov] = formats.INT_VECTOR_END
-            full = np.empty((B,) + w.shape[1:], dtype=np.int32)
+            if w.ndim == 2:
+                # [B, S] presence columns: rows outside the scatter
+                # (no live cell / bucket padding) must read MISSING
+                full = np.full((B,) + w.shape[1:], INT_MISSING,
+                               dtype=np.int32)
+            else:
+                # [B, S, W] value tensors are only read at live cells
+                # of emitted rows — all covered by the scatter
+                full = np.empty((B,) + w.shape[1:], dtype=np.int32)
             full[var_rows] = w
             if k in ident:
                 full[ref_rows] = ident[k]

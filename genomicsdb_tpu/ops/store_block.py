@@ -451,22 +451,30 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         c = alt_codes[ci]
         return alt_parsed[c] if c >= 0 else None
 
-    present = np.zeros(N, dtype=bool)
-    if N:
-        present[cell_of[cell_of >= 0]] = True
     # per-deletion-cell rewrite state (handle_deletions,
     # broad_combined_gvcf.cc:912-1078): reduced-space alleles + the
     # reduced->input inverse LUT.  The "lowest deletion" choice (argmin
     # PL at the homozygous-deletion genotype) depends only on the cell,
-    # so it is precomputed once here and the spanning-record remap
-    # becomes a composed LUT for the batched kernels.
-    del_state: Dict[int, Tuple[List[str], np.ndarray, np.ndarray]] = {}
+    # so it is precomputed ONCE per (row subset, queried PL/GT) and
+    # cached on the store — interval queries must not rescan all cells.
     pl_q = qc.is_queried("PL")
     gt_q = qc.is_queried("GT")
     gt_fd = store.fields.get("GT")
     pl_fd = store.fields.get("PL")
     gt_info = qc.vid.get_field_info("GT")
-    cand = np.nonzero(present & ref_ok & alt_ok & (ref_len > 1))[0]
+    _del_key = (tuple(rows), pl_q, gt_q)
+    _del_cache = getattr(store, "_del_state_cache", None)
+    if _del_cache is not None and _del_cache[0] == _del_key:
+        cell_hasdel, del_state = _del_cache[1]
+        _del_hit = True
+    else:
+        del_state = {}
+        _del_hit = False
+    present = np.zeros(N, dtype=bool)
+    if N and not _del_hit:
+        present[cell_of[cell_of >= 0]] = True
+    cand = np.nonzero(present & ref_ok & alt_ok & (ref_len > 1))[0] \
+        if not _del_hit else np.zeros(0, dtype=np.int64)
     if len(cand):
         # Candidate cells are grouped by their (REF, ALT) byte signature
         # — cohorts carry few distinct allele strings, so each signature
@@ -550,6 +558,8 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                     st = (new_alts, row, M.inverse_lut(row, 3))
                     var_cache[ld] = st
                 del_state[ci] = st
+    if not _del_hit:
+        store._del_state_cache = (_del_key, (cell_hasdel, del_state))
 
     # --- record starts: events, expanded to SINGLE POSITIONS while any
     # live call contains a deletion (the scan's single-position stepping,
@@ -910,17 +920,20 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     # count explodes combinatorially; the reference's general-ploidy
     # iterative enumeration territory, variant_field_handler.cc:199-296)
     if N and gt_fd is not None and qc.is_queried("GT"):
-        glens = gt_fd.lens()
-        if gt_info is not None:
-            # map stored length -> ploidy via the few distinct lengths
-            # (searchsorted lookup; never a per-cell Python loop)
-            uniq = np.unique(glens)
-            pl_u = np.array([gt_info.length.ploidy(int(g)) if g else 0
-                             for g in uniq], dtype=np.int64)
-            pls = pl_u[np.searchsorted(uniq, glens)]
-        else:
-            pls = glens
-        cell_gt_bad = gt_fd.valid & (pls > PLOIDY_CAP)
+        cell_gt_bad = getattr(store, "_gt_bad_cache", None)
+        if cell_gt_bad is None:
+            glens = gt_fd.lens()
+            if gt_info is not None:
+                # map stored length -> ploidy via the few distinct
+                # lengths (searchsorted lookup; never a per-cell loop)
+                uniq = np.unique(glens)
+                pl_u = np.array([gt_info.length.ploidy(int(g)) if g
+                                 else 0 for g in uniq], dtype=np.int64)
+                pls = pl_u[np.searchsorted(uniq, glens)]
+            else:
+                pls = glens
+            cell_gt_bad = gt_fd.valid & (pls > PLOIDY_CAP)
+            store._gt_bad_cache = cell_gt_bad
         rec_hasother |= (live_ok & cell_gt_bad[safe_cm]).any(axis=1)
     gt_len_bs = np.where(live_ok, gt_len_sc[s_grid, live_k],
                          0).astype(np.int32)

@@ -240,9 +240,14 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
         var_rows, ref_rows = split
         widths = (out["pl"].shape[-1], out["ad"].shape[-1],
                   out["gt"].shape[-1])
-        ident = host_identity_outputs(blk, ref_rows, widths,
+        # reconstruct only rows with any live cell: records without one
+        # (incl. bucket-padding sentinels) are never rendered, and the
+        # 2-D presence columns are MISSING-filled in fetch_outputs_split
+        ref_emitted = ref_rows[(np.asarray(blk.live)[ref_rows] >= 0)
+                               .any(axis=1)]
+        ident = host_identity_outputs(blk, ref_emitted, widths,
                                       plan.gt_phase, mixed_ploidy)
-        dev = fetch_outputs_split(out, packed, var_rows, ref_rows,
+        dev = fetch_outputs_split(out, packed, var_rows, ref_emitted,
                                   ident)
     else:
         dev = fetch_outputs(fetchable, packed)

@@ -132,8 +132,8 @@ def iter_vcf_query_block(store, qc: QueryConfig,
     filter_names = {info.field_idx: name
                     for name, info in vid.fields.items()}
     if template_path:
-        template = load_template(template_path)
-        yield from build_header_lines(template, vid, qc)
+        from ..vcf.header import header_lines_cached
+        yield from header_lines_cached(template_path, vid, qc)
         yield chrom_line(sample_names, qc.sites_only_query)
     intervals = qc.column_intervals if qc.column_intervals \
         else [(0, INT64_MAX - 2)]

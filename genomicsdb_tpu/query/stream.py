@@ -25,6 +25,15 @@ from .scan import scan_variants
 from .vcf_writer import CombineToVCF
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _header_dict_cached(lines_key):
+    from ..vcf.bcf import _HeaderDict
+    return _HeaderDict(list(lines_key))
+
+
 class CombinedRecordStream:
     """Iterates combined-VCF text records lazily (header + records)."""
 
@@ -96,9 +105,15 @@ class CombinedRecordStream:
         (genomicsdb_bcf_generator.h:33-93, read_and_advance)."""
         import struct
 
-        from ..vcf.bcf import (_HeaderDict, _encode_record,
+        from ..vcf.bcf import (_encode_record,
                                _encode_records_native,
                                _synthesize_declarations)
+
+        def _HeaderDict(lines):
+            # header dicts recur across queries of one serving process
+            # (the GATK split pattern: thousands of small interval
+            # queries against one store) — cache by the header text
+            return _header_dict_cached(tuple(lines))
 
         def header_block(lines):
             text = "\n".join(lines) + "\n\0"

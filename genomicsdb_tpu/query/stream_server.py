@@ -75,6 +75,11 @@ class QueryStreamServer:
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
+                # small-interval queries are latency-sensitive (the
+                # GATK split pattern): disable Nagle and coalesce
+                # writes to >=64 KiB sends
+                self.connection.setsockopt(socket.IPPROTO_TCP,
+                                           socket.TCP_NODELAY, 1)
                 line = self.rfile.readline()
                 if not line:
                     return
@@ -93,8 +98,14 @@ class QueryStreamServer:
                         store, qc, qp, vid, template_path=template,
                         reference_path=refg,
                         engine=doc.get("engine", "block"))
+                    buf = bytearray()
                     for chunk in stream.bcf_stream():
-                        self.wfile.write(chunk)
+                        buf += chunk
+                        if len(buf) >= (64 << 10):
+                            self.wfile.write(buf)
+                            buf = bytearray()
+                    if buf:
+                        self.wfile.write(buf)
                 except BrokenPipeError:
                     pass
                 except Exception as e:   # report errors in-band

@@ -38,6 +38,28 @@ def load_template(path: str) -> VCFHeader:
         return read_header(f)
 
 
+# rendered header lines recur across queries of one serving process
+# (the GATK split pattern issues thousands of interval queries against
+# one store with the same template/vid/attribute set) — parsing the
+# template per query costs several ms.  Keyed by template path + the
+# header-relevant query facts; values pin the vid so id() stays valid.
+_HEADER_LINES_CACHE: dict = {}
+
+
+def header_lines_cached(template_path: str, vid: VidMapper,
+                        qc: QueryConfig) -> List[str]:
+    key = (template_path, id(vid), tuple(qc.attributes or ()),
+           bool(qc.is_queried("FILTER")))
+    got = _HEADER_LINES_CACHE.get(key)
+    if got is None:
+        template = load_template(template_path)
+        got = (vid, build_header_lines(template, vid, qc))
+        if len(_HEADER_LINES_CACHE) > 32:
+            _HEADER_LINES_CACHE.clear()
+        _HEADER_LINES_CACHE[key] = got
+    return got[1]
+
+
 def build_header_lines(template: VCFHeader, vid: VidMapper, qc: QueryConfig
                        ) -> List[str]:
     lines = list(template.lines)
