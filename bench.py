@@ -475,6 +475,26 @@ def bench_out_of_core(target_bytes=2e9):
     return json.loads(r.stdout.strip().splitlines()[-1])
 
 
+def bench_wide_cohort():
+    """1000-sample chromosome-scale lane (GATK joint-genotyping width):
+    cells/sec, positions/sec, interval p50/p90 — fresh CPU-pinned
+    subprocess (tools/wide_cohort_bench.py; sampled-window sequential
+    equivalence is pinned by tests/test_wide_cohort.py)."""
+    import subprocess
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = ""
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "genomicsdb_tpu.tools.wide_cohort_bench", "--skip-seq"],
+        capture_output=True, text=True, timeout=1800, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    if r.returncode != 0:
+        return {"error": (r.stderr or "")[-300:]}
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
 def bench_cohort_end_to_end(n_samples=100, n_records=4000,
                             tmpdir="/tmp"):
     """Full pipeline on a 100-sample cohort (BASELINE config 5 shape):
@@ -702,6 +722,10 @@ def _bench_impl():
         ooc = bench_out_of_core()
     except Exception as e:
         ooc = {"error": str(e)[:200]}
+    try:
+        wide1000 = bench_wide_cohort()
+    except Exception as e:
+        wide1000 = {"error": str(e)[:200]}
     value = max(dev["positions_per_sec"],
                 fused.get("positions_per_sec", 0))
     # primary baseline: the C++-speed sequential engine on the same
@@ -746,6 +770,9 @@ def _bench_impl():
             "out_of_core": {
                 k: round(v, 2) if isinstance(v, float) else v
                 for k, v in ooc.items()},
+            "wide_cohort_1000": {
+                k: round(v, 2) if isinstance(v, float) else v
+                for k, v in wide1000.items()},
         },
     }
     if platform_note:

@@ -26,19 +26,23 @@ import pytest
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "tpu: runs on the real TPU chip (select with -m tpu)")
+    config.addinivalue_line(
+        "markers", "slow: multi-minute lanes (select with -m slow)")
 
 
 def pytest_collection_modifyitems(config, items):
     # the real-TPU lane only runs when explicitly selected: the chip sits
     # behind a wedgeable tunnel and must not slow/flake the default suite
     markexpr = config.getoption("-m", default="") or ""
-    if "tpu" in markexpr:
-        return
     skip_tpu = pytest.mark.skip(
         reason="real-TPU lane (run: pytest -m tpu tests/test_tpu_lane.py)")
+    skip_slow = pytest.mark.skip(
+        reason="multi-minute lane (run: pytest -m slow)")
     for item in items:
-        if "tpu" in item.keywords:
+        if "tpu" in item.keywords and "tpu" not in markexpr:
             item.add_marker(skip_tpu)
+        if "slow" in item.keywords and "slow" not in markexpr:
+            item.add_marker(skip_slow)
 
 
 @pytest.fixture(scope="session")

@@ -78,3 +78,26 @@ def test_uri_workspace_fragments_consolidate(mem_ws):
     assert len(ws._fragment_paths(mem_ws, "arr")) == 1
     again = ws.open_array(mem_ws, "arr")
     assert again.num_cells == store.num_cells
+
+
+def test_file_scheme_workspace_round_trip(tmp_path):
+    """file:// — a second fsspec scheme (local FS through the fsspec
+    stack, NOT the POSIX fast path): full write/open/query round trip
+    against the golden."""
+    path = "file://" + str(tmp_path / "gdb_file_ws")
+    vid, store = load_setup("inputs/callsets/t0_1_2.json")
+    ws.create_workspace(path, overwrite=True)
+    assert ws.is_workspace(path)
+    ws.write_fragment(path, "arr", store)
+    got = ws.open_array(path, "arr")
+    assert got.num_cells == store.num_cells
+    np.testing.assert_array_equal(got.col, store.col)
+    qp = make_query_params(VCF_ATTRIBUTES_ORDER, [(0, 1000000000)])
+    qc = driver.make_query_config(qp, vid)
+    out = driver.run_vcf_query_block(
+        got, qc, qp, vid,
+        template_path=os.path.join(REF_TESTS,
+                                   "inputs/template_vcf_header.vcf"),
+        reference_path=os.path.join(REF_TESTS,
+                                    "inputs/chr1_10MB.fasta.gz"))
+    assert out == golden("t0_1_2_vcf_at_0")
