@@ -155,11 +155,34 @@ def bench_device_fused(num_samples=128, cells_per_sample=2048,
     recnm_p = padB(blk.rec_num_merged, 1)
     n_chunks = len(recnm_p) // chunk
     T = chunk // cfg.bt
-    w0b = np.zeros((n_chunks, T, S), np.int32)
-    for i in range(n_chunks):
-        w = PC.fused_window_plan(live_p[i * chunk:(i + 1) * chunk], cfg)
-        assert w is not None, "window premise failed on synthetic data"
-        w0b[i] = w
+    if rt > 1:
+        # shared per-instance windows (the production default)
+        import dataclasses
+        n_blocks = pay.shape[2] // cfg.cb
+        ws_max = 2
+        plans = []
+        for i in range(n_chunks):
+            p = PC.fused_window_plan_shared(
+                live_p[i * chunk:(i + 1) * chunk], cfg, n_blocks)
+            assert p is not None, "window premise failed on synthetic"
+            plans.append(p[0])
+            ws_max = max(ws_max, p[1])
+        if ws_max > 2:
+            # re-plan every chunk at the final width (the base clamp
+            # depends on ws)
+            plans = [PC.fused_window_plan_shared(
+                live_p[i * chunk:(i + 1) * chunk], cfg, n_blocks,
+                max_ws=ws_max, min_ws=ws_max)[0]
+                for i in range(n_chunks)]
+        cfg = dataclasses.replace(cfg, ws=ws_max)
+        w0b = np.stack(plans)                      # [n, T//rt, S]
+    else:
+        w0b = np.zeros((n_chunks, T, S), np.int32)
+        for i in range(n_chunks):
+            w = PC.fused_window_plan(live_p[i * chunk:(i + 1) * chunk],
+                                     cfg)
+            assert w is not None, "window premise failed on synthetic"
+            w0b[i] = w
     # per-chunk kernel-layout stacks
     live_t = np.ascontiguousarray(
         live_p.reshape(n_chunks, chunk, S).transpose(0, 2, 1)
@@ -196,7 +219,7 @@ def bench_device_fused(num_samples=128, cells_per_sample=2048,
                     it.reshape(S_n, M_n, T, cfg.bt),
                     nt[:, 0].reshape(S_n, T, cfg.bt),
                     rm[0].reshape(T, cfg.bt), rn[0].reshape(T, cfg.bt),
-                    w.reshape(T // rt, rt, S_n), cfg=cfg,
+                    w, cfg=cfg,
                     interpret=interpret)
                 out = out.reshape(S_n, cfg.vout, chunk)
             else:
@@ -209,22 +232,52 @@ def bench_device_fused(num_samples=128, cells_per_sample=2048,
                     + chksum(post["dp_info_sum"]))
         return jnp.sum(jax.lax.map(body, stacks + (live_bs,)))
 
-    chk = int(np.asarray(run_all(pay_d, del_rw_d, live_bs, *stacks)))
-    best = None
+    # Amortize the attachment's dispatch+fetch round trip (measured
+    # 27 ms through this tunnel — larger than the compute itself): run
+    # R full passes on-device inside ONE dispatch and fetch one scalar
+    # that data-depends on every record of every pass.  The
+    # optimization_barrier threads the accumulator through each pass's
+    # inputs so XLA cannot hoist the loop-invariant work out of the
+    # fori_loop.
+    R = 16
+
+    @jax.jit
+    def run_R(pay_d, del_rw_d, live_bs, *stacks):
+        def it(_, acc):
+            barred = jax.lax.optimization_barrier(
+                (acc, pay_d, del_rw_d, live_bs) + stacks)
+            acc_b = barred[0]
+            return (acc_b + run_all(*barred[1:])).astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, R, it, jnp.int32(0))
+
+    chk1 = int(np.asarray(run_all(pay_d, del_rw_d, live_bs, *stacks)))
+    chkR = int(np.asarray(run_R(pay_d, del_rw_d, live_bs, *stacks)))
+    with np.errstate(over="ignore"):
+        assert np.int32(chkR) == np.int32(np.int64(chk1) * R), \
+            (chk1, chkR)
+    best = wall1 = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        chk2 = int(np.asarray(run_all(pay_d, del_rw_d, live_bs,
-                                      *stacks)))
+        chk2 = int(np.asarray(run_R(pay_d, del_rw_d, live_bs,
+                                    *stacks)))
         dt = time.perf_counter() - t0
-        assert chk2 == chk
+        assert chk2 == chkR
         best = dt if best is None else min(best, dt)
+        t0 = time.perf_counter()
+        int(np.asarray(run_all(pay_d, del_rw_d, live_bs, *stacks)))
+        dt1 = time.perf_counter() - t0
+        wall1 = dt1 if wall1 is None else min(wall1, dt1)
+    per_pass = best / R
     return {
-        "positions_per_sec": region_len / best,
-        "records_per_sec": nb / best,
+        "positions_per_sec": region_len / per_pass,
+        "records_per_sec": nb / per_pass,
         "records": nb,
         "samples": num_samples,
-        "seconds": best,
-        "checksum": chk,
+        "seconds": per_pass,
+        "wall_single_dispatch": wall1,
+        "rtt_amortized_over": R,
+        "checksum": chk1,
     }
 
 

@@ -73,6 +73,14 @@ class FusedConfig:
     # select per call by its GT-derived ploidy (the batched form of
     # variant_field_handler.cc:199-296) — sex-chromosome cohorts
     mixed: bool = False
+    # shared-window width in cb blocks (rt kernel only).  0 = one
+    # 2-block window per record SUBLANE (2*rt window DMAs per grid
+    # instance); ws > 0 = ONE ws-block window per grid INSTANCE shared
+    # by all rt sublanes.  A sample's cell index advances only a
+    # handful of cells across an instance's rt*bt records, so the
+    # per-sublane windows are almost always the same bytes — sharing
+    # cuts the window DMA volume rt*2/ws-fold (8x at rt=8, ws=2).
+    ws: int = 0
 
     # payload row ranges [start, stop)
     @property
@@ -159,6 +167,36 @@ def fused_window_plan(live: np.ndarray, cfg: FusedConfig):
     if ((wmax - w0b.astype(np.int64) * cb) >= 2 * cb).any():
         return None
     return w0b
+
+
+def fused_window_plan_shared(live: np.ndarray, cfg: FusedConfig,
+                             n_blocks: int, max_ws: int = 4,
+                             min_ws: int = 2):
+    """Per-(rt-group, sample) SHARED window block starts.
+
+    live: [Bp, S] padded to a multiple of rt*bt.  Returns
+    (w2s [T2, S] int32, ws) with the smallest power-of-two window
+    width (in cb blocks, >= 2) covering every instance's cell span, or
+    None when some instance needs more than `max_ws` blocks (caller
+    falls back to per-sublane windows / the XLA gather)."""
+    B, S = live.shape
+    unit = cfg.bt * cfg.rt
+    assert B % unit == 0
+    T2 = B // unit
+    lt = live.reshape(T2, unit, S)
+    valid = lt >= 0
+    big = np.int64(1) << 40
+    lo = np.where(valid, lt, big).min(axis=1)          # [T2, S]
+    hi = np.where(valid, lt, -1).max(axis=1)
+    lo = np.where(lo == big, 0, lo)
+    base = (lo // cfg.cb).astype(np.int64)
+    ws = min_ws
+    while ws <= max_ws:
+        b = np.minimum(base, max(n_blocks - ws, 0))
+        if ((hi - b * cfg.cb) < ws * cfg.cb).all():
+            return b.astype(np.int32), ws
+        ws *= 2
+    return None
 
 
 def _make_kernel(cfg: FusedConfig):
@@ -386,11 +424,26 @@ def fused_host_prep(blk, cfg: FusedConfig, bpad_to: int = 0):
                       constant_values=fill)
 
     live_p = padB(live, -1)
-    w0b = fused_window_plan(live_p, cfg)
-    if w0b is None:
-        return None
     C = blk.col.shape[1]
     cpad = (-C) % cfg.cb + cfg.cb          # room for the +1 window block
+    # window plan: prefer the SHARED per-instance window (one ws-block
+    # DMA set per grid instance) over per-sublane windows (2*rt DMAs)
+    import dataclasses
+    w0b = w2 = None
+    if cfg.rt > 1:
+        shared = fused_window_plan_shared(live_p, cfg,
+                                          (C + cpad) // cfg.cb)
+        if shared is not None:
+            w2, ws_n = shared
+            cfg = dataclasses.replace(cfg, ws=ws_n)
+    if w2 is None:
+        cfg = dataclasses.replace(cfg, ws=0)
+        w0b = fused_window_plan(live_p, cfg)
+        if w0b is None:
+            return None
+        if cfg.rt > 1:
+            T = live_p.shape[0] // cfg.bt
+            w2 = w0b.reshape(T // cfg.rt, cfg.rt, S)
     # the payload slab is a pure function of the store-wide dense
     # layout + the static config dims: cache it (host AND device) so
     # chunks / repeated queries upload it once
@@ -420,8 +473,8 @@ def fused_host_prep(blk, cfg: FusedConfig, bpad_to: int = 0):
     recnr2 = padB(has_nr, True)[None].astype(np.int8)
     return {
         "pay": pay, "live_t": live_t, "inv_t": inv_t, "nr_t": nr_t,
-        "recnm2": recnm2, "recnr2": recnr2, "w0b": w0b,
-        "live_p": live_p, "del_rw_p": padB(del_rw, False),
+        "recnm2": recnm2, "recnr2": recnr2, "w0b": w0b, "w2": w2,
+        "cfg": cfg, "live_p": live_p, "del_rw_p": padB(del_rw, False),
     }
 
 
@@ -459,9 +512,10 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
     prep = fused_host_prep(blk, cfg)
     if prep is None:
         return None
+    cfg = prep["cfg"]
     pay, live_t, inv_t, nr_t = (prep["pay"], prep["live_t"],
                                 prep["inv_t"], prep["nr_t"])
-    recnm2, recnr2, w0b = prep["recnm2"], prep["recnr2"], prep["w0b"]
+    recnm2, recnr2 = prep["recnm2"], prep["recnr2"]
     live_p = prep["live_p"]
     if rt > 1:
         Bp = live_p.shape[0]
@@ -478,12 +532,12 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
             inv_t.reshape(S, inv_t.shape[1], T, cfg.bt),
             nr_t[:, 0].reshape(S, T, cfg.bt),
             recnm2[0].reshape(T, cfg.bt), recnr2[0].reshape(T, cfg.bt),
-            w0b.reshape(T // rt, rt, S), gtl_rt, cfg=cfg,
+            prep["w2"], gtl_rt, cfg=cfg,
             interpret=interpret)
         out = out.reshape(S, cfg.vout, Bp)
     else:
         out = fused_gather_remap(pay, live_t, inv_t, nr_t, recnm2,
-                                 recnr2, w0b, cfg=cfg,
+                                 recnr2, prep["w0b"], cfg=cfg,
                                  interpret=interpret)
     return _fused_post(out, prep["del_rw_p"], live_p, cfg, B,
                        _reduce_math)
@@ -559,36 +613,65 @@ def _make_kernel_rt(cfg: FusedConfig):
     max_allele = np.max(combos, axis=-1)                   # [G_out]
     VEC_END = int(formats.INT_VECTOR_END)
 
+    n_win = cfg.ws if cfg.ws else 2 * rt
+
     def kernel(w2_ref, live_ref, inv_ref, nr_ref, recnm_ref, recnr_ref,
                *rest):
         if cfg.mixed:
             gtl_ref = rest[0]
             rest = rest[1:]
-        win_refs = rest[:2 * rt]
-        out_ref = rest[2 * rt]
+        win_refs = rest[:n_win]
+        out_ref = rest[n_win]
         t = pl.program_id(0)
         s = pl.program_id(1)
         live = live_ref[0]                         # [rt, Bt]
         valid = live >= 0
-        # per-sublane windowed gather: sublane su's 128 records live in
-        # [base_su, base_su + 2*Cb) of this sample's cell axis
         g_parts = []                               # per su: [V, Bt]
-        for su in range(rt):
-            base = w2_ref[t, su, s] * jnp.int32(cfg.cb)
-            lv = live_ref[0, su:su + 1]            # [1, Bt]
-            rel = jnp.where(lv >= 0, lv - base, 0)
-            relA = jnp.minimum(rel, jnp.int32(cfg.cb - 1))
-            relB = jnp.minimum(jnp.maximum(rel - jnp.int32(cfg.cb),
-                                           jnp.int32(0)),
-                               jnp.int32(cfg.cb - 1))
-            idxA = jnp.broadcast_to(relA, (cfg.v, cfg.bt))
-            idxB = jnp.broadcast_to(relB, (cfg.v, cfg.bt))
-            gA = jnp.take_along_axis(win_refs[2 * su][0], idxA, axis=-1)
-            gB = jnp.take_along_axis(win_refs[2 * su + 1][0], idxB,
-                                     axis=-1)
-            in_b = jnp.broadcast_to(rel >= jnp.int32(cfg.cb),
-                                    (cfg.v, cfg.bt))
-            g_parts.append(jnp.where(in_b, gB, gA))
+        if cfg.ws:
+            # ONE ws-block window per instance, shared by all rt
+            # sublanes (fused_window_plan_shared premise: the
+            # instance's whole cell span fits in ws*Cb cells)
+            base = w2_ref[t, s] * jnp.int32(cfg.cb)
+            for su in range(rt):
+                lv = live_ref[0, su:su + 1]        # [1, Bt]
+                rel = jnp.where(lv >= 0, lv - base, 0)
+                acc = None
+                for k in range(cfg.ws):
+                    relk = jnp.minimum(
+                        jnp.maximum(rel - jnp.int32(k * cfg.cb),
+                                    jnp.int32(0)),
+                        jnp.int32(cfg.cb - 1))
+                    idxk = jnp.broadcast_to(relk, (cfg.v, cfg.bt))
+                    gk = jnp.take_along_axis(win_refs[k][0], idxk,
+                                             axis=-1)
+                    if k == 0:
+                        acc = gk
+                    else:
+                        in_k = jnp.broadcast_to(
+                            rel >= jnp.int32(k * cfg.cb),
+                            (cfg.v, cfg.bt))
+                        acc = jnp.where(in_k, gk, acc)
+                g_parts.append(acc)
+        else:
+            # per-sublane windowed gather: sublane su's 128 records
+            # live in [base_su, base_su + 2*Cb) of the cell axis
+            for su in range(rt):
+                base = w2_ref[t, su, s] * jnp.int32(cfg.cb)
+                lv = live_ref[0, su:su + 1]            # [1, Bt]
+                rel = jnp.where(lv >= 0, lv - base, 0)
+                relA = jnp.minimum(rel, jnp.int32(cfg.cb - 1))
+                relB = jnp.minimum(jnp.maximum(rel - jnp.int32(cfg.cb),
+                                               jnp.int32(0)),
+                                   jnp.int32(cfg.cb - 1))
+                idxA = jnp.broadcast_to(relA, (cfg.v, cfg.bt))
+                idxB = jnp.broadcast_to(relB, (cfg.v, cfg.bt))
+                gA = jnp.take_along_axis(win_refs[2 * su][0], idxA,
+                                         axis=-1)
+                gB = jnp.take_along_axis(win_refs[2 * su + 1][0], idxB,
+                                         axis=-1)
+                in_b = jnp.broadcast_to(rel >= jnp.int32(cfg.cb),
+                                        (cfg.v, cfg.bt))
+                g_parts.append(jnp.where(in_b, gB, gA))
         g3 = jnp.stack(g_parts, axis=1)            # [V, rt, Bt]
         inv = inv_ref[0]                           # [M, rt, Bt]
         nr = nr_ref[0]                             # [rt, Bt]
@@ -732,8 +815,9 @@ def fused_gather_remap_rt(payload, live_rt, inv_rt, nr_rt, recnm_rt,
                           interpret: bool = False):
     """Sublane-packed launch: payload [S, V, Cpad]; live_rt/nr_rt
     [S, T, Bt]; inv_rt [S, M, T, Bt]; recnm_rt/recnr_rt [T, Bt]; w2
-    [T//rt, rt, S] (fused_window_plan reshaped); gtl_rt [S, T, Bt]
-    per-call GT lengths (required when cfg.mixed).  Returns
+    [T//rt, rt, S] (fused_window_plan reshaped) or, when cfg.ws > 0,
+    [T//rt, S] shared bases (fused_window_plan_shared); gtl_rt
+    [S, T, Bt] per-call GT lengths (required when cfg.mixed).  Returns
     [S, Vout, T, Bt] — reshape(S, Vout, T*Bt) recovers the per-sample
     kernel's layout exactly."""
     rt = cfg.rt
@@ -750,12 +834,20 @@ def fused_gather_remap_rt(payload, live_rt, inv_rt, nr_rt, recnm_rt,
     if gtl_rt is not None:
         gtl_rt = gtl_rt.astype(jnp.int32)
     kernel = _make_kernel_rt(cfg)
-    win_specs = [
-        pl.BlockSpec((1, cfg.v, cfg.cb),
-                     (lambda t, s, w, su=su, k=k:
-                      (s, 0, w[t, su, s] + k)))
-        for su in range(rt) for k in (0, 1)
-    ]
+    if cfg.ws:
+        win_specs = [
+            pl.BlockSpec((1, cfg.v, cfg.cb),
+                         (lambda t, s, w, k=k: (s, 0, w[t, s] + k)))
+            for k in range(cfg.ws)
+        ]
+    else:
+        win_specs = [
+            pl.BlockSpec((1, cfg.v, cfg.cb),
+                         (lambda t, s, w, su=su, k=k:
+                          (s, 0, w[t, su, s] + k)))
+            for su in range(rt) for k in (0, 1)
+        ]
+    n_win = cfg.ws if cfg.ws else 2 * rt
     gtl_specs = [pl.BlockSpec((1, rt, cfg.bt),
                               lambda t, s, w: (s, t, 0))] \
         if cfg.mixed else []
@@ -782,4 +874,4 @@ def fused_gather_remap_rt(payload, live_rt, inv_rt, nr_rt, recnm_rt,
             grid_spec=grid_spec,
             interpret=interpret,
         )(w2, live_rt, inv_rt, nr_rt, recnm_rt, recnr_rt, *gtl_args,
-          *([payload] * (2 * rt)))
+          *([payload] * n_win))

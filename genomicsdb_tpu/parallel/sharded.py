@@ -183,7 +183,8 @@ def shard_block(mesh: Mesh, blk: CellBlock):
 # sample axis over "row" (ICI) exactly like the XLA sharded step.
 # ---------------------------------------------------------------------------
 
-def _fused_input_specs(mixed: bool = False):
+def _fused_input_specs(mixed: bool = False, ws: int = 0):
+    w2_spec = P("pos", "row") if ws else P("pos", None, "row")
     return (
         P("row", None, None),              # payload [S, V, Cpad]
         P("row", "pos", None),             # live_rt [S, T, bt]
@@ -191,7 +192,7 @@ def _fused_input_specs(mixed: bool = False):
         P("row", "pos", None),             # nr_rt [S, T, bt]
         P("pos", None),                    # recnm_rt [T, bt]
         P("pos", None),                    # recnr_rt [T, bt]
-        P("pos", None, "row"),             # w2 [T2, rt, S]
+        w2_spec,                           # w2 [T2, rt, S] | [T2, S]
     ) + ((P("row", "pos", None),) if mixed else ()) + (   # gtl_rt
         P("pos", "row"),                   # del_rw [B, S]
         P("pos", "row"),                   # live_bs [B, S]
@@ -234,11 +235,11 @@ def sharded_combine_step_fused(mesh: Mesh, cfg, b_local: int,
     }
     try:
         fn = shard_map(step, mesh=mesh,
-                       in_specs=_fused_input_specs(cfg.mixed),
+                       in_specs=_fused_input_specs(cfg.mixed, cfg.ws),
                        out_specs=specs_out, check_vma=False)
     except TypeError:  # pre-0.8 jax
         fn = shard_map(step, mesh=mesh,
-                       in_specs=_fused_input_specs(cfg.mixed),
+                       in_specs=_fused_input_specs(cfg.mixed, cfg.ws),
                        out_specs=specs_out, check_rep=False)
     return jax.jit(fn)
 
@@ -270,6 +271,7 @@ def shard_block_fused(mesh: Mesh, blk: CellBlock, *, max_merged: int,
                               bpad_to=n_pos * cfg.rt * cfg.bt)
     if prep is None:
         return None
+    cfg = prep["cfg"]
     S_p = prep["pay"].shape[0]
     Bp = prep["live_p"].shape[0]
     T = Bp // cfg.bt
@@ -280,7 +282,7 @@ def shard_block_fused(mesh: Mesh, blk: CellBlock, *, max_merged: int,
         prep["nr_t"][:, 0].reshape(S_p, T, cfg.bt),
         prep["recnm2"][0].reshape(T, cfg.bt),
         prep["recnr2"][0].reshape(T, cfg.bt),
-        prep["w0b"].reshape(T // cfg.rt, cfg.rt, S_p),
+        prep["w2"],
     )
     if cfg.mixed:
         gtl = np.asarray(pblk.gt_len_bs)
@@ -293,6 +295,6 @@ def shard_block_fused(mesh: Mesh, blk: CellBlock, *, max_merged: int,
         prep["live_p"].astype(np.int32),
     )
     shardings = tuple(NamedSharding(mesh, s)
-                      for s in _fused_input_specs(cfg.mixed))
+                      for s in _fused_input_specs(cfg.mixed, cfg.ws))
     args = tuple(jax.device_put(a, s) for a, s in zip(arrs, shardings))
     return args, cfg, Bp // n_pos, B, S
