@@ -539,6 +539,17 @@ def host_identity_outputs(blk: CellBlock, rows: np.ndarray,
     G_out, M_out, P_out = widths
     S = blk.live.shape[1]
     live = np.asarray(blk.live)[rows]
+    # native form (same arithmetic at memory speed, threaded): the
+    # numpy expression below costs ~1 s per 20k-record x 100-sample
+    # block and dominated the end-to-end profile
+    from ..runtime import native_loader
+    gtl_r = np.asarray(blk.gt_len_bs)[rows] if mixed_ploidy else None
+    nat = native_loader.identity_outputs(
+        live, blk.pl, blk.pl_len, blk.ad, blk.ad_len, blk.gt, blk.gq,
+        blk.dp, blk.min_dp, gtl_r, widths, blk.ploidy, gt_phase,
+        mixed_ploidy)
+    if nat is not None:
+        return nat
     ok = live >= 0
     kk = np.clip(live, 0, blk.col.shape[1] - 1)
     s_i = np.arange(S)[None, :]

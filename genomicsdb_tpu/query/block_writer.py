@@ -1055,6 +1055,14 @@ class _SampleRenderer:
         return _py_to_col([out])
 
     def _scalar_col(self, arr, bs, mask):
+        if self.native:
+            # masked cells render '.': length-0 entries and MISSING
+            # values produce identical text, so the mask becomes the
+            # length vector and no gathered copy is made
+            r = native_loader.render_strided_lists(
+                np.asarray(arr), np.asarray(bs), mask.astype(np.int64))
+            if r is not None:
+                return r
         vals = np.where(mask, arr[bs], INT_MISSING).astype(np.int32)
         lens = np.ones(mask.shape, dtype=np.int64)
         return self._ints_col(vals.ravel(), lens)
@@ -1103,11 +1111,15 @@ class _SampleRenderer:
             nmm = self.blk.rec_num_merged[bs]
             valid = mask & self.meta.valid_core["AD"][bs]
             ad = self.dev["ad"]
+            lens = np.where(valid, nmm[:, None], 0)
+            if self.native:
+                r = native_loader.render_strided_lists(
+                    ad, np.asarray(bs), lens)
+                if r is not None:
+                    return r
             sel = (np.arange(ad.shape[2]) < nmm[:, None, None]) \
                 & valid[:, :, None]
-            return self._ragged_ints(ad[bs][sel],
-                                     np.where(valid, nmm[:, None], 0),
-                                     mask)
+            return self._ragged_ints(ad[bs][sel], lens, mask)
         if nm == "PL":
             nmm = self.blk.rec_num_merged[bs]
             if self.mixed:
@@ -1130,6 +1142,11 @@ class _SampleRenderer:
                 if raw_cells.any():
                     return self._pl_with_raw(pl, bs, lens_out,
                                              raw_cells, mask)
+            if self.native:
+                r = native_loader.render_strided_lists(
+                    pl, np.asarray(bs), lens_out)
+                if r is not None:
+                    return r
             sel = (np.arange(pl.shape[2]) < ng[:, :, None]) \
                 & valid[:, :, None]
             return self._ragged_ints(pl[bs][sel], lens_out, mask)
@@ -1143,19 +1160,33 @@ class _SampleRenderer:
         valid = mask & ex.valid[bs]
         if spec.wkind in ("scalar", "fixed"):
             w = spec.width
+            if self.native:
+                r = native_loader.render_strided_lists(
+                    ex.vals, np.asarray(bs), np.where(valid, w, 0))
+                if r is not None:
+                    return r
             sel_vals = ex.vals[bs][valid]
             return self._ragged_ints(sel_vals.reshape(-1),
                                      np.where(valid, w, 0), mask)
         if spec.wkind in ("A", "R"):
             off = 1 if spec.wkind == "A" else 0
             wrec = self.blk.rec_num_merged[bs] - off
+            lens = np.where(valid, wrec[:, None], 0)
+            if self.native:
+                r = native_loader.render_strided_lists(
+                    ex.vals, np.asarray(bs), lens)
+                if r is not None:
+                    return r
             sel = (np.arange(ex.vals.shape[2]) < wrec[:, None, None]) \
                 & valid[:, :, None]
-            return self._ragged_ints(ex.vals[bs][sel],
-                                     np.where(valid, wrec[:, None], 0),
-                                     mask)
+            return self._ragged_ints(ex.vals[bs][sel], lens, mask)
         # VAR: per-sample own length
         lens = np.where(valid, ex.lens[bs], 0)
+        if self.native:
+            r = native_loader.render_strided_lists(
+                ex.vals, np.asarray(bs), lens)
+            if r is not None:
+                return r
         sel = np.arange(ex.vals.shape[2])[None, None, :] \
             < lens[:, :, None]
         return self._ragged_ints(ex.vals[bs][sel], lens, mask)

@@ -14,6 +14,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <vector>
+#include <thread>
+#include <algorithm>
 
 namespace {
 
@@ -725,4 +727,198 @@ extern "C" int64_t gdb_assemble_lines(
     out_offs[i + 1] = w - out;
   }
   return w - out;
+}
+
+// ---------------------------------------------------------------------------
+// Identity combine outputs for REF-BLOCK-ONLY records (the host half of
+// the variant-row-only device fetch).  Mirrors
+// ops/combine_step.py::host_identity_outputs exactly — for these rows
+// the allele LUT is the identity [REF, NON_REF] and the combine
+// degenerates to a masked passthrough (reference semantics:
+// broad_combined_gvcf.cc handle_* on pure reference blocks).  The numpy
+// form costs ~1 s per 20k-record x 100-sample block; this loop is the
+// same arithmetic at memory speed, threaded over records.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int32_t INT_VECTOR_END = INT32_MIN + 1;
+
+struct IdentArgs {
+  const int32_t* live;   // [B, S]
+  int64_t B, S, C;
+  const int32_t* pl; int64_t wpl;    // [S, C, wpl]
+  const int32_t* pl_len;             // [S, C]
+  const int32_t* ad; int64_t wad;
+  const int32_t* ad_len;
+  const int32_t* gt; int64_t wgt;
+  const int32_t* gq;
+  const int32_t* dp;
+  const int32_t* min_dp;
+  const int32_t* gt_len;             // [B, S] (mixed) or nullptr
+  int64_t g_out, m_out, p_out;
+  int32_t ploidy, gt_phase, mixed;
+  int32_t* pl_o; int32_t* ad_o; int32_t* gt_o;
+  int32_t* gq_o; int32_t* dp_o; int32_t* mdp_o;
+};
+
+void ident_rows(const IdentArgs& a, int64_t b0, int64_t b1) {
+  for (int64_t b = b0; b < b1; ++b) {
+    for (int64_t s = 0; s < a.S; ++s) {
+      const int64_t bs = b * a.S + s;
+      const int32_t k = a.live[bs];
+      const bool ok = k >= 0;
+      int64_t kk = k < 0 ? 0 : k;
+      if (kk > a.C - 1) kk = a.C - 1;
+      const int64_t sc = s * a.C + kk;
+      int32_t p_b;
+      if (a.mixed) {
+        const int32_t gl = a.gt_len[bs];
+        p_b = a.gt_phase ? (gl + 1) / 2 : gl;
+      } else {
+        p_b = a.ploidy;
+      }
+      // PL: genotypes over [REF, NON_REF] at ploidy p are slots <= p,
+      // gated by pl_len; mixed ploidy-0 calls read VECTOR_END
+      int32_t* plo = a.pl_o + bs * a.g_out;
+      const int32_t plen = ok ? a.pl_len[sc] : 0;
+      for (int64_t g = 0; g < a.g_out; ++g) {
+        int32_t v = INT_MISSING;
+        if (ok && g <= p_b && g < plen && g < a.wpl)
+          v = a.pl[sc * a.wpl + g];
+        if (a.mixed && p_b == 0) v = INT_VECTOR_END;
+        plo[g] = v;
+      }
+      // AD: slots m < num_merged (=2) gated by ad_len
+      int32_t* ado = a.ad_o + bs * a.m_out;
+      const int32_t alen = ok ? a.ad_len[sc] : 0;
+      for (int64_t m = 0; m < a.m_out; ++m) {
+        int32_t v = INT_MISSING;
+        if (ok && m < 2 && m < alen && m < a.wad)
+          v = a.ad[sc * a.wad + m];
+        ado[m] = v;
+      }
+      // GT: identity allele remap with NON_REF fallback (merged idx 1)
+      int32_t* gto = a.gt_o + bs * a.p_out;
+      for (int64_t p = 0; p < a.p_out; ++p) {
+        int32_t raw = (ok && p < a.wgt) ? a.gt[sc * a.wgt + p]
+                                        : INT_MISSING;
+        int32_t o;
+        if (a.gt_phase && (p % 2) == 1) {
+          o = raw;
+        } else {
+          o = (raw >= 0) ? (raw < 2 ? raw : 1) : raw;
+        }
+        if (a.mixed) {
+          const int32_t gl = a.gt_len[bs];
+          if (p >= gl) o = INT_VECTOR_END;
+        }
+        gto[p] = o;
+      }
+      a.gq_o[bs] = ok ? a.gq[sc] : INT_MISSING;
+      a.dp_o[bs] = ok ? a.dp[sc] : INT_MISSING;
+      a.mdp_o[bs] = ok ? a.min_dp[sc] : INT_MISSING;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" int gdb_identity_outputs(
+    const int32_t* live, int64_t B, int64_t S, int64_t C,
+    const int32_t* pl, int64_t wpl, const int32_t* pl_len,
+    const int32_t* ad, int64_t wad, const int32_t* ad_len,
+    const int32_t* gt, int64_t wgt,
+    const int32_t* gq, const int32_t* dp, const int32_t* min_dp,
+    const int32_t* gt_len,
+    int64_t g_out, int64_t m_out, int64_t p_out,
+    int32_t ploidy, int32_t gt_phase, int32_t mixed,
+    int32_t* pl_o, int32_t* ad_o, int32_t* gt_o,
+    int32_t* gq_o, int32_t* dp_o, int32_t* mdp_o) {
+  if (B <= 0 || S <= 0 || C <= 0) return 0;
+  if (mixed && gt_len == nullptr) return -1;
+  IdentArgs a{live, B, S, C, pl, wpl, pl_len, ad, wad, ad_len,
+              gt, wgt, gq, dp, min_dp, gt_len, g_out, m_out, p_out,
+              ploidy, gt_phase, mixed, pl_o, ad_o, gt_o,
+              gq_o, dp_o, mdp_o};
+  const int64_t cells = B * S;
+  int nthreads = 1;
+  if (cells >= 1 << 16) {
+    unsigned hw = std::thread::hardware_concurrency();
+    nthreads = hw ? static_cast<int>(hw) : 4;
+    if (nthreads > 8) nthreads = 8;
+    if (static_cast<int64_t>(nthreads) > B) nthreads = static_cast<int>(B);
+  }
+  if (nthreads <= 1) {
+    ident_rows(a, 0, B);
+    return 0;
+  }
+  std::vector<std::thread> ts;
+  const int64_t step = (B + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    const int64_t lo = t * step;
+    const int64_t hi = std::min(B, lo + step);
+    if (lo >= hi) break;
+    ts.emplace_back(ident_rows, std::cref(a), lo, hi);
+  }
+  for (auto& t : ts) t.join();
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Strided ragged int renderer: the FORMAT-column hot path.  Renders
+// entry (r, s) as vals[rows[r], s, 0:lens[r*S+s]] joined by `delim`
+// ('.' when the length is 0; INT32_MIN renders '.').  Replaces the
+// numpy gather-then-boolean-mask pipeline (pl[bs][sel]) that copied
+// each [R, S, W] column twice before rendering.  Text semantics are
+// exactly gdb_render_int_lists'.
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t gdb_render_strided_lists(
+    const int32_t* vals, int64_t S, int64_t W,
+    const int64_t* rows, int64_t R,
+    const int64_t* lens, char delim, char* out, int64_t out_cap,
+    int64_t* out_offsets) {
+  int64_t w = 0;
+  out_offsets[0] = 0;
+  char buf[16];
+  int64_t i = 0;
+  for (int64_t r = 0; r < R; ++r) {
+    const int64_t b = rows[r];
+    for (int64_t s = 0; s < S; ++s, ++i) {
+      int64_t n = lens[i];
+      if (n > W) n = W;
+      if (n <= 0) {
+        if (w + 1 > out_cap) return -1;
+        out[w++] = '.';
+        out_offsets[i + 1] = w;
+        continue;
+      }
+      const int32_t* src = vals + (b * S + s) * W;
+      for (int64_t j = 0; j < n; ++j) {
+        if (j) {
+          if (w + 1 > out_cap) return -1;
+          out[w++] = delim;
+        }
+        const int32_t v = src[j];
+        if (v == INT32_MIN) {
+          if (w + 1 > out_cap) return -1;
+          out[w++] = '.';
+          continue;
+        }
+        char* p = buf + sizeof(buf);
+        bool neg = v < 0;
+        uint32_t u = neg ? static_cast<uint32_t>(-(int64_t)v)
+                         : static_cast<uint32_t>(v);
+        do { *--p = '0' + (u % 10); u /= 10; } while (u);
+        if (neg) *--p = '-';
+        int64_t len = buf + sizeof(buf) - p;
+        if (w + len > out_cap) return -1;
+        std::memcpy(out + w, p, len);
+        w += len;
+      }
+      out_offsets[i + 1] = w;
+    }
+  }
+  return w;
 }

@@ -542,3 +542,104 @@ def split_field(text: bytes, starts: np.ndarray, ends: np.ndarray,
     lib.gdb_split_field(text, starts, ends, n, delim, field_idx, out_s,
                         out_e)
     return out_s, out_e
+
+
+def identity_outputs(live, pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
+                     gt_len, widths, ploidy: int, gt_phase: bool,
+                     mixed: bool):
+    """Native form of combine_step.host_identity_outputs (the ref-block
+    identity passthrough).  Returns the output dict or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_ident_bound"):
+        i64, i32 = ctypes.c_int64, ctypes.c_int32
+        p32 = np.ctypeslib.ndpointer(np.int32)
+        lib.gdb_identity_outputs.restype = ctypes.c_int
+        lib.gdb_identity_outputs.argtypes = [
+            p32, i64, i64, i64,            # live, B, S, C
+            p32, i64, p32,                 # pl, wpl, pl_len
+            p32, i64, p32,                 # ad, wad, ad_len
+            p32, i64,                      # gt, wgt
+            p32, p32, p32,                 # gq, dp, min_dp
+            ctypes.c_void_p,               # gt_len (or NULL)
+            i64, i64, i64,                 # g_out, m_out, p_out
+            i32, i32, i32,                 # ploidy, gt_phase, mixed
+            p32, p32, p32, p32, p32, p32]  # outputs
+        lib._ident_bound = True
+    G_out, M_out, P_out = widths
+    live = np.ascontiguousarray(live, dtype=np.int32)
+    B, S = live.shape
+    C = pl.shape[1]
+    pl = np.ascontiguousarray(pl, dtype=np.int32)
+    ad = np.ascontiguousarray(ad, dtype=np.int32)
+    gt = np.ascontiguousarray(gt, dtype=np.int32)
+    out = {
+        "pl": np.empty((B, S, G_out), np.int32),
+        "ad": np.empty((B, S, M_out), np.int32),
+        "gt": np.empty((B, S, P_out), np.int32),
+        "gq": np.empty((B, S), np.int32),
+        "dp_format": np.empty((B, S), np.int32),
+        "min_dp": np.empty((B, S), np.int32),
+    }
+    if mixed:
+        gt_len = np.ascontiguousarray(gt_len, dtype=np.int32)
+        gtl_ptr = gt_len.ctypes.data_as(ctypes.c_void_p)
+    else:
+        gtl_ptr = None
+    rc = lib.gdb_identity_outputs(
+        live, B, S, C,
+        pl, pl.shape[2], np.ascontiguousarray(pl_len, dtype=np.int32),
+        ad, ad.shape[2], np.ascontiguousarray(ad_len, dtype=np.int32),
+        gt, gt.shape[2],
+        np.ascontiguousarray(gq, dtype=np.int32),
+        np.ascontiguousarray(dp, dtype=np.int32),
+        np.ascontiguousarray(min_dp, dtype=np.int32),
+        gtl_ptr, G_out, M_out, P_out,
+        int(ploidy), int(bool(gt_phase)), int(bool(mixed)),
+        out["pl"], out["ad"], out["gt"], out["gq"], out["dp_format"],
+        out["min_dp"])
+    if rc != 0:
+        return None
+    return out
+
+
+def render_strided_lists(vals: np.ndarray, rows: np.ndarray,
+                         lens: np.ndarray, delim: bytes = b","):
+    """FORMAT-column renderer over the FULL [B, S, W] value tensor:
+    entry (r, s) = vals[rows[r], s, :lens[r, s]] joined by `delim`
+    ('.' for empty; INT32_MIN renders '.').  Avoids the
+    gather-then-boolean-mask numpy copies of the per-column path.
+    Returns (bytes, offsets) like render_int_lists, or None when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_strided_bound"):
+        i64 = ctypes.c_int64
+        lib.gdb_render_strided_lists.restype = i64
+        lib.gdb_render_strided_lists.argtypes = [
+            np.ctypeslib.ndpointer(np.int32), i64, i64,
+            np.ctypeslib.ndpointer(np.int64), i64,
+            np.ctypeslib.ndpointer(np.int64), ctypes.c_char,
+            ctypes.c_char_p, i64, np.ctypeslib.ndpointer(np.int64)]
+        lib._strided_bound = True
+    vals = np.ascontiguousarray(vals, dtype=np.int32)
+    if vals.ndim == 2:
+        vals = vals[:, :, None]
+    B, S, W = vals.shape
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    R = len(rows)
+    n = R * S
+    total = int(np.minimum(lens, W).sum())
+    cap = max(16, total * 12 + n * 2)
+    out = ctypes.create_string_buffer(cap)
+    out_offsets = np.empty(n + 1, dtype=np.int64)
+    w = lib.gdb_render_strided_lists(vals, S, W, rows, R,
+                                     lens.reshape(-1), delim, out, cap,
+                                     out_offsets)
+    if w < 0:
+        raise RuntimeError("strided render overflow")
+    return out.raw[:w], out_offsets
