@@ -147,7 +147,7 @@ def masked_seq_sum_float(vals: jnp.ndarray, ok: jnp.ndarray):
 
 def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
                   dpig, infog, infoig, infofsg, valid, rec_num_merged,
-                  rec_has_nr, gt_lens=None, *,
+                  rec_has_nr, gt_lens=None, med_rows=None, *,
                   max_merged: int, ploidy: int, gt_phase: bool = False,
                   mixed_ploidy: bool = False,
                   axis_name: Optional[str] = None
@@ -189,8 +189,21 @@ def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
                                gt_phase,
                                gt_lens if mixed_ploidy else None)
 
+    if med_rows is not None:
+        # INFO median/sum reductions (the only sort on the hot path)
+        # restricted to the rows that carry ANY valid median/sum input
+        # (meta.med_rows, a host-exact superset of device validity) —
+        # outputs come back [F, len(med_rows)] and the writer scatters
+        # them to full width with ok=False elsewhere, which is exactly
+        # what full-width computation would have produced
+        infog = infog[:, med_rows]
+        infoig = infoig[:, med_rows]
+        infofsg = infofsg[:, med_rows]
+        med_valid = valid[med_rows]
+    else:
+        med_valid = valid
     out = _reduce_math(gqg, dpfg, mdpg, dpig, infog, infoig, infofsg,
-                       valid, axis_name=axis_name)
+                       med_valid, axis_name=axis_name)
     out.update({"pl": pl_out, "ad": ad_out, "gt": gt_out})
     return out
 
@@ -274,7 +287,7 @@ def gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp, dp_info,
 def combine_step(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                  dp_info, info_f, info_i, info_fs, inv_bs, nr_bs,
                  rec_num_merged, rec_has_nr, live, del_rw=None,
-                 gt_len_bs=None, *,
+                 gt_len_bs=None, med_rows=None, *,
                  max_merged: int, ploidy: int, gt_phase: bool = False,
                  mixed_ploidy: bool = False) -> Dict[str, jnp.ndarray]:
     # per-chunk args may arrive narrowed (int8/int16) to cut the
@@ -291,7 +304,7 @@ def combine_step(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                         g["adlg"], g["gtg"], g["gqg"], g["dpfg"],
                         g["mdpg"], g["dpig"], g["infog"], g["infoig"],
                         g["infofsg"], g["valid"], rec_num_merged,
-                        rec_has_nr, gt_len_bs,
+                        rec_has_nr, gt_len_bs, med_rows,
                         max_merged=max_merged, ploidy=ploidy,
                         gt_phase=gt_phase, mixed_ploidy=mixed_ploidy)
     out["live"] = live
@@ -463,13 +476,19 @@ def fetch_outputs(out: Dict, packed: Optional[Dict] = None
     return dev
 
 
+IDENT_KEYS = ("pl", "ad", "gt", "gq", "dp_format", "min_dp")
+
+
 def fetch_outputs_split(out: Dict, packed: Dict, var_rows: np.ndarray,
-                        ref_rows: np.ndarray, ident: Dict[str, np.ndarray]
-                        ) -> Dict[str, np.ndarray]:
+                        ref_rows: np.ndarray, ident) -> Dict[str,
+                                                             np.ndarray]:
     """Assemble full-size host outputs from a variant-row-only device
     fetch (pack_outputs(rows=var_rows)) plus host-reconstructed
-    ref-block rows (`ident` from host_identity_outputs).  Reductions
-    and int32 overflow fallbacks fetch full."""
+    ref-block rows.  `ident` is either the host_identity_outputs dict,
+    or a callable `fill(full_arrays) -> bool` that writes the ref rows
+    straight into the preallocated full arrays (the native scatter path
+    — no intermediate [Bref, S, W] copies).  Reductions and int32
+    overflow fallbacks fetch full."""
     import jax
     fits = jax.device_get({k: v for k, v in packed.items()
                            if k.endswith("__fits")})
@@ -488,6 +507,7 @@ def fetch_outputs_split(out: Dict, packed: Dict, var_rows: np.ndarray,
     B = out["live"].shape[0] if hasattr(out.get("live"), "shape") \
         else len(var_rows) + len(ref_rows)
     dev: Dict[str, np.ndarray] = {}
+    ident_full: Dict[str, np.ndarray] = {}
     for k, v in got.items():
         v = np.asarray(v)
         if k in narrow:
@@ -505,11 +525,22 @@ def fetch_outputs_split(out: Dict, packed: Dict, var_rows: np.ndarray,
                 # of emitted rows — all covered by the scatter
                 full = np.empty((B,) + w.shape[1:], dtype=np.int32)
             full[var_rows] = w
-            if k in ident:
-                full[ref_rows] = ident[k]
+            if k in IDENT_KEYS:
+                ident_full[k] = full
             dev[k] = full
         else:
             dev[k] = v
+    if ident_full:
+        filled = False
+        ident_dict = ident if isinstance(ident, dict) else None
+        if callable(ident) and set(ident_full) == set(IDENT_KEYS):
+            filled = bool(ident(ident_full))
+        if not filled:
+            if ident_dict is None:
+                ident_dict = ident(None) if callable(ident) else {}
+            for k, full in ident_full.items():
+                if k in ident_dict:
+                    full[ref_rows] = ident_dict[k]
     return dev
 
 

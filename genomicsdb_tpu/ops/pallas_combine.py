@@ -482,7 +482,8 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
                        gt_phase: bool = False,
                        interpret: bool = False,
                        rt: int = 0,
-                       mixed_ploidy: bool = False):
+                       mixed_ploidy: bool = False,
+                       med_rows=None):
     """combine_step built on the fused kernel.  Returns the same output
     dict, or None when the window premise fails for this block (caller
     falls back to the XLA path).  `rt` > 1 selects the sublane-packed
@@ -540,12 +541,12 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
                                  recnr2, prep["w0b"], cfg=cfg,
                                  interpret=interpret)
     return _fused_post(out, prep["del_rw_p"], live_p, cfg, B,
-                       _reduce_math)
+                       _reduce_math, med_rows)
 
 
 @partial(jax.jit, static_argnames=("cfg", "b_real", "reduce_fn"))
 def _fused_post(out, del_rw_p, live_p, cfg: FusedConfig, b_real: int,
-                reduce_fn):
+                reduce_fn, med_rows=None):
     """Split the stacked [S, Vout, Bpad] kernel output into the
     combine_step dict and run the XLA reductions."""
     ro = cfg.out_rows
@@ -583,7 +584,18 @@ def _fused_post(out, del_rw_p, live_p, cfg: FusedConfig, b_real: int,
     infoig = jnp.where(iok, infoig, INT_MISSING) if cfg.f_imed else infoig
     infofsg = jnp.where(iok, infofsg, jnp.nan) if cfg.f_fsum else infofsg
     valid_b = (live_p >= 0)[:b_real]              # [B, S]
-    res = reduce_fn(gq, dpf, mdp, dpi, infog, infoig, infofsg, valid_b)
+    if med_rows is not None:
+        # restrict the INFO median/sum sorts to rows carrying any valid
+        # input (meta.med_rows); the writer scatters the [F, Bv] result
+        # back to full width with ok=False elsewhere — byte-identical
+        infog = infog[:, med_rows]
+        infoig = infoig[:, med_rows]
+        infofsg = infofsg[:, med_rows]
+        med_valid = valid_b[med_rows]
+    else:
+        med_valid = valid_b
+    res = reduce_fn(gq, dpf, mdp, dpi, infog, infoig, infofsg,
+                    med_valid)
     res["pl"] = to_bsx(rows("pl"))
     res["ad"] = to_bsx(rows("ad"))
     res["gt"] = to_bsx(rows("gt"))

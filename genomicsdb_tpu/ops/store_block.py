@@ -183,6 +183,8 @@ class BlockRecordMeta:
     valid_core: dict = None        # name -> [B, S] effective validity
     gt_override: dict = None       # (b, s) -> merged-space GT vector
     # (produce_GT spanning-deletion min-PL rewrites, host-computed)
+    med_rows: np.ndarray = None    # [Bv] rows with any valid INFO
+    # median/sum input — the combine's sorts restrict to these
 
 
 def _block_ploidy(store: ColumnarStore, qc: QueryConfig,
@@ -1097,6 +1099,25 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                                       eff_valid_bs(nm_h) & ~del_rw)
     valid_core = {name: eff_valid_bs(name)
                   for name in CORE_FMT if name in store.fields}
+    # rows carrying ANY valid INFO median/sum input (exact superset of
+    # device-side validity): the combine restricts its cross-sample
+    # sorts to these rows — on wide cohorts the [F, B, S] median sorts
+    # are most of the device time, and gVCF ref bands carry none
+    med_rows = np.zeros(0, dtype=np.int64)
+    if info_f.shape[0] or info_i.shape[0] or info_fs.shape[0]:
+        med_any = lay.get("med_any_sc")
+        if med_any is None:
+            med_any = np.zeros(info_f.shape[1:] if info_f.shape[0]
+                               else (S, C), dtype=bool)
+            if info_f.shape[0]:
+                med_any |= np.isfinite(info_f).any(axis=0)
+            if info_i.shape[0]:
+                med_any |= (info_i != INT_MISSING).any(axis=0)
+            if info_fs.shape[0]:
+                med_any |= np.isfinite(info_fs).any(axis=0)
+            lay["med_any_sc"] = med_any
+        has_med = (live_ok & med_any[s_grid, live_k]).any(axis=1)
+        med_rows = np.nonzero(has_med)[0]
     meta = BlockRecordMeta(ends=rec_ends, refs=rec_refs,
                            alts=rec_alts,
                            is_ref_block_only=rec_refonly,
@@ -1104,7 +1125,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                            needs_fallback=rec_hasother,
                            plan=plan, extras=extras,
                            cells_mat=cells_mat, valid_core=valid_core,
-                           gt_override=gt_override)
+                           gt_override=gt_override, med_rows=med_rows)
     return blk, meta
 
 

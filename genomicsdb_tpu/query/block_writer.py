@@ -127,6 +127,8 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
                         and not (((blk.gt_len_bs == gt_w)
                                   | (blk.live < 0)).all()))
     import os as _os
+    med_restrict = None     # (rows, n) when the combine's INFO sorts
+    # were restricted to meta.med_rows — the fetch scatters them back
     if mesh is not None:
         from ..parallel.sharded import (pad_block_for_mesh, shard_block,
                                         shard_block_fused,
@@ -186,6 +188,20 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
         live = np.asarray(blk.live)
     else:
         out = None
+        # INFO median/sum restriction: only rows with any valid input
+        # (meta.med_rows) enter the cross-sample sorts; bucket-padded
+        # (repeating row 0) so repeated queries reuse compiled steps
+        med_rows_p = None
+        n_med = 0
+        mr = getattr(meta, "med_rows", None)
+        B0 = blk.live.shape[0] if blk.live is not None else 0
+        if mr is not None and B0 and len(mr) < (3 * B0) // 4:
+            n_med = len(mr)
+            bucket = 8
+            while bucket < n_med:
+                bucket *= 2
+            med_rows_p = np.zeros(bucket, np.int32)
+            med_rows_p[:n_med] = mr
         fused_flag = _os.environ.get("GENOMICSDB_TPU_FUSED")
         use_fused = (fused_flag == "1"
                      or (fused_flag != "0" and jnp_backend_is_tpu()))
@@ -198,13 +214,17 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
                                      ploidy=ploidy,
                                      gt_phase=plan.gt_phase,
                                      mixed_ploidy=mixed_ploidy,
-                                     interpret=not jnp_backend_is_tpu())
+                                     interpret=not jnp_backend_is_tpu(),
+                                     med_rows=med_rows_p)
         if out is None:
             from ..ops.combine_step import block_to_args_cached
             out = combine_step(*block_to_args_cached(blk),
+                               med_rows=med_rows_p,
                                max_merged=max_merged,
                                ploidy=ploidy, gt_phase=plan.gt_phase,
                                mixed_ploidy=mixed_ploidy)
+        if med_rows_p is not None:
+            med_restrict = (mr, n_med)
         live = None
     # through a tunnel/remote attachment the output FETCH dominates at
     # production widths.  Two compactions (GENOMICSDB_TPU_PACK=0 opts
@@ -245,8 +265,22 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
         # 2-D presence columns are MISSING-filled in fetch_outputs_split
         ref_emitted = ref_rows[(np.asarray(blk.live)[ref_rows] >= 0)
                                .any(axis=1)]
-        ident = host_identity_outputs(blk, ref_emitted, widths,
-                                      plan.gt_phase, mixed_ploidy)
+        def ident(full):
+            """full != None: native scatter of the ref-row identity
+            passthrough straight into the full-size arrays; None:
+            the dict fallback (host_identity_outputs)."""
+            if full is None:
+                return host_identity_outputs(blk, ref_emitted, widths,
+                                             plan.gt_phase, mixed_ploidy)
+            from ..runtime import native_loader
+            gtl_r = np.asarray(blk.gt_len_bs)[ref_emitted] \
+                if mixed_ploidy else None
+            return native_loader.identity_outputs(
+                np.asarray(blk.live)[ref_emitted], blk.pl, blk.pl_len,
+                blk.ad, blk.ad_len, blk.gt, blk.gq, blk.dp, blk.min_dp,
+                gtl_r, widths, blk.ploidy, plan.gt_phase, mixed_ploidy,
+                out=full, dest_rows=ref_emitted) is not None
+
         dev = fetch_outputs_split(out, packed, var_rows, ref_emitted,
                                   ident)
     else:
@@ -256,6 +290,23 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
     else:
         dev["live"] = live
     B, S = live.shape
+    if med_restrict is not None:
+        # scatter the row-restricted INFO reductions back to full
+        # width; rows outside med_rows read ok=False — exactly what
+        # full-width computation produces at rows with no valid input
+        mrows, n_med = med_restrict
+        for key in ("info_median", "info_imedian", "info_fsum"):
+            v = dev.get(key)
+            okk = dev.get(key + "_ok")
+            if v is None or v.shape[1] == B:
+                continue
+            fullv = np.zeros((v.shape[0], B), v.dtype)
+            fullo = np.zeros((okk.shape[0], B), dtype=bool)
+            if n_med:
+                fullv[:, mrows] = v[:, :n_med]
+                fullo[:, mrows] = np.asarray(okk)[:, :n_med]
+            dev[key] = fullv
+            dev[key + "_ok"] = fullo
     live_ok = live >= 0
     starts = blk.starts
     # ---------------- record plan: block vs splice runs ----------------
@@ -462,15 +513,34 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
         renderer = _SampleRenderer(plan, fmt_specs, meta, blk, dev, live,
                                    ploidy, store,
                                    mixed_ploidy=mixed_ploidy)
+        group_cols = [] if renderer.native else None
         for code, idxs in groups.items():
             sig = sig_of(code)
-            texts = renderer.render_group(sig, bs_arr[idxs])
-            for i, t in zip(idxs, texts):
-                rec_text[i] = t
+            if group_cols is not None:
+                col = renderer.render_group_col(sig, bs_arr[idxs])
+                group_cols.append((col, idxs))
+            else:
+                texts = renderer.render_group(sig, bs_arr[idxs])
+                for i, t in zip(idxs, texts):
+                    rec_text[i] = t
             names = [sp.vcf_name for sp, pr in zip(fmt_specs, sig) if pr]
             if sig[-1]:
                 names.append("DP")
             fmt_strings[code] = ":".join(names) if names else "."
+        if group_cols is not None:
+            # scatter-concatenate the group blobs by record index: no
+            # per-record byte strings are materialized
+            lens = np.zeros(nb, np.int64)
+            for (arr, offs), idxs in group_cols:
+                lens[idxs] = np.diff(offs)
+            samp_offs = np.zeros(nb + 1, np.int64)
+            np.cumsum(lens, out=samp_offs[1:])
+            blob = np.empty(int(samp_offs[-1]), np.uint8)
+            for (arr, offs), idxs in group_cols:
+                native_loader.copy_segments(
+                    np.asarray(arr), offs[:-1], np.diff(offs),
+                    samp_offs[:-1][idxs], blob)
+            rec_text = (blob, samp_offs)
     block_lines_text = _assemble_block_lines(
         nb, block_bs, bs_arr, c_idx, c_names, c_offsets, starts, meta,
         refs, alt_txts, info_txt, id_txt, qual_txt, filt_txt,
@@ -584,7 +654,8 @@ def _assemble_block_lines(nb, block_bs, bs_arr, c_idx, c_names, c_offsets,
             fmt_idx = np.fromiter(
                 (code_order[c] for c in sig_codes.tolist()),
                 dtype=np.int32, count=nb)
-            samp_col = _strs_to_col([t or "" for t in rec_text])
+            samp_col = rec_text if isinstance(rec_text, tuple) \
+                else _strs_to_col([t or "" for t in rec_text])
         else:
             fmt_blob, fmt_offs = b"", np.zeros(1, dtype=np.int64)
             fmt_idx = np.full(nb, -1, dtype=np.int32)
@@ -1002,7 +1073,37 @@ class _SampleRenderer:
             self.ploidy_bs = None
         self.native = native_loader.get_lib() is not None
 
+    def render_group_col(self, sig, bs):
+        """(uint8 blob, offsets[R+1]) of the tab-joined sample columns
+        per record — the zero-slicing native form of render_group (the
+        caller scatter-concatenates group blobs by record index instead
+        of materializing per-record byte strings)."""
+        if not self.native:
+            return None
+        mask = self.live[bs] >= 0                  # [R, S]
+        R, S = mask.shape
+        descs = []
+        mask64 = mask.astype(np.int64)
+        for spec, pres in zip(self.fmt_specs, sig[:-1]):
+            if not pres:
+                continue
+            descs.append(self._column_desc(spec, bs, mask, mask64))
+        if sig[-1]:   # trailing DP
+            descs.append(("ints", np.asarray(self.dev["dp_format"]),
+                          mask64, b","))
+        if not descs:
+            row = ("\t".join("." for _ in range(S))).encode()
+            blob = np.frombuffer(row * R, dtype=np.uint8)
+            offs = np.arange(R + 1, dtype=np.int64) * len(row)
+            return blob, offs
+        return native_loader.render_group_fused(descs, np.asarray(bs), S)
+
     def render_group(self, sig, bs) -> List[str]:
+        col = self.render_group_col(sig, bs)
+        if col is not None:
+            recs, rec_offs = col
+            return [bytes(recs[rec_offs[r]:rec_offs[r + 1]])
+                    for r in range(len(rec_offs) - 1)]
         mask = self.live[bs] >= 0                  # [R, S]
         R, S = mask.shape
         columns = []
@@ -1015,13 +1116,6 @@ class _SampleRenderer:
                                             mask))
         if not columns:
             return ["\t".join("." for _ in range(S))] * R
-        if self.native:
-            entries, entry_offs = native_loader.join_columns(columns,
-                                                             b":")
-            recs, rec_offs = native_loader.join_rows(entries, entry_offs,
-                                                     S, b"\t")
-            return [recs[rec_offs[r]:rec_offs[r + 1]]
-                    for r in range(R)]
         # pure-Python join
         texts = []
         ncol = len(columns)
@@ -1066,6 +1160,61 @@ class _SampleRenderer:
         vals = np.where(mask, arr[bs], INT_MISSING).astype(np.int32)
         lens = np.ones(mask.shape, dtype=np.int64)
         return self._ints_col(vals.ravel(), lens)
+
+    def _column_desc(self, spec, bs, mask, mask64=None):
+        """render_group_fused descriptor for one FORMAT column —
+        ("ints", vals, lens, delim) / ("dots", lens, delim) pass the
+        raw tensors straight to the one-pass native renderer;
+        python-loop columns (GT text, char/float extras, raw-PL mixed
+        cells) pre-render to a ("blob", bytes, offsets) span."""
+        nm = spec.name
+        if spec.kind == "gt":
+            produce = self.plan.produce_gt
+            phase = self.plan.gt_phase
+            if not produce and not phase:
+                per_p = self.ploidy_bs[bs] if self.mixed else self.ploidy
+                return ("dots", np.where(mask, per_p, 0), b"/")
+            return ("blob",) + self._column(spec, bs, mask)
+        if mask64 is None:
+            mask64 = mask.astype(np.int64)
+        if nm == "GQ":
+            return ("ints", np.asarray(self.dev["gq"]), mask64, b",")
+        if nm == "MIN_DP":
+            return ("ints", np.asarray(self.dev["min_dp"]), mask64,
+                    b",")
+        if nm == "AD":
+            nmm = self.blk.rec_num_merged[bs]
+            valid = mask & self.meta.valid_core["AD"][bs]
+            return ("ints", np.asarray(self.dev["ad"]),
+                    np.where(valid, nmm[:, None], 0), b",")
+        if nm == "PL":
+            nmm = self.blk.rec_num_merged[bs]
+            if self.mixed:
+                ng = _num_genotypes_ploidy(nmm[:, None],
+                                           self.ploidy_bs[bs])
+            else:
+                ng = _num_genotypes(nmm, self.ploidy)[:, None]
+            valid = mask & self.meta.valid_core["PL"][bs]
+            lens_out = np.where(valid, ng, 0)
+            if self.mixed:
+                raw_cells = (self.meta.is_ref_block_only[bs][:, None]
+                             & (self.ploidy_bs[bs] == 0) & valid)
+                if raw_cells.any():
+                    return ("blob",) + self._column(spec, bs, mask)
+            return ("ints", np.asarray(self.dev["pl"]), lens_out, b",")
+        ex = self.meta.extras[nm]
+        if spec.kind in ("char", "float"):
+            return ("blob",) + self._column(spec, bs, mask)
+        valid = mask & ex.valid[bs]
+        if spec.wkind in ("scalar", "fixed"):
+            return ("ints", ex.vals, np.where(valid, spec.width, 0),
+                    b",")
+        if spec.wkind in ("A", "R"):
+            off = 1 if spec.wkind == "A" else 0
+            wrec = self.blk.rec_num_merged[bs] - off
+            return ("ints", ex.vals, np.where(valid, wrec[:, None], 0),
+                    b",")
+        return ("ints", ex.vals, np.where(valid, ex.lens[bs], 0), b",")
 
     def _column(self, spec, bs, mask):
         nm = spec.name

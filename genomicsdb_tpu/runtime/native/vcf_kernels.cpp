@@ -746,6 +746,7 @@ constexpr int32_t INT_VECTOR_END = INT32_MIN + 1;
 
 struct IdentArgs {
   const int32_t* live;   // [B, S]
+  const int64_t* dest;   // output row of record b (nullptr: b)
   int64_t B, S, C;
   const int32_t* pl; int64_t wpl;    // [S, C, wpl]
   const int32_t* pl_len;             // [S, C]
@@ -764,8 +765,10 @@ struct IdentArgs {
 
 void ident_rows(const IdentArgs& a, int64_t b0, int64_t b1) {
   for (int64_t b = b0; b < b1; ++b) {
+    const int64_t bo = a.dest ? a.dest[b] : b;
     for (int64_t s = 0; s < a.S; ++s) {
       const int64_t bs = b * a.S + s;
+      const int64_t bso = bo * a.S + s;
       const int32_t k = a.live[bs];
       const bool ok = k >= 0;
       int64_t kk = k < 0 ? 0 : k;
@@ -780,7 +783,7 @@ void ident_rows(const IdentArgs& a, int64_t b0, int64_t b1) {
       }
       // PL: genotypes over [REF, NON_REF] at ploidy p are slots <= p,
       // gated by pl_len; mixed ploidy-0 calls read VECTOR_END
-      int32_t* plo = a.pl_o + bs * a.g_out;
+      int32_t* plo = a.pl_o + bso * a.g_out;
       const int32_t plen = ok ? a.pl_len[sc] : 0;
       for (int64_t g = 0; g < a.g_out; ++g) {
         int32_t v = INT_MISSING;
@@ -790,7 +793,7 @@ void ident_rows(const IdentArgs& a, int64_t b0, int64_t b1) {
         plo[g] = v;
       }
       // AD: slots m < num_merged (=2) gated by ad_len
-      int32_t* ado = a.ad_o + bs * a.m_out;
+      int32_t* ado = a.ad_o + bso * a.m_out;
       const int32_t alen = ok ? a.ad_len[sc] : 0;
       for (int64_t m = 0; m < a.m_out; ++m) {
         int32_t v = INT_MISSING;
@@ -799,7 +802,7 @@ void ident_rows(const IdentArgs& a, int64_t b0, int64_t b1) {
         ado[m] = v;
       }
       // GT: identity allele remap with NON_REF fallback (merged idx 1)
-      int32_t* gto = a.gt_o + bs * a.p_out;
+      int32_t* gto = a.gt_o + bso * a.p_out;
       for (int64_t p = 0; p < a.p_out; ++p) {
         int32_t raw = (ok && p < a.wgt) ? a.gt[sc * a.wgt + p]
                                         : INT_MISSING;
@@ -815,9 +818,9 @@ void ident_rows(const IdentArgs& a, int64_t b0, int64_t b1) {
         }
         gto[p] = o;
       }
-      a.gq_o[bs] = ok ? a.gq[sc] : INT_MISSING;
-      a.dp_o[bs] = ok ? a.dp[sc] : INT_MISSING;
-      a.mdp_o[bs] = ok ? a.min_dp[sc] : INT_MISSING;
+      a.gq_o[bso] = ok ? a.gq[sc] : INT_MISSING;
+      a.dp_o[bso] = ok ? a.dp[sc] : INT_MISSING;
+      a.mdp_o[bso] = ok ? a.min_dp[sc] : INT_MISSING;
     }
   }
 }
@@ -825,7 +828,8 @@ void ident_rows(const IdentArgs& a, int64_t b0, int64_t b1) {
 }  // namespace
 
 extern "C" int gdb_identity_outputs(
-    const int32_t* live, int64_t B, int64_t S, int64_t C,
+    const int32_t* live, const int64_t* dest_rows,
+    int64_t B, int64_t S, int64_t C,
     const int32_t* pl, int64_t wpl, const int32_t* pl_len,
     const int32_t* ad, int64_t wad, const int32_t* ad_len,
     const int32_t* gt, int64_t wgt,
@@ -837,9 +841,9 @@ extern "C" int gdb_identity_outputs(
     int32_t* gq_o, int32_t* dp_o, int32_t* mdp_o) {
   if (B <= 0 || S <= 0 || C <= 0) return 0;
   if (mixed && gt_len == nullptr) return -1;
-  IdentArgs a{live, B, S, C, pl, wpl, pl_len, ad, wad, ad_len,
-              gt, wgt, gq, dp, min_dp, gt_len, g_out, m_out, p_out,
-              ploidy, gt_phase, mixed, pl_o, ad_o, gt_o,
+  IdentArgs a{live, dest_rows, B, S, C, pl, wpl, pl_len, ad, wad,
+              ad_len, gt, wgt, gq, dp, min_dp, gt_len, g_out, m_out,
+              p_out, ploidy, gt_phase, mixed, pl_o, ad_o, gt_o,
               gq_o, dp_o, mdp_o};
   const int64_t cells = B * S;
   int nthreads = 1;
@@ -921,4 +925,170 @@ extern "C" int64_t gdb_render_strided_lists(
     }
   }
   return w;
+}
+
+// ---------------------------------------------------------------------------
+// Fused FORMAT-group renderer: emits each record's complete sample
+// columns ("a:b:c\ta:b:c...") in ONE pass from column descriptors,
+// replacing the render -> join_columns -> join_rows pipeline (three
+// full passes over the sample text).  Column kinds:
+//   0 = strided int lists: vals [B,S,W] + lens [R,S] (<=0 -> '.')
+//   1 = pre-rendered blob: blob + offs [R*S+1], spans copied verbatim
+//   2 = missing-call dots: lens [R,S] -> '.' x len joined by delim
+// Threaded two-pass (length pass + write pass) over records.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline int64_t int_text_len(int32_t v) {
+  if (v == INT32_MIN) return 1;          // '.'
+  uint32_t u = v < 0 ? static_cast<uint32_t>(-(int64_t)v)
+                     : static_cast<uint32_t>(v);
+  int64_t n = v < 0 ? 2 : 1;
+  while (u >= 10) { u /= 10; ++n; }
+  return n;
+}
+
+inline int64_t emit_int(char* out, int32_t v) {
+  if (v == INT32_MIN) { *out = '.'; return 1; }
+  char buf[16];
+  char* p = buf + sizeof(buf);
+  bool neg = v < 0;
+  uint32_t u = neg ? static_cast<uint32_t>(-(int64_t)v)
+                   : static_cast<uint32_t>(v);
+  do { *--p = '0' + (u % 10); u /= 10; } while (u);
+  if (neg) *--p = '-';
+  int64_t len = buf + sizeof(buf) - p;
+  std::memcpy(out, p, len);
+  return len;
+}
+
+struct GroupArgs {
+  int64_t n_cols;
+  const int32_t* kinds;
+  const void* const* vals_ptrs;
+  const int64_t* Ws;
+  const void* const* lens_ptrs;
+  const void* const* blob_ptrs;
+  const void* const* offs_ptrs;
+  const char* delims;
+  const int64_t* rows;
+  int64_t R, S;
+};
+
+int64_t group_rec_len(const GroupArgs& a, int64_t r) {
+  int64_t w = 0;
+  for (int64_t s = 0; s < a.S; ++s) {
+    if (s) ++w;                                   // '\t'
+    const int64_t i = r * a.S + s;
+    for (int64_t c = 0; c < a.n_cols; ++c) {
+      if (c) ++w;                                 // ':'
+      const int k = a.kinds[c];
+      if (k == 1) {
+        const int64_t* offs = static_cast<const int64_t*>(a.offs_ptrs[c]);
+        w += offs[i + 1] - offs[i];
+        continue;
+      }
+      const int64_t* lens = static_cast<const int64_t*>(a.lens_ptrs[c]);
+      int64_t n = lens[i];
+      if (k == 2) {
+        w += n <= 0 ? 1 : 2 * n - 1;
+        continue;
+      }
+      const int64_t W = a.Ws[c];
+      if (n > W) n = W;
+      if (n <= 0) { ++w; continue; }
+      const int32_t* src = static_cast<const int32_t*>(a.vals_ptrs[c])
+          + (a.rows[r] * a.S + s) * W;
+      w += n - 1;                                 // delims
+      for (int64_t j = 0; j < n; ++j) w += int_text_len(src[j]);
+    }
+  }
+  return w;
+}
+
+void group_rec_write(const GroupArgs& a, int64_t r, char* out) {
+  int64_t w = 0;
+  for (int64_t s = 0; s < a.S; ++s) {
+    if (s) out[w++] = '\t';
+    const int64_t i = r * a.S + s;
+    for (int64_t c = 0; c < a.n_cols; ++c) {
+      if (c) out[w++] = ':';
+      const int k = a.kinds[c];
+      if (k == 1) {
+        const int64_t* offs = static_cast<const int64_t*>(a.offs_ptrs[c]);
+        const int64_t n = offs[i + 1] - offs[i];
+        std::memcpy(out + w,
+                    static_cast<const char*>(a.blob_ptrs[c]) + offs[i],
+                    n);
+        w += n;
+        continue;
+      }
+      const int64_t* lens = static_cast<const int64_t*>(a.lens_ptrs[c]);
+      int64_t n = lens[i];
+      if (k == 2) {
+        if (n <= 0) { out[w++] = '.'; continue; }
+        const char d = a.delims[c];
+        for (int64_t j = 0; j < n; ++j) {
+          if (j) out[w++] = d;
+          out[w++] = '.';
+        }
+        continue;
+      }
+      const int64_t W = a.Ws[c];
+      if (n > W) n = W;
+      if (n <= 0) { out[w++] = '.'; continue; }
+      const int32_t* src = static_cast<const int32_t*>(a.vals_ptrs[c])
+          + (a.rows[r] * a.S + s) * W;
+      const char d = a.delims[c];
+      for (int64_t j = 0; j < n; ++j) {
+        if (j) out[w++] = d;
+        w += emit_int(out + w, src[j]);
+      }
+    }
+  }
+}
+
+template <typename F>
+void par_records(int64_t R, F f) {
+  int nthreads = 1;
+  if (R >= 256) {
+    unsigned hw = std::thread::hardware_concurrency();
+    nthreads = hw ? static_cast<int>(hw) : 4;
+    if (nthreads > 8) nthreads = 8;
+  }
+  if (nthreads <= 1) { f(int64_t(0), R); return; }
+  std::vector<std::thread> ts;
+  const int64_t step = (R + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    const int64_t lo = t * step;
+    const int64_t hi = std::min(R, lo + step);
+    if (lo >= hi) break;
+    ts.emplace_back([&f, lo, hi]() { f(lo, hi); });
+  }
+  for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" int64_t gdb_render_group(
+    int64_t n_cols, const int32_t* kinds, const void* const* vals_ptrs,
+    const int64_t* Ws, const void* const* lens_ptrs,
+    const void* const* blob_ptrs, const void* const* offs_ptrs,
+    const char* delims, const int64_t* rows, int64_t R, int64_t S,
+    char* out, int64_t cap, int64_t* rec_offs) {
+  GroupArgs a{n_cols, kinds, vals_ptrs, Ws, lens_ptrs, blob_ptrs,
+              offs_ptrs, delims, rows, R, S};
+  rec_offs[0] = 0;
+  par_records(R, [&a, rec_offs](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r)
+      rec_offs[r + 1] = group_rec_len(a, r);
+  });
+  for (int64_t r = 0; r < R; ++r) rec_offs[r + 1] += rec_offs[r];
+  if (rec_offs[R] > cap) return -1;
+  par_records(R, [&a, rec_offs, out](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r)
+      group_rec_write(a, r, out + rec_offs[r]);
+  });
+  return rec_offs[R];
 }

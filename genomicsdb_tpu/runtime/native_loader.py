@@ -161,10 +161,18 @@ def assemble_lines(cidx, pos1, names_blob, name_offs, id_col, ref_col,
         lib._assemble_bound = True
     n = len(pos1)
 
+    keep = []
+
     def blob(col):
         if col is None:
             return None, None
-        return col[0], np.ascontiguousarray(col[1], dtype=np.int64)
+        v = col[0]
+        if isinstance(v, np.ndarray):      # uint8 text blob by address
+            v = np.ascontiguousarray(v)
+            keep.append(v)                 # alive across the call
+            v = ctypes.cast(ctypes.c_void_p(v.ctypes.data),
+                            ctypes.c_char_p)
+        return v, np.ascontiguousarray(col[1], dtype=np.int64)
 
     id_b, id_o = blob(id_col)
     ref_b, ref_o = blob(ref_col)
@@ -175,8 +183,9 @@ def assemble_lines(cidx, pos1, names_blob, name_offs, id_col, ref_col,
     samp_b, samp_o = blob(samp_col)
     cap = int(
         64 * n + len(names_blob) * 0 + sum(
-            len(b) for b in (id_b, ref_b, alt_b, qual_b, filt_b, ex_b,
-                             samp_b) if b is not None)
+            len(c[0]) for c in (id_col, ref_col, alt_col, qual_col,
+                                filt_col, extra_col, samp_col)
+            if c is not None)
         + n * (int(fmt_offs.max()) if len(fmt_offs) else 0) + 1024)
     out_arr, out = _text_buf(cap)
     out_offs = np.empty(n + 1, dtype=np.int64)
@@ -214,7 +223,7 @@ def render_int_lists(values: np.ndarray, offsets: np.ndarray,
         cap, out_offsets)
     if w < 0:
         raise RuntimeError("render overflow")
-    return out_arr[:w].tobytes(), out_offsets
+    return out_arr[:w], out_offsets
 
 
 def join_columns(columns, delim: bytes = b":"):
@@ -229,9 +238,15 @@ def join_columns(columns, delim: bytes = b":"):
     total = sum(len(v) for v, _ in columns) + n * k + 16
     out_arr, out = _text_buf(total)
     out_offsets = np.empty(n + 1, dtype=np.int64)
-    # bytes objects pass directly as const char* — no copies
-    vals_arr = (ctypes.c_char_p * k)(
-        *[(v if v else b"\x00") for v, _ in columns])
+    # bytes pass directly as const char*; uint8 arrays pass by address
+    def _ptr(v):
+        if isinstance(v, np.ndarray):
+            return ctypes.cast(ctypes.c_void_p(v.ctypes.data),
+                               ctypes.c_char_p)
+        return v if v else b"\x00"
+    keep = [np.ascontiguousarray(v) if isinstance(v, np.ndarray) else v
+            for v, _ in columns]
+    vals_arr = (ctypes.c_char_p * k)(*[_ptr(v) for v in keep])
     off_arrays = [np.ascontiguousarray(o, dtype=np.int64)
                   for _, o in columns]
     offs_arr = (ctypes.POINTER(ctypes.c_int64) * k)(
@@ -241,7 +256,7 @@ def join_columns(columns, delim: bytes = b":"):
                              int(total), out_offsets)
     if w < 0:
         raise RuntimeError("join overflow")
-    return out_arr[:w].tobytes(), out_offsets
+    return out_arr[:w], out_offsets
 
 
 def join_rows(values: bytes, offsets: np.ndarray, group: int,
@@ -256,12 +271,16 @@ def join_rows(values: bytes, offsets: np.ndarray, group: int,
     total = len(values) + n + 16
     out_arr, out = _text_buf(total)
     out_offsets = np.empty(n_out + 1, dtype=np.int64)
+    if isinstance(values, np.ndarray):
+        _keep = np.ascontiguousarray(values)   # alive across the call
+        values = ctypes.cast(ctypes.c_void_p(_keep.ctypes.data),
+                             ctypes.c_char_p)
     w = lib.gdb_join_rows(values, np.ascontiguousarray(offsets,
                                                        dtype=np.int64),
                           n, group, delim, out, int(total), out_offsets)
     if w < 0:
         raise RuntimeError("join_rows overflow")
-    return out_arr[:w].tobytes(), out_offsets
+    return out_arr[:w], out_offsets
 
 
 def tokenize_records(text: bytes, max_cols: int = 64):
@@ -554,10 +573,14 @@ def split_field(text: bytes, starts: np.ndarray, ends: np.ndarray,
 
 def identity_outputs(live, pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                      gt_len, widths, ploidy: int, gt_phase: bool,
-                     mixed: bool):
+                     mixed: bool, out: dict = None,
+                     dest_rows: np.ndarray = None):
     """Native form of combine_step.host_identity_outputs (the ref-block
     identity passthrough).  Returns the output dict or None when the
-    native library is unavailable."""
+    native library is unavailable.  With `out`/`dest_rows`, record b
+    writes into row dest_rows[b] of the caller's preallocated arrays
+    (the fetch path scatters ref rows straight into the full-size
+    outputs, no intermediate copy)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -566,7 +589,7 @@ def identity_outputs(live, pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
         p32 = np.ctypeslib.ndpointer(np.int32)
         lib.gdb_identity_outputs.restype = ctypes.c_int
         lib.gdb_identity_outputs.argtypes = [
-            p32, i64, i64, i64,            # live, B, S, C
+            p32, ctypes.c_void_p, i64, i64, i64,   # live, dest, B, S, C
             p32, i64, p32,                 # pl, wpl, pl_len
             p32, i64, p32,                 # ad, wad, ad_len
             p32, i64,                      # gt, wgt
@@ -583,21 +606,29 @@ def identity_outputs(live, pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
     pl = np.ascontiguousarray(pl, dtype=np.int32)
     ad = np.ascontiguousarray(ad, dtype=np.int32)
     gt = np.ascontiguousarray(gt, dtype=np.int32)
-    out = {
-        "pl": np.empty((B, S, G_out), np.int32),
-        "ad": np.empty((B, S, M_out), np.int32),
-        "gt": np.empty((B, S, P_out), np.int32),
-        "gq": np.empty((B, S), np.int32),
-        "dp_format": np.empty((B, S), np.int32),
-        "min_dp": np.empty((B, S), np.int32),
-    }
+    if dest_rows is not None:
+        dest_rows = np.ascontiguousarray(dest_rows, dtype=np.int64)
+        dest_ptr = dest_rows.ctypes.data_as(ctypes.c_void_p)
+    else:
+        dest_ptr = None
+    if out is None:
+        out = {
+            "pl": np.empty((B, S, G_out), np.int32),
+            "ad": np.empty((B, S, M_out), np.int32),
+            "gt": np.empty((B, S, P_out), np.int32),
+            "gq": np.empty((B, S), np.int32),
+            "dp_format": np.empty((B, S), np.int32),
+            "min_dp": np.empty((B, S), np.int32),
+        }
+    for v in out.values():
+        assert v.flags.c_contiguous and v.dtype == np.int32
     if mixed:
         gt_len = np.ascontiguousarray(gt_len, dtype=np.int32)
         gtl_ptr = gt_len.ctypes.data_as(ctypes.c_void_p)
     else:
         gtl_ptr = None
     rc = lib.gdb_identity_outputs(
-        live, B, S, C,
+        live, dest_ptr, B, S, C,
         pl, pl.shape[2], np.ascontiguousarray(pl_len, dtype=np.int32),
         ad, ad.shape[2], np.ascontiguousarray(ad_len, dtype=np.int32),
         gt, gt.shape[2],
@@ -650,4 +681,92 @@ def render_strided_lists(vals: np.ndarray, rows: np.ndarray,
                                      out_offsets)
     if w < 0:
         raise RuntimeError("strided render overflow")
-    return out_arr[:w].tobytes(), out_offsets
+    return out_arr[:w], out_offsets
+
+
+def render_group_fused(cols, rows: np.ndarray, S: int):
+    """One-pass FORMAT-group render (gdb_render_group): `cols` is a
+    list of descriptors —
+      ("ints", vals [B,S,W] int32, lens [R,S], delim)
+      ("blob", blob bytes|uint8-array, offs int64 [R*S+1])
+      ("dots", lens [R,S], delim)      # missing-call placeholders
+    Returns (uint8 blob, rec_offsets[R+1]) of per-record sample text
+    ("a:b\ta:b..."), or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_group_bound"):
+        i64 = ctypes.c_int64
+        vp = ctypes.POINTER(ctypes.c_void_p)
+        lib.gdb_render_group.restype = i64
+        lib.gdb_render_group.argtypes = [
+            i64, np.ctypeslib.ndpointer(np.int32), vp,
+            np.ctypeslib.ndpointer(np.int64), vp, vp, vp,
+            ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+            i64, i64, ctypes.c_char_p, i64,
+            np.ctypeslib.ndpointer(np.int64)]
+        lib._group_bound = True
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    R = len(rows)
+    k = len(cols)
+    kinds = np.zeros(k, np.int32)
+    Ws = np.zeros(k, np.int64)
+    vals_p = (ctypes.c_void_p * k)()
+    lens_p = (ctypes.c_void_p * k)()
+    blob_p = (ctypes.c_void_p * k)()
+    offs_p = (ctypes.c_void_p * k)()
+    delims = bytearray(k)
+    keep = []
+    cap = R * max(S, 1) * (k + 1) + 16   # separators + dots floor
+    for c, col in enumerate(cols):
+        if col[0] == "ints":
+            _, vals, lens, delim = col
+            vals = np.ascontiguousarray(vals, dtype=np.int32)
+            if vals.ndim == 2:
+                vals = vals[:, :, None]
+            lens = np.ascontiguousarray(lens, dtype=np.int64)
+            keep.append(vals); keep.append(lens)
+            kinds[c] = 0
+            Ws[c] = vals.shape[2]
+            vals_p[c] = vals.ctypes.data
+            lens_p[c] = lens.ctypes.data
+            delims[c] = delim[0]
+            cap += int(np.minimum(lens, vals.shape[2]).sum()) * 12
+        elif col[0] == "blob":
+            _, blob, offs = col
+            if isinstance(blob, np.ndarray):
+                blob = np.ascontiguousarray(blob)
+                keep.append(blob)
+                blob_p[c] = blob.ctypes.data
+            else:
+                keep.append(blob)
+                blob_p[c] = ctypes.cast(
+                    ctypes.c_char_p(blob if blob else b"\x00"),
+                    ctypes.c_void_p).value
+            offs = np.ascontiguousarray(offs, dtype=np.int64)
+            keep.append(offs)
+            kinds[c] = 1
+            offs_p[c] = offs.ctypes.data
+            cap += int(offs[-1])
+        elif col[0] == "dots":
+            _, lens, delim = col
+            lens = np.ascontiguousarray(lens, dtype=np.int64)
+            keep.append(lens)
+            kinds[c] = 2
+            lens_p[c] = lens.ctypes.data
+            delims[c] = delim[0]
+            cap += int(lens.sum()) * 2
+        else:
+            raise ValueError(col[0])
+    out_arr, out = _text_buf(cap)
+    rec_offs = np.empty(R + 1, dtype=np.int64)
+    vpp = ctypes.cast(vals_p, ctypes.POINTER(ctypes.c_void_p))
+    lpp = ctypes.cast(lens_p, ctypes.POINTER(ctypes.c_void_p))
+    bpp = ctypes.cast(blob_p, ctypes.POINTER(ctypes.c_void_p))
+    opp = ctypes.cast(offs_p, ctypes.POINTER(ctypes.c_void_p))
+    w = lib.gdb_render_group(k, kinds, vpp, Ws, lpp, bpp, opp,
+                             bytes(delims), rows, R, S, out, cap,
+                             rec_offs)
+    if w < 0:
+        raise RuntimeError("render_group overflow")
+    return out_arr[:w], rec_offs
