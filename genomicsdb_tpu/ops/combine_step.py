@@ -508,23 +508,28 @@ def fetch_outputs_split(out: Dict, packed: Dict, var_rows: np.ndarray,
         else len(var_rows) + len(ref_rows)
     dev: Dict[str, np.ndarray] = {}
     ident_full: Dict[str, np.ndarray] = {}
+    from ..runtime import native_loader
     for k, v in got.items():
         v = np.asarray(v)
         if k in narrow:
             _, miss, eov, _, _ = PACK_SPECS[k]
-            w = v.astype(np.int32)
-            w[v == miss] = INT_MISSING
-            w[v == eov] = formats.INT_VECTOR_END
-            if w.ndim == 2:
+            if v.ndim == 2:
                 # [B, S] presence columns: rows outside the scatter
                 # (no live cell / bucket padding) must read MISSING
-                full = np.full((B,) + w.shape[1:], INT_MISSING,
+                full = np.full((B,) + v.shape[1:], INT_MISSING,
                                dtype=np.int32)
             else:
                 # [B, S, W] value tensors are only read at live cells
                 # of emitted rows — all covered by the scatter
-                full = np.empty((B,) + w.shape[1:], dtype=np.int32)
-            full[var_rows] = w
+                full = np.empty((B,) + v.shape[1:], dtype=np.int32)
+            # widen + sentinel remap + scatter in one threaded native
+            # pass (numpy fallback: five passes over the data)
+            if native_loader.widen_scatter(v, var_rows, miss, eov,
+                                           full) is None:
+                w = v.astype(np.int32)
+                w[v == miss] = INT_MISSING
+                w[v == eov] = formats.INT_VECTOR_END
+                full[var_rows] = w
             if k in IDENT_KEYS:
                 ident_full[k] = full
             dev[k] = full

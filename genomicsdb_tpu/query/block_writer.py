@@ -1083,7 +1083,7 @@ class _SampleRenderer:
         mask = self.live[bs] >= 0                  # [R, S]
         R, S = mask.shape
         descs = []
-        mask64 = mask.astype(np.int64)
+        mask64 = mask.astype(np.int32)
         for spec, pres in zip(self.fmt_specs, sig[:-1]):
             if not pres:
                 continue
@@ -1176,7 +1176,7 @@ class _SampleRenderer:
                 return ("dots", np.where(mask, per_p, 0), b"/")
             return ("blob",) + self._column(spec, bs, mask)
         if mask64 is None:
-            mask64 = mask.astype(np.int64)
+            mask64 = mask.astype(np.int32)
         if nm == "GQ":
             return ("ints", np.asarray(self.dev["gq"]), mask64, b",")
         if nm == "MIN_DP":

@@ -989,7 +989,7 @@ int64_t group_rec_len(const GroupArgs& a, int64_t r) {
         w += offs[i + 1] - offs[i];
         continue;
       }
-      const int64_t* lens = static_cast<const int64_t*>(a.lens_ptrs[c]);
+      const int32_t* lens = static_cast<const int32_t*>(a.lens_ptrs[c]);
       int64_t n = lens[i];
       if (k == 2) {
         w += n <= 0 ? 1 : 2 * n - 1;
@@ -1024,7 +1024,7 @@ void group_rec_write(const GroupArgs& a, int64_t r, char* out) {
         w += n;
         continue;
       }
-      const int64_t* lens = static_cast<const int64_t*>(a.lens_ptrs[c]);
+      const int32_t* lens = static_cast<const int32_t*>(a.lens_ptrs[c]);
       int64_t n = lens[i];
       if (k == 2) {
         if (n <= 0) { out[w++] = '.'; continue; }
@@ -1091,4 +1091,51 @@ extern "C" int64_t gdb_render_group(
       group_rec_write(a, r, out + rec_offs[r]);
   });
   return rec_offs[R];
+}
+
+
+// ---------------------------------------------------------------------------
+// Widen + scatter: narrow (int8/int16) variant-row device fetches ->
+// the int32 full-size output arrays, sentinel-remapped, threaded.
+// Replaces astype + two boolean-mask writes + a fancy-index scatter
+// (five numpy passes over the data).  elem = elements per row (S*W).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+template <typename T>
+void widen_rows(const T* src, const int64_t* rows, int64_t n_rows,
+                int64_t elem, T miss, T eov, int32_t* out,
+                int64_t r0, int64_t r1) {
+  for (int64_t r = r0; r < r1; ++r) {
+    const T* s = src + r * elem;
+    int32_t* o = out + rows[r] * elem;
+    for (int64_t j = 0; j < elem; ++j) {
+      const T v = s[j];
+      o[j] = v == miss ? INT32_MIN
+           : v == eov ? INT32_MIN + 1
+           : static_cast<int32_t>(v);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" int gdb_widen_scatter(
+    const void* src, int32_t itemsize, const int64_t* rows,
+    int64_t n_rows, int64_t elem, int64_t miss, int64_t eov,
+    int32_t* out) {
+  if (n_rows <= 0 || elem <= 0) return 0;
+  auto run = [&](auto tag) {
+    using T = decltype(tag);
+    const T* s = static_cast<const T*>(src);
+    par_records(n_rows, [&](int64_t lo, int64_t hi) {
+      widen_rows<T>(s, rows, n_rows, elem, static_cast<T>(miss),
+                    static_cast<T>(eov), out, lo, hi);
+    });
+  };
+  if (itemsize == 1) run(int8_t{});
+  else if (itemsize == 2) run(int16_t{});
+  else return -1;
+  return 0;
 }

@@ -724,7 +724,7 @@ def render_group_fused(cols, rows: np.ndarray, S: int):
             vals = np.ascontiguousarray(vals, dtype=np.int32)
             if vals.ndim == 2:
                 vals = vals[:, :, None]
-            lens = np.ascontiguousarray(lens, dtype=np.int64)
+            lens = np.ascontiguousarray(lens, dtype=np.int32)
             keep.append(vals); keep.append(lens)
             kinds[c] = 0
             Ws[c] = vals.shape[2]
@@ -750,7 +750,7 @@ def render_group_fused(cols, rows: np.ndarray, S: int):
             cap += int(offs[-1])
         elif col[0] == "dots":
             _, lens, delim = col
-            lens = np.ascontiguousarray(lens, dtype=np.int64)
+            lens = np.ascontiguousarray(lens, dtype=np.int32)
             keep.append(lens)
             kinds[c] = 2
             lens_p[c] = lens.ctypes.data
@@ -770,3 +770,32 @@ def render_group_fused(cols, rows: np.ndarray, S: int):
     if w < 0:
         raise RuntimeError("render_group overflow")
     return out_arr[:w], rec_offs
+
+
+def widen_scatter(narrow: np.ndarray, rows: np.ndarray, miss: int,
+                  eov: int, out: np.ndarray):
+    """out[rows[i]] = int32-widened narrow[i] with sentinel remap
+    (miss -> INT_MISSING, eov -> INT_VECTOR_END), threaded.  Returns
+    None when the native library is unavailable (caller keeps numpy)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_widen_bound"):
+        i64 = ctypes.c_int64
+        lib.gdb_widen_scatter.restype = ctypes.c_int
+        lib.gdb_widen_scatter.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64), i64, i64, i64, i64,
+            np.ctypeslib.ndpointer(np.int32)]
+        lib._widen_bound = True
+    narrow = np.ascontiguousarray(narrow)
+    if narrow.dtype.itemsize not in (1, 2):
+        return None
+    assert out.flags.c_contiguous and out.dtype == np.int32
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    elem = int(np.prod(narrow.shape[1:], dtype=np.int64)) \
+        if narrow.ndim > 1 else 1
+    rc = lib.gdb_widen_scatter(
+        narrow.ctypes.data_as(ctypes.c_void_p), narrow.dtype.itemsize,
+        rows, narrow.shape[0], elem, int(miss), int(eov), out)
+    return True if rc == 0 else None
