@@ -397,16 +397,111 @@ def pack_outputs(out: Dict, rows: Optional[np.ndarray] = None
     to narrow them would defeat the purpose).  With `rows`, only those
     [B, ...] rows are kept — the variant-record-only fetch: ref-block
     rows are identity remaps the host reconstructs from block data it
-    already holds (host_identity_outputs)."""
+    already holds (host_identity_outputs).
+
+    The preferred form packs the ENTIRE fetch tree — narrowed tensors,
+    fits flags, and every small always-full output — into one 8-byte-
+    aligned uint8 blob on device (bit-exact bitcasts): jax.device_get
+    fetches per LEAF, and through a remote attachment each leaf pays
+    the full dispatch round trip (~19 leaves x ~47 ms measured = the
+    whole fetch budget).  One blob = one round trip."""
     packable = {k: v for k, v in out.items()
                 if k in PACK_SPECS and k != "live"
                 and not isinstance(v, np.ndarray)}
     if not packable:
         return None
-    if rows is None:
-        return _pack_outputs_step(packable)
-    return _pack_outputs_rows_step(packable,
-                                   np.asarray(rows, dtype=np.int32))
+    extras = {k: v for k, v in out.items()
+              if k not in PACK_SPECS and not isinstance(v, np.ndarray)
+              and hasattr(v, "dtype") and hasattr(v, "shape")}
+    rows_a = np.asarray(rows, dtype=np.int32) if rows is not None \
+        else None
+    try:
+        blob, layout = _pack_blob(packable, extras, rows_a)
+        return {"__blob__": blob, "__layout__": layout}
+    except Exception:
+        # conservative fallback: per-leaf packed dict
+        if rows is None:
+            return _pack_outputs_step(packable)
+        return _pack_outputs_rows_step(packable, rows_a)
+
+
+def _blob_meta(name: str, v) -> tuple:
+    """(name, np dtype str, shape, is_bool, padded nbytes)."""
+    is_bool = str(v.dtype) == "bool"
+    dt = np.dtype("uint8") if is_bool else np.dtype(str(v.dtype))
+    nb = int(np.prod(v.shape, dtype=np.int64)) * dt.itemsize
+    return (name, dt.str, tuple(v.shape), is_bool, nb + ((-nb) % 8))
+
+
+def _pack_blob(packable: Dict, extras: Dict,
+               rows: Optional[np.ndarray]):
+    """Build (device blob, host layout) for the one-round-trip fetch."""
+    layout = []
+    nr = len(rows) if rows is not None else None
+    for k in sorted(packable):
+        dt, _, _, _, _ = PACK_SPECS[k]
+        v = packable[k]
+        shape = ((nr,) + tuple(v.shape[1:])) if nr is not None \
+            else tuple(v.shape)
+        layout.append(("fits::" + k, np.dtype("uint8").str, (1,),
+                       True, 8))
+        nb = int(np.prod(shape, dtype=np.int64)) * np.dtype(dt).itemsize
+        layout.append(("data::" + k, np.dtype(dt).str, shape, False,
+                       nb + ((-nb) % 8)))
+    for k in sorted(extras):
+        layout.append(_blob_meta("x::" + k, extras[k]))
+    blob = _pack_blob_step(packable, extras, rows)
+    return blob, layout
+
+
+@jax.jit
+def _pack_blob_step(packable: Dict, extras: Dict,
+                    rows) -> jnp.ndarray:
+    parts = []
+
+    def emit(v):
+        if v.dtype == jnp.bool_:
+            v = v.astype(jnp.uint8)
+        b = v if v.dtype == jnp.uint8 else \
+            jax.lax.bitcast_convert_type(v, jnp.uint8)
+        b = b.reshape(-1)
+        pad = (-b.shape[0]) % 8
+        if pad:
+            b = jnp.pad(b, (0, pad))
+        parts.append(b)
+
+    for k in sorted(packable):
+        dt, miss, eov, lo, hi = PACK_SPECS[k]
+        v = packable[k]
+        if rows is not None:
+            v = v[rows]
+        is_m = v == INT_MISSING
+        is_e = v == formats.INT_VECTOR_END
+        ok = jnp.all(is_m | is_e | ((v >= lo) & (v <= hi)))
+        p = jnp.where(is_m, miss,
+                      jnp.where(is_e, eov, jnp.clip(v, lo, hi))
+                      ).astype(dt)
+        emit(ok.reshape(1))
+        emit(p)
+    for k in sorted(extras):
+        emit(extras[k])
+    return jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.uint8)
+
+
+def _unpack_blob(blob: np.ndarray, layout) -> Dict[str, np.ndarray]:
+    """Host views over the fetched blob (zero extra copies)."""
+    out = {}
+    off = 0
+    for name, dtstr, shape, is_bool, padded in layout:
+        dt = np.dtype(dtstr)
+        n = int(np.prod(shape, dtype=np.int64))
+        a = np.frombuffer(blob, dtype=dt, count=n, offset=off)
+        a = a.reshape(shape)
+        if is_bool:
+            a = a != 0
+        out[name] = a
+        off += padded
+    return out
 
 
 @jax.jit
@@ -450,18 +545,21 @@ def fetch_outputs(out: Dict, packed: Optional[Dict] = None
         # two-round-trip form below only matters with `packed` set,
         # which implies a remote attachment
         return {k: np.asarray(v) for k, v in out.items()}
-    fits = jax.device_get({k: v for k, v in packed.items()
-                           if k.endswith("__fits")})
-    tree = {}
-    narrow = set()
-    for k, v in out.items():
-        if k in PACK_SPECS and (k + "__p") in packed \
-                and bool(fits[k + "__fits"]):
-            tree[k] = packed[k + "__p"]
-            narrow.add(k)
-        else:
-            tree[k] = v
-    got = jax.device_get(tree)
+    if "__blob__" in packed:
+        got, narrow = _fetch_blob_tree(out, packed)
+    else:
+        fits = jax.device_get({k: v for k, v in packed.items()
+                               if k.endswith("__fits")})
+        tree = {}
+        narrow = set()
+        for k, v in out.items():
+            if k in PACK_SPECS and (k + "__p") in packed \
+                    and bool(fits[k + "__fits"]):
+                tree[k] = packed[k + "__p"]
+                narrow.add(k)
+            else:
+                tree[k] = v
+        got = jax.device_get(tree)
     dev: Dict[str, np.ndarray] = {}
     for k, v in got.items():
         v = np.asarray(v)
@@ -479,6 +577,32 @@ def fetch_outputs(out: Dict, packed: Optional[Dict] = None
 IDENT_KEYS = ("pl", "ad", "gt", "gq", "dp_format", "min_dp")
 
 
+def _fetch_blob_tree(out: Dict, packed: Dict):
+    """ONE device round trip for the whole fetch tree (see
+    pack_outputs): unpack host views, fall back to per-leaf fetches
+    only for the rare int32-overflow keys."""
+    import jax
+    parts = _unpack_blob(np.asarray(packed["__blob__"]),
+                         packed["__layout__"])
+    got: Dict[str, np.ndarray] = {}
+    narrow = set()
+    retry = {}
+    for k, v in out.items():
+        if ("data::" + k) in parts:
+            if bool(parts["fits::" + k][0]):
+                got[k] = parts["data::" + k]
+                narrow.add(k)
+            else:
+                retry[k] = v
+        elif ("x::" + k) in parts:
+            got[k] = parts["x::" + k]
+        else:
+            retry[k] = v
+    if retry:
+        got.update(jax.device_get(retry))
+    return got, narrow
+
+
 def fetch_outputs_split(out: Dict, packed: Dict, var_rows: np.ndarray,
                         ref_rows: np.ndarray, ident) -> Dict[str,
                                                              np.ndarray]:
@@ -490,20 +614,24 @@ def fetch_outputs_split(out: Dict, packed: Dict, var_rows: np.ndarray,
     — no intermediate [Bref, S, W] copies).  Reductions and int32
     overflow fallbacks fetch full."""
     import jax
-    fits = jax.device_get({k: v for k, v in packed.items()
-                           if k.endswith("__fits")})
-    tree = {}
-    narrow = set()
-    for k, v in out.items():
-        if k == "live":
-            continue
-        if k in PACK_SPECS and (k + "__p") in packed \
-                and bool(fits[k + "__fits"]):
-            tree[k] = packed[k + "__p"]
-            narrow.add(k)
-        else:
-            tree[k] = v
-    got = jax.device_get(tree)
+    if "__blob__" in packed:
+        got, narrow = _fetch_blob_tree(
+            {k: v for k, v in out.items() if k != "live"}, packed)
+    else:
+        fits = jax.device_get({k: v for k, v in packed.items()
+                               if k.endswith("__fits")})
+        tree = {}
+        narrow = set()
+        for k, v in out.items():
+            if k == "live":
+                continue
+            if k in PACK_SPECS and (k + "__p") in packed \
+                    and bool(fits[k + "__fits"]):
+                tree[k] = packed[k + "__p"]
+                narrow.add(k)
+            else:
+                tree[k] = v
+        got = jax.device_get(tree)
     B = out["live"].shape[0] if hasattr(out.get("live"), "shape") \
         else len(var_rows) + len(ref_rows)
     dev: Dict[str, np.ndarray] = {}

@@ -30,9 +30,13 @@ def test_pack_roundtrip_lossless():
     gt[2, 1, 1] = formats.INT_MISSING
     out = {"pl": jnp.asarray(pl), "gt": jnp.asarray(gt)}
     packed = pack_outputs(out)
-    assert bool(packed["pl__fits"]) and bool(packed["gt__fits"])
-    assert packed["pl__p"].dtype == np.int16
-    assert packed["gt__p"].dtype == np.int8
+    # one-round-trip blob form: fits flags + narrowed data inside
+    from genomicsdb_tpu.ops.combine_step import _unpack_blob
+    parts = _unpack_blob(np.asarray(packed["__blob__"]),
+                         packed["__layout__"])
+    assert bool(parts["fits::pl"][0]) and bool(parts["fits::gt"][0])
+    assert parts["data::pl"].dtype == np.int16
+    assert parts["data::gt"].dtype == np.int8
     dev = fetch_outputs(out, packed)
     assert np.array_equal(dev["pl"], pl)
     assert np.array_equal(dev["gt"], gt)
@@ -44,7 +48,10 @@ def test_pack_overflow_falls_back_to_int32():
     pl[1, 1, 1] = 1_000_000          # beyond int16
     out = {"pl": jnp.asarray(pl)}
     packed = pack_outputs(out)
-    assert not bool(packed["pl__fits"])
+    from genomicsdb_tpu.ops.combine_step import _unpack_blob
+    parts = _unpack_blob(np.asarray(packed["__blob__"]),
+                         packed["__layout__"])
+    assert not bool(parts["fits::pl"][0])
     dev = fetch_outputs(out, packed)
     assert np.array_equal(dev["pl"], pl)
 
