@@ -576,23 +576,29 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             lv[:, s] = np.where(ok, idxc, -1)
         return lv
 
+    from ..runtime import native_loader as _NL
     starts = events
     if N and cell_hasdel.any() and len(events) and S:
-        live0 = _live_at(events)
-        ok0 = live0 >= 0
-        k0 = np.clip(live0, 0, C - 1)
-        sg0 = np.arange(S)[None, :]
-        cells0 = np.where(ok0, cell_of[sg0, k0], -1)
+        _sw0 = _NL.live_sweep(col, end, cell_of, events)
+        if _sw0 is not None:
+            live0, cells0, _, end0min = _sw0
+            ok0 = live0 >= 0
+        else:
+            live0 = _live_at(events)
+            ok0 = live0 >= 0
+            k0 = np.clip(live0, 0, C - 1)
+            sg0 = np.arange(S)[None, :]
+            cells0 = np.where(ok0, cell_of[sg0, k0], -1)
+            end0min = np.where(ok0, end[sg0, k0],
+                               INT64_MAX).min(axis=1)
         rec_del0 = (ok0 & cell_hasdel[np.clip(cells0, 0, N - 1)]
                     ).any(axis=1)
         if rec_del0.any():
-            end_mat0 = np.where(ok0, end[sg0, k0], INT64_MAX)
             nxt0 = np.empty(len(events), dtype=np.int64)
             nxt0[:-1] = events[1:] - 1
             nxt0[-1] = INT64_MAX - 2
             hi_b = interval[1] if interval is not None else INT64_MAX - 2
-            end0 = np.minimum(np.minimum(nxt0, end_mat0.min(axis=1)),
-                              hi_b)
+            end0 = np.minimum(np.minimum(nxt0, end0min), hi_b)
             seg = np.where(rec_del0, np.maximum(end0 - events + 1, 1),
                            1).astype(np.int64)
             from ..store.columnar import _ragged_arange
@@ -614,22 +620,36 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     cap = min(merged_cap(ploidy, block_elems=max(B * S, S * C)),
               qc.params.max_diploid_alt_alleles_that_can_be_genotyped
               + 1)
-    live = _live_at(starts)
-    # --- [B, S] live-cell views ---
-    live_ok = live >= 0
-    live_k = np.clip(live, 0, C - 1)
-    s_grid = np.arange(S)[None, :]
-    cells_mat = np.where(live_ok, cell_of[s_grid, live_k], -1)
-    safe_cm = np.clip(cells_mat, 0, max(N - 1, 0))
-    end_mat = np.where(live_ok, end[s_grid, live_k], INT64_MAX)
-    col_mat = np.where(live_ok, col[s_grid, live_k], INT64_MAX)
+    # --- [B, S] live-cell views: one threaded native sweep emits the
+    # live indices, store cell indices, starts-here flags, and the
+    # per-record end minimum in a single O(C+B)-per-sample walk ---
+    _sw = _NL.live_sweep(col, end, cell_of, starts) if S else None
+    if _sw is not None:
+        live, cells_mat, _start_eq, end_min = _sw
+        live = live.astype(np.int64)
+        live_ok = live >= 0
+        live_k = np.clip(live, 0, C - 1)
+        s_grid = np.arange(S)[None, :]
+        safe_cm = np.clip(cells_mat, 0, max(N - 1, 0))
+        col_mat = None
+    else:
+        live = _live_at(starts)
+        live_ok = live >= 0
+        live_k = np.clip(live, 0, C - 1)
+        s_grid = np.arange(S)[None, :]
+        cells_mat = np.where(live_ok, cell_of[s_grid, live_k], -1)
+        safe_cm = np.clip(cells_mat, 0, max(N - 1, 0))
+        col_mat = np.where(live_ok, col[s_grid, live_k], INT64_MAX)
+        _start_eq = None
+        end_min = np.where(live_ok, end[s_grid, live_k],
+                           INT64_MAX).min(axis=1) if S else None
     hi_bound = interval[1] if interval is not None else INT64_MAX - 1
     nxt = np.empty(B, dtype=np.int64)
     nxt[:-1] = starts[1:] - 1
     if B:
         nxt[-1] = INT64_MAX - 1
-    rec_ends = np.minimum(np.minimum(nxt, end_mat.min(axis=1)
-                                     if S else nxt), hi_bound)
+    rec_ends = np.minimum(np.minimum(nxt, end_min)
+                          if S else nxt, hi_bound)
     rec_hasdel = (live_ok & cell_hasdel[safe_cm]).any(axis=1) \
         if N else np.zeros(B, dtype=bool)
     var_mat = live_ok & ~cell_refblock[safe_cm] if N \
@@ -663,8 +683,12 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     rec_refs = np.full(B, None, dtype=object)
     rec_alts = np.empty(B, dtype=object)
     rec_alts.fill(["&"])
-    start_here = live_ok & (col_mat == starts[:, None]) \
-        & ref_ok[safe_cm] if N else np.zeros((B, S), dtype=bool)
+    if col_mat is None:
+        start_eq_bs = _start_eq
+    else:
+        start_eq_bs = live_ok & (col_mat == starts[:, None])
+    start_here = (start_eq_bs & ref_ok[safe_cm]) if N \
+        else np.zeros((B, S), dtype=bool)
     ref_rows = np.nonzero(rec_refonly & start_here.any(axis=1))[0]
     if len(ref_rows):
         s0 = np.argmax(start_here[ref_rows], axis=1)
@@ -695,7 +719,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         # runs once per group and the LUT scatter is one fancy-index op
         # per group instead of per record.  Records with any
         # deletion-rewritten call keep the per-record path below.
-        start_eq = col_mat == starts[:, None]
+        start_eq = start_eq_bs
         cell_in_del = np.zeros(N, dtype=bool)
         if del_state:
             cell_in_del[np.fromiter(del_state.keys(),
@@ -799,7 +823,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         var_sel = var_mat[b, srows]
         s_var = srows[var_sel]
         var_cells = [int(c) for c in cells_mat[b, s_var]]
-        starting = tuple(bool(col_mat[b, s] == starts[b]) for s in s_var)
+        starting = tuple(bool(start_eq_bs[b, s]) for s in s_var)
         # spanning-deletion calls (cell has a deletion, record starts
         # past the cell): rewritten to REF=N / ALT=*,<NON_REF> before
         # the merge (handle_deletions, broad_combined_gvcf.cc:912-1078)

@@ -1139,3 +1139,66 @@ extern "C" int gdb_widen_scatter(
   else return -1;
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Live-cell sweep: for ascending record starts, the per-(record, sample)
+// live cell is the last cell with col <= start whose END covers start —
+// a monotone pointer walk (O(C+B) per sample) replacing B*S binary
+// searches plus three full [B, S] numpy gathers (cells / start-eq /
+// end-min).  Threaded over samples with per-thread end-min partials.
+// ---------------------------------------------------------------------------
+
+extern "C" int gdb_live_sweep(
+    const int64_t* col, const int64_t* end_, const int64_t* cell_of,
+    const int64_t* starts, int64_t B, int64_t S, int64_t C,
+    int32_t* live, int64_t* cells, uint8_t* starteq, int64_t* endmin) {
+  if (B <= 0 || S <= 0) return 0;
+  constexpr int64_t I64MAX = INT64_MAX;
+  for (int64_t b = 0; b < B; ++b) endmin[b] = I64MAX;
+  int nthreads = 1;
+  if (B * S >= 1 << 16) {
+    unsigned hw = std::thread::hardware_concurrency();
+    nthreads = hw ? static_cast<int>(hw) : 4;
+    if (nthreads > 8) nthreads = 8;
+    if (static_cast<int64_t>(nthreads) > S)
+      nthreads = static_cast<int>(S);
+  }
+  std::vector<std::vector<int64_t>> partials;
+  auto sweep = [&](int64_t s0, int64_t s1, int64_t* emin) {
+    for (int64_t s = s0; s < s1; ++s) {
+      const int64_t* cs = col + s * C;
+      const int64_t* es = end_ + s * C;
+      int64_t j = -1;
+      for (int64_t b = 0; b < B; ++b) {
+        const int64_t st = starts[b];
+        while (j + 1 < C && cs[j + 1] <= st) ++j;
+        const bool ok = j >= 0 && es[j] >= st;
+        live[b * S + s] = ok ? static_cast<int32_t>(j) : -1;
+        if (cells)
+          cells[b * S + s] = ok ? cell_of[s * C + j] : -1;
+        if (starteq)
+          starteq[b * S + s] = ok && cs[j] == st;
+        if (ok && es[j] < emin[b]) emin[b] = es[j];
+      }
+    }
+  };
+  if (nthreads <= 1) {
+    sweep(0, S, endmin);
+    return 0;
+  }
+  partials.assign(nthreads, std::vector<int64_t>(B, I64MAX));
+  std::vector<std::thread> ts;
+  const int64_t step = (S + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    const int64_t lo = t * step;
+    const int64_t hi = std::min<int64_t>(S, lo + step);
+    if (lo >= hi) break;
+    ts.emplace_back([&, lo, hi, t]() { sweep(lo, hi,
+                                             partials[t].data()); });
+  }
+  for (auto& t : ts) t.join();
+  for (auto& pr : partials)
+    for (int64_t b = 0; b < B; ++b)
+      if (pr[b] < endmin[b]) endmin[b] = pr[b];
+  return 0;
+}

@@ -799,3 +799,41 @@ def widen_scatter(narrow: np.ndarray, rows: np.ndarray, miss: int,
         narrow.ctypes.data_as(ctypes.c_void_p), narrow.dtype.itemsize,
         rows, narrow.shape[0], elem, int(miss), int(eov), out)
     return True if rc == 0 else None
+
+
+def live_sweep(col: np.ndarray, end: np.ndarray, cell_of, starts):
+    """(live int32 [B,S], cells int64 [B,S], starteq bool [B,S],
+    endmin int64 [B]) for ascending starts over the [S, C] sorted cell
+    layout — one monotone pointer walk per sample (threaded), replacing
+    per-sample binary searches + three [B, S] numpy gathers.  None when
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_sweep_bound"):
+        i64 = ctypes.c_int64
+        p64 = np.ctypeslib.ndpointer(np.int64)
+        lib.gdb_live_sweep.restype = ctypes.c_int
+        lib.gdb_live_sweep.argtypes = [
+            p64, p64, ctypes.c_void_p, p64, i64, i64, i64,
+            np.ctypeslib.ndpointer(np.int32), ctypes.c_void_p,
+            ctypes.c_void_p, p64]
+        lib._sweep_bound = True
+    col = np.ascontiguousarray(col, dtype=np.int64)
+    end = np.ascontiguousarray(end, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    S, C = col.shape
+    B = len(starts)
+    live = np.empty((B, S), np.int32)
+    cells = np.empty((B, S), np.int64)
+    starteq = np.empty((B, S), np.uint8)
+    endmin = np.empty(B, np.int64)
+    cell_of = np.ascontiguousarray(cell_of, dtype=np.int64)
+    rc = lib.gdb_live_sweep(
+        col, end, cell_of.ctypes.data_as(ctypes.c_void_p), starts,
+        B, S, C, live,
+        cells.ctypes.data_as(ctypes.c_void_p),
+        starteq.ctypes.data_as(ctypes.c_void_p), endmin)
+    if rc != 0:
+        return None
+    return live, cells, starteq.view(bool), endmin
