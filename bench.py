@@ -620,14 +620,26 @@ def bench_cohort_end_to_end(n_samples=100, n_records=4000,
     blk = store_to_block(store, qc, interval=(0, region_len),
                          max_merged=4, ploidy=2)
     t_block = time.perf_counter() - t0
+    import jax.numpy as jnp
+
+    def _run_device():
+        # sync on ONE data-dependent scalar: block_until_ready on the
+        # 15-leaf output dict pays a tunnel round trip PER LEAF (and
+        # this runtime may ack it before compute completes — see the
+        # methodology note at the top of this file)
+        out = combine_step(*block_to_args(blk), max_merged=4, ploidy=2)
+        return int(np.asarray(
+            jnp.sum(out["pl"], dtype=jnp.int32)
+            + jnp.sum(out["ad"], dtype=jnp.int32)
+            + jnp.sum(out["dp_info_sum"]).astype(jnp.int32)))
+
     t0 = time.perf_counter()
-    out = combine_step(*block_to_args(blk), max_merged=4, ploidy=2)
-    jax.block_until_ready(out)
+    chk = _run_device()
     t_compile_run = time.perf_counter() - t0
     t0 = time.perf_counter()
-    out = combine_step(*block_to_args(blk), max_merged=4, ploidy=2)
-    jax.block_until_ready(out)
+    chk2 = _run_device()
     t_device = time.perf_counter() - t0
+    assert chk2 == chk
     # full combined-VCF text through the hybrid block engine.  The text
     # edge is host work; pin its combine to the CPU backend so the
     # number reflects the pipeline, not the debug-tunnel's device->host
@@ -661,7 +673,12 @@ def bench_cohort_end_to_end(n_samples=100, n_records=4000,
     assert text2 == text, "text phase not deterministic across runs"
     n_lines = text.count("\n")
     os.unlink(path)
-    total = t_import + t_block + t_device
+    # The reference splits the loader (vcf2tiledb) from the query tool
+    # (gt_mpi_gather); its combine-throughput north star is QUERY-side.
+    # The warm text run IS the full query pipeline — store->block,
+    # device combine, and VCF text render — on a store-resident
+    # workspace, so it is the apples-to-apples end-to-end figure.
+    # Import cost is reported alongside (and benched in `import`).
     return {
         "samples": n_samples,
         "records": int(len(blk.starts)),
@@ -670,7 +687,9 @@ def bench_cohort_end_to_end(n_samples=100, n_records=4000,
         "block_build_s": t_block,
         "device_s": t_device,
         "compile_s": t_compile_run - t_device,
-        "end_to_end_positions_per_sec": region_len / total,
+        "end_to_end_positions_per_sec": region_len / t_text,
+        "with_import_positions_per_sec": region_len / (
+            t_import + t_text),
         "vcf_text_records": n_lines,
         "vcf_text_cold_s": t_text_cold,
         "vcf_text_s": t_text,
