@@ -739,10 +739,11 @@ def render_group_fused(cols, rows: np.ndarray, S: int):
                 keep.append(blob)
                 blob_p[c] = blob.ctypes.data
             else:
-                keep.append(blob)
-                blob_p[c] = ctypes.cast(
-                    ctypes.c_char_p(blob if blob else b"\x00"),
-                    ctypes.c_void_p).value
+                if not blob:
+                    blob = b"\x00"
+                keep.append(blob)      # the pointer aliases these bytes
+                blob_p[c] = ctypes.cast(ctypes.c_char_p(blob),
+                                        ctypes.c_void_p).value
             offs = np.ascontiguousarray(offs, dtype=np.int64)
             keep.append(offs)
             kinds[c] = 1

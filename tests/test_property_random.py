@@ -134,10 +134,14 @@ def test_vcf_output_invariants(seed):
             assert info_dp == s, line
 
 
+@pytest.mark.parametrize("pack", ["0", "1"])
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_hybrid_block_engine_fuzz(seed, tmp_path):
+def test_hybrid_block_engine_fuzz(seed, pack, tmp_path, monkeypatch):
     """Random gVCF cohorts (ref blocks + SNVs + deletions + gaps):
-    the hybrid block engine must byte-match the sequential engine."""
+    the hybrid block engine must byte-match the sequential engine —
+    with pack=1 the variant-row-only blob fetch + native identity
+    scatter path runs (the production chip fetch) on the same data."""
+    monkeypatch.setenv("GENOMICSDB_TPU_PACK", pack)
     import os
     import random as _random
 
