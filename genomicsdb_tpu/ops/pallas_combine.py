@@ -382,14 +382,29 @@ def fused_gather_remap(payload, live_t, inv_t, nr_t, recnm2, recnr2, w0b,
 
 def _default_rt() -> int:
     """Record-sublanes per grid instance.  8 measures 1.74x over the
-    per-sample kernel on a v5e (1.43 vs 3.56 ms per 8192x128 chunk;
-    rt=16 is only ~3% better again) — see docs/performance.md."""
+    per-sample kernel on a v5e; with shared windows (round 3) rt=32
+    measures another ~15% on sparse cohorts and is auto-tried first
+    (combine_step_fused) when this returns the default — see
+    docs/performance.md."""
     import os
     try:
         return max(1, int(os.environ.get("GENOMICSDB_TPU_FUSED_RT",
                                          "8")))
     except ValueError:
         return 8
+
+
+def _rt_candidates(rt_arg: int) -> tuple:
+    """rt values to try in order.  An explicit rt (argument or env)
+    pins one; the default tries 32-with-shared-windows first (sparse
+    cohorts: fewer grid launches, fuller vregs) and falls back to 8
+    (dense gVCF keeps the per-sublane window premise there)."""
+    import os
+    if rt_arg:
+        return (rt_arg,)
+    if os.environ.get("GENOMICSDB_TPU_FUSED_RT"):
+        return (_default_rt(),)
+    return (32, 8)
 
 
 def make_fused_config(blk, *, max_merged: int, ploidy: int,
@@ -404,7 +419,8 @@ def make_fused_config(blk, *, max_merged: int, ploidy: int,
         mixed=mixed)
 
 
-def fused_host_prep(blk, cfg: FusedConfig, bpad_to: int = 0):
+def fused_host_prep(blk, cfg: FusedConfig, bpad_to: int = 0,
+                    require_shared: bool = False):
     """Host-side (numpy) layout prep shared by the single-chip and
     mesh-sharded fused paths: pads records to a multiple of
     max(bpad_to, rt*bt), computes the window plan, and lays the block
@@ -437,6 +453,8 @@ def fused_host_prep(blk, cfg: FusedConfig, bpad_to: int = 0):
             w2, ws_n = shared
             cfg = dataclasses.replace(cfg, ws=ws_n)
     if w2 is None:
+        if require_shared:
+            return None
         cfg = dataclasses.replace(cfg, ws=0)
         w0b = fused_window_plan(live_p, cfg)
         if w0b is None:
@@ -504,16 +522,25 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
         return None
     if mixed_ploidy and blk.gt_len_bs is None:
         return None
-    cfg = make_fused_config(blk, max_merged=max_merged, ploidy=ploidy,
-                            gt_phase=gt_phase, rt=rt,
-                            mixed=mixed_ploidy)
-    rt = cfg.rt
-    if mixed_ploidy and rt <= 1:
-        return None
-    prep = fused_host_prep(blk, cfg)
+    cand = _rt_candidates(rt)
+    prep = None
+    for i, cand_rt in enumerate(cand):
+        cfg = make_fused_config(blk, max_merged=max_merged,
+                                ploidy=ploidy, gt_phase=gt_phase,
+                                rt=cand_rt, mixed=mixed_ploidy)
+        if mixed_ploidy and cfg.rt <= 1:
+            continue
+        # an auto-tried large rt must win its shared-window plan — at
+        # rt=32 the per-sublane form would issue 64 window DMAs per
+        # instance (strictly worse than rt=8)
+        prep = fused_host_prep(blk, cfg,
+                               require_shared=i + 1 < len(cand))
+        if prep is not None:
+            break
     if prep is None:
         return None
     cfg = prep["cfg"]
+    rt = cfg.rt
     pay, live_t, inv_t, nr_t = (prep["pay"], prep["live_t"],
                                 prep["inv_t"], prep["nr_t"])
     recnm2, recnr2 = prep["recnm2"], prep["recnr2"]
