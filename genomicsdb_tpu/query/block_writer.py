@@ -250,7 +250,15 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
     if live is None and blk.live is not None:
         live = np.asarray(blk.live)
     # dispatch complete: under jit the combine runs asynchronously from
-    # here; the caller may dispatch/render other chunks before resuming
+    # here; the caller may dispatch/render other chunks before resuming.
+    # Start the blob's device->host copy NOW so the transfer overlaps
+    # the previous chunk's text render (the fetch then returns from the
+    # host-side buffer).
+    if packed is not None and "__blob__" in packed:
+        try:
+            packed["__blob__"].copy_to_host_async()
+        except Exception:
+            pass
     yield
     from ..ops.combine_step import (fetch_outputs, fetch_outputs_split,
                                     host_identity_outputs)
