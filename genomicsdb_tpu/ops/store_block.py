@@ -731,20 +731,25 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
         if len(fast_bs):
             vm = var_mat[fast_bs]
             scm = safe_cm[fast_bs]
-            sig = np.full((len(fast_bs), S, 3), -1, dtype=np.int64)
+            sig = np.full((len(fast_bs), S, 3), -1, dtype=np.int32)
             sig[..., 0] = np.where(vm, ref_codes[scm], -1)
             sig[..., 1] = np.where(vm, alt_codes[scm], -1)
             sig[..., 2] = np.where(vm, start_eq[fast_bs], -1)
-            _, first_idx, inv_gid = np.unique(
-                sig.reshape(len(fast_bs), 3 * S), axis=0,
-                return_index=True, return_inverse=True)
-            order = np.argsort(inv_gid, kind="stable")
-            bounds = np.searchsorted(inv_gid[order],
-                                     np.arange(len(first_idx) + 1))
+            # bytes-key groupby: np.unique(axis=0) lexsorts the 3*S-wide
+            # rows (milliseconds per interval at 1000-sample width);
+            # hashing each row's bytes is linear
+            sig2 = np.ascontiguousarray(sig.reshape(len(fast_bs),
+                                                    3 * S))
+            row_bytes = sig2.view(np.uint8).reshape(len(fast_bs), -1)
+            grp: Dict[bytes, List[int]] = {}
+            for i in range(len(fast_bs)):
+                grp.setdefault(row_bytes[i].tobytes(), []).append(i)
+            groups_fast = list(grp.values())
             start_any = start_here.any(axis=1)
-            for g in range(len(first_idx)):
-                members = fast_bs[order[bounds[g]:bounds[g + 1]]]
-                b0 = int(fast_bs[first_idx[g]])
+            for g in range(len(groups_fast)):
+                idxs_g = np.asarray(groups_fast[g], dtype=np.int64)
+                members = fast_bs[idxs_g]
+                b0 = int(members[0])
                 s_var = np.nonzero(var_mat[b0])[0]
                 var_cells = [int(c) for c in cells_mat[b0, s_var]]
                 starting = tuple(bool(x)
