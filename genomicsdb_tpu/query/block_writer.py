@@ -1211,6 +1211,17 @@ class _SampleRenderer:
                     return ("blob",) + self._column(spec, bs, mask)
             return ("ints", np.asarray(self.dev["pl"]), lens_out, b",")
         ex = self.meta.extras[nm]
+        if spec.kind == "float" and ex.vals is not None:
+            valid = mask & ex.valid[bs]
+            if spec.wkind in ("A", "R"):
+                off = 1 if spec.wkind == "A" else 0
+                wrec = self.blk.rec_num_merged[bs] - off
+                lens = np.where(valid, wrec[:, None], 0)
+            elif spec.wkind in ("scalar", "fixed"):
+                lens = np.where(valid, spec.width, 0)
+            else:
+                lens = np.where(valid, ex.lens[bs], 0)
+            return ("floats", ex.vals, lens, b",")
         if spec.kind in ("char", "float"):
             return ("blob",) + self._column(spec, bs, mask)
         valid = mask & ex.valid[bs]

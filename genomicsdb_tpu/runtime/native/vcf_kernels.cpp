@@ -15,6 +15,8 @@
 #include <cstring>
 #include <vector>
 #include <thread>
+#include <cmath>
+#include <cstdio>
 #include <algorithm>
 
 namespace {
@@ -963,6 +965,49 @@ inline int64_t emit_int(char* out, int32_t v) {
   return len;
 }
 
+constexpr uint32_t F_MISSING_BITS = 0x7F800001u;
+constexpr uint32_t F_VECTOR_END_BITS = 0x7F800002u;
+
+inline int64_t emit_float_vcf(char* out, float f) {
+  uint32_t bits;
+  std::memcpy(&bits, &f, sizeof(bits));
+  if (bits == F_MISSING_BITS || bits == F_VECTOR_END_BITS) {
+    *out = '.';
+    return 1;
+  }
+  double d = static_cast<double>(f);
+  if (d == 0.0) {
+    if (std::signbit(d)) { out[0] = '-'; out[1] = '0'; return 2; }
+    out[0] = '0';
+    return 1;
+  }
+  int64_t w = 0;
+  if (d < 0) { out[w++] = '-'; d = -d; }
+  if (d < 0.0001 || d > 999999.0) {
+    w += std::snprintf(out + w, 32, "%g", d);
+    return w;
+  }
+  int decimals = 6 - (static_cast<int>(std::floor(std::log10(d))) + 1);
+  if (decimals < 0) decimals = 0;
+  int n = std::snprintf(out + w, 40, "%.*f", decimals, d);
+  char* s = out + w;
+  bool has_dot = false;
+  for (int i = 0; i < n; ++i) if (s[i] == '.') { has_dot = true; break; }
+  if (has_dot) {
+    while (n > 0 && s[n - 1] == '0') --n;
+    if (n > 0 && s[n - 1] == '.') s[n++] = '0';
+  } else {
+    s[n++] = '.';
+    s[n++] = '0';
+  }
+  return w + n;
+}
+
+inline int64_t float_text_len(float f) {
+  char buf[48];
+  return emit_float_vcf(buf, f);
+}
+
 struct GroupArgs {
   int64_t n_cols;
   const int32_t* kinds;
@@ -998,9 +1043,15 @@ int64_t group_rec_len(const GroupArgs& a, int64_t r) {
       const int64_t W = a.Ws[c];
       if (n > W) n = W;
       if (n <= 0) { ++w; continue; }
+      w += n - 1;                                 // delims
+      if (k == 3) {
+        const float* srcf = static_cast<const float*>(a.vals_ptrs[c])
+            + (a.rows[r] * a.S + s) * W;
+        for (int64_t j = 0; j < n; ++j) w += float_text_len(srcf[j]);
+        continue;
+      }
       const int32_t* src = static_cast<const int32_t*>(a.vals_ptrs[c])
           + (a.rows[r] * a.S + s) * W;
-      w += n - 1;                                 // delims
       for (int64_t j = 0; j < n; ++j) w += int_text_len(src[j]);
     }
   }
@@ -1038,9 +1089,18 @@ void group_rec_write(const GroupArgs& a, int64_t r, char* out) {
       const int64_t W = a.Ws[c];
       if (n > W) n = W;
       if (n <= 0) { out[w++] = '.'; continue; }
+      const char d = a.delims[c];
+      if (k == 3) {
+        const float* srcf = static_cast<const float*>(a.vals_ptrs[c])
+            + (a.rows[r] * a.S + s) * W;
+        for (int64_t j = 0; j < n; ++j) {
+          if (j) out[w++] = d;
+          w += emit_float_vcf(out + w, srcf[j]);
+        }
+        continue;
+      }
       const int32_t* src = static_cast<const int32_t*>(a.vals_ptrs[c])
           + (a.rows[r] * a.S + s) * W;
-      const char d = a.delims[c];
       for (int64_t j = 0; j < n; ++j) {
         if (j) out[w++] = d;
         w += emit_int(out + w, src[j]);

@@ -749,6 +749,20 @@ def render_group_fused(cols, rows: np.ndarray, S: int):
             kinds[c] = 1
             offs_p[c] = offs.ctypes.data
             cap += int(offs[-1])
+        elif col[0] == "floats":
+            _, vals, lens, delim = col
+            vals = np.ascontiguousarray(vals, dtype=np.float32)
+            if vals.ndim == 2:
+                vals = vals[:, :, None]
+            lens = np.ascontiguousarray(lens, dtype=np.int32)
+            keep.append(vals); keep.append(lens)
+            kinds[c] = 3
+            Ws[c] = vals.shape[2]
+            vals_p[c] = vals.ctypes.data
+            lens_p[c] = lens.ctypes.data
+            delims[c] = delim[0]
+            # worst case per float ~14 chars ("-0.000123" / %g forms)
+            cap += int(np.minimum(lens, vals.shape[2]).sum()) * 16
         elif col[0] == "dots":
             _, lens, delim = col
             lens = np.ascontiguousarray(lens, dtype=np.int32)
