@@ -1182,7 +1182,16 @@ class _SampleRenderer:
             if not produce and not phase:
                 per_p = self.ploidy_bs[bs] if self.mixed else self.ploidy
                 return ("dots", np.where(mask, per_p, 0), b"/")
-            return ("blob",) + self._column(spec, bs, mask)
+            # produce_GT / phased: encode_GT_vector in the native group
+            # renderer unless some cell carries a spanning-deletion GT
+            # override (rare; python path patches those per cell)
+            ov = self.meta.gt_override or {}
+            if ov:
+                ov_bs = {k[0] for k in ov}
+                if any(int(b) in ov_bs for b in bs):
+                    return ("blob",) + self._column(spec, bs, mask)
+            return ("gt", np.asarray(self.dev["gt"]),
+                    mask.astype(np.int32), produce, phase)
         if mask64 is None:
             mask64 = mask.astype(np.int32)
         if nm == "GQ":

@@ -1040,6 +1040,28 @@ int64_t group_rec_len(const GroupArgs& a, int64_t r) {
         w += n <= 0 ? 1 : 2 * n - 1;
         continue;
       }
+      if (k == 4) {
+        // GT text (encode_GT_vector): lens is the 0/1 cell mask; the
+        // delims byte carries flags bit0=produce_GT, bit1=phase_in
+        if (n <= 0) { ++w; continue; }
+        const int64_t W = a.Ws[c];
+        const int32_t* gv = static_cast<const int32_t*>(a.vals_ptrs[c])
+            + (a.rows[r] * a.S + s) * W;
+        const bool produce = a.delims[c] & 1;
+        const bool phase = a.delims[c] & 2;
+        int64_t wrote = 0;
+        for (int64_t e = 0;; ++e) {
+          const int64_t slot = phase ? (e == 0 ? 0 : 2 * e) : e;
+          if (slot >= W) break;
+          const int32_t v = gv[slot];
+          if (v == INT32_MIN + 1) break;          // VECTOR_END
+          if (wrote) ++w;                         // separator
+          w += (produce && v >= 0) ? int_text_len(v) : 1;
+          ++wrote;
+        }
+        if (!wrote) ++w;                          // '.'
+        continue;
+      }
       const int64_t W = a.Ws[c];
       if (n > W) n = W;
       if (n <= 0) { ++w; continue; }
@@ -1084,6 +1106,28 @@ void group_rec_write(const GroupArgs& a, int64_t r, char* out) {
           if (j) out[w++] = d;
           out[w++] = '.';
         }
+        continue;
+      }
+      if (k == 4) {
+        if (n <= 0) { out[w++] = '.'; continue; }
+        const int64_t W = a.Ws[c];
+        const int32_t* gv = static_cast<const int32_t*>(a.vals_ptrs[c])
+            + (a.rows[r] * a.S + s) * W;
+        const bool produce = a.delims[c] & 1;
+        const bool phase = a.delims[c] & 2;
+        int64_t wrote = 0;
+        for (int64_t e = 0;; ++e) {
+          const int64_t slot = phase ? (e == 0 ? 0 : 2 * e) : e;
+          if (slot >= W) break;
+          const int32_t v = gv[slot];
+          if (v == INT32_MIN + 1) break;          // VECTOR_END
+          if (wrote)
+            out[w++] = (phase && gv[slot - 1] > 0) ? '|' : '/';
+          if (produce && v >= 0) w += emit_int(out + w, v);
+          else out[w++] = '.';
+          ++wrote;
+        }
+        if (!wrote) out[w++] = '.';
         continue;
       }
       const int64_t W = a.Ws[c];

@@ -763,6 +763,19 @@ def render_group_fused(cols, rows: np.ndarray, S: int):
             delims[c] = delim[0]
             # worst case per float ~14 chars ("-0.000123" / %g forms)
             cap += int(np.minimum(lens, vals.shape[2]).sum()) * 16
+        elif col[0] == "gt":
+            _, vals, cell_mask, produce, phase = col
+            vals = np.ascontiguousarray(vals, dtype=np.int32)
+            if vals.ndim == 2:
+                vals = vals[:, :, None]
+            cell_mask = np.ascontiguousarray(cell_mask, dtype=np.int32)
+            keep.append(vals); keep.append(cell_mask)
+            kinds[c] = 4
+            Ws[c] = vals.shape[2]
+            vals_p[c] = vals.ctypes.data
+            lens_p[c] = cell_mask.ctypes.data
+            delims[c] = (1 if produce else 0) | (2 if phase else 0)
+            cap += int(cell_mask.sum()) * (vals.shape[2] * 12 + 2)
         elif col[0] == "dots":
             _, lens, delim = col
             lens = np.ascontiguousarray(lens, dtype=np.int32)
