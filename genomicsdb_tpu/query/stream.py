@@ -153,12 +153,41 @@ class CombinedRecordStream:
         header_lines = (["##fileformat=VCFv4.1"]
                         + self._vid_declarations() + [chrom])
         hd = _HeaderDict(header_lines)
-        extra = _synthesize_declarations(records, hd)
+        # records come from THIS stream's renderer, whose id universe
+        # is the vid (contigs, field vcf names, GT) — when all of it is
+        # already declared, the O(records) synthesis scan is provably a
+        # no-op and is skipped (the GATK split pattern sends thousands
+        # of small interval queries; the scan was ~15% of each)
+        extra = [] if self._vid_ids_declared(hd) \
+            else _synthesize_declarations(records, hd)
         if extra:
             header_lines = header_lines[:-1] + extra + [header_lines[-1]]
             hd = _HeaderDict(header_lines)
         yield header_block(header_lines)
         yield from encode_batch(records, hd, n_sample)
+
+    def _vid_ids_declared(self, hd) -> bool:
+        """True when every id this stream's renderers can emit is
+        already declared in `hd`: all vid contigs, GT, and — per role —
+        every vid field's vcf name (FILTER names can reference any vid
+        field idx via filter_name_by_field_idx, so require them all in
+        the string dictionary).  Conservative: any miss falls back to
+        the per-record _synthesize_declarations scan."""
+        if "GT" not in hd.format_type or "PASS" not in hd.str_idx:
+            return False
+        for c in self.vid._contigs_by_offset:
+            if c.name not in hd.contig_idx:
+                return False
+        for name, info in self.vid.fields.items():
+            vcf_name = info.vcf_name or name
+            if vcf_name not in hd.str_idx:
+                return False
+            if info.is_info and vcf_name not in hd.info_type:
+                return False
+            if info.is_format and vcf_name != "GT" \
+                    and vcf_name not in hd.format_type:
+                return False
+        return True
 
     def _vid_declarations(self) -> List[str]:
         """##contig/##FILTER/##INFO/##FORMAT lines for every vid field

@@ -1272,7 +1272,10 @@ extern "C" int gdb_live_sweep(
     for (int64_t s = s0; s < s1; ++s) {
       const int64_t* cs = col + s * C;
       const int64_t* es = end_ + s * C;
-      int64_t j = -1;
+      // seek to the first start: interval queries touch a tiny span of
+      // a store-wide [S, C] layout — the walk must not start at cell 0
+      int64_t j = static_cast<int64_t>(
+          std::upper_bound(cs, cs + C, starts[0]) - cs) - 1;
       for (int64_t b = 0; b < B; ++b) {
         const int64_t st = starts[b];
         while (j + 1 < C && cs[j + 1] <= st) ++j;
