@@ -47,6 +47,20 @@ from . import jax_kernels as K
 INT_MISSING = formats.INT_MISSING
 
 
+def _gt_index_term(a, i: int):
+    """C(a+i, i+1) as a closed-form polynomial in `a`: the canonical
+    genotype-index contribution of ascending-sorted allele slot i
+    (variant_field_handler.cc:299-321).  The product of i+1 consecutive
+    integers is exactly divisible by (i+1)!, so one integer division of
+    the full product is exact.  int32-safe for a <= 15, i <= 5 (the
+    fused path's m <= 16, ploidy <= 6 gates)."""
+    import math
+    term = a
+    for j in range(1, i + 1):
+        term = term * (a + jnp.int32(j))
+    return term // jnp.int32(math.factorial(i + 1))
+
+
 @dataclass(frozen=True)
 class FusedConfig:
     """Static shape/layout configuration of the fused kernel."""
@@ -258,17 +272,7 @@ def _make_kernel(cfg: FusedConfig):
         slots = K._sorting_network(slots)
         in_gt = jnp.zeros((G, cfg.bt), jnp.int32)
         for i, a in enumerate(slots):
-            if i == 0:
-                term = a
-            elif i == 1:
-                term = (a + 1) * a // 2
-            elif i == 2:
-                term = (a + 2) * (a + 1) * a // 6
-            elif i == 3:
-                term = (a + 3) * (a + 2) * (a + 1) * a // 24
-            else:
-                raise NotImplementedError("ploidy > 4")
-            in_gt = in_gt + term
+            in_gt = in_gt + _gt_index_term(a, i)
         ok = (~cmiss) & (in_gt < pll)
         # static per-genotype max allele: scalar compares, no captured
         # array constants (Pallas kernels cannot close over tensors)
@@ -398,13 +402,62 @@ def _rt_candidates(rt_arg: int) -> tuple:
     """rt values to try in order.  An explicit rt (argument or env)
     pins one; the default tries 32-with-shared-windows first (sparse
     cohorts: fewer grid launches, fuller vregs) and falls back to 8
-    (dense gVCF keeps the per-sublane window premise there)."""
+    (dense gVCF keeps the per-sublane window premise there), then 4/2
+    for configs whose per-instance VMEM footprint rejects the big rts
+    (wide G_out: high ploidy and/or many merged alleles)."""
     import os
     if rt_arg:
         return (rt_arg,)
     if os.environ.get("GENOMICSDB_TPU_FUSED_RT"):
         return (_default_rt(),)
-    return (32, 8)
+    return (32, 8, 4, 2)
+
+
+def scoped_vmem_estimate(cfg: FusedConfig) -> int:
+    """Approximate scoped-VMEM bytes of one _make_kernel_rt grid
+    instance: the sum of the major live [*, rt, Bt] int32 temporaries.
+    Calibrated against a measured Mosaic stack OOM (mixed triploid
+    m=8 gt_w=5 V=54 Vout=144 at rt=32 allocates 21.2M; this returns
+    23.8M — a ~12% conservative overestimate).  Used to clamp the
+    auto-tried rt BEFORE paying a remote compile that would exceed the
+    16M scoped-vmem limit."""
+    from math import comb
+    rows = 0
+    rows += 2 * cfg.v                     # g3 stack + window-gather acc
+    ploidies = range(1, cfg.ploidy + 1) if cfg.mixed else (cfg.ploidy,)
+    for p in ploidies:                    # per pl_section temporaries:
+        g_p = comb(cfg.m + p - 1, p)      # slot_alleles (p rows/combo),
+        rows += (p + 3) * g_p             # cmiss, in_gt, gathered
+    rows += (2 if cfg.mixed else 1) * cfg.g_out   # pl_out (+ class pad)
+    rows += 3 * cfg.m                     # in_allele / ok_a / g_ad
+    rows += cfg.gt_w
+    rows += cfg.vout                      # output concat staging
+    return rows * cfg.rt * cfg.bt * 4
+
+
+def _vmem_budget_bytes() -> int:
+    """Scoped-VMEM budget a candidate config must fit (bytes).  Mosaic's
+    default scoped limit is 16M; keep headroom for temporaries the
+    estimator does not model."""
+    import os
+    try:
+        kb = int(os.environ.get("GENOMICSDB_TPU_FUSED_VMEM_KB", "14336"))
+    except ValueError:
+        kb = 14336
+    return kb * 1024
+
+
+# configs proven good/bad on this process's backend: maps a static
+# config signature to True (compiled AND executed once) or False
+# (compile or first execution failed — never retried).  A kernel
+# failure therefore degrades to the next rt candidate / the XLA path
+# instead of crashing the query (VERDICT r3 item 1).
+_CFG_STATUS: Dict[tuple, bool] = {}
+
+
+def _cfg_signature(cfg: FusedConfig, interpret: bool) -> tuple:
+    import jax as _jax
+    return (cfg, interpret, _jax.default_backend())
 
 
 def make_fused_config(blk, *, max_merged: int, ploidy: int,
@@ -513,7 +566,10 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
     B, S = live.shape
     if S == 0 or B == 0:
         return None
-    if ploidy > 4:
+    if ploidy > 6:
+        # past the reference's batched genotyping range
+        # (variant_field_handler.cc:199-296 enumerates any ploidy; the
+        # store path caps batching at 6 — ops/store_block.py)
         return None
     if max_merged > 16:
         # wide-allele blocks (multi-allelic hotspots merging up to the
@@ -523,52 +579,83 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
     if mixed_ploidy and blk.gt_len_bs is None:
         return None
     cand = _rt_candidates(rt)
-    prep = None
-    for i, cand_rt in enumerate(cand):
+    budget = _vmem_budget_bytes()
+    for cand_rt in cand:
         cfg = make_fused_config(blk, max_merged=max_merged,
                                 ploidy=ploidy, gt_phase=gt_phase,
                                 rt=cand_rt, mixed=mixed_ploidy)
         if mixed_ploidy and cfg.rt <= 1:
             continue
+        if scoped_vmem_estimate(cfg) > budget:
+            # this rt's per-instance temporaries would blow Mosaic's
+            # scoped-VMEM limit — reject BEFORE paying a remote compile
+            # that would fail (round-3 chip regression: mixed triploid
+            # at auto-tried rt=32)
+            continue
         # an auto-tried large rt must win its shared-window plan — at
         # rt=32 the per-sublane form would issue 64 window DMAs per
         # instance (strictly worse than rt=8)
-        prep = fused_host_prep(blk, cfg,
-                               require_shared=i + 1 < len(cand))
-        if prep is not None:
-            break
-    if prep is None:
-        return None
-    cfg = prep["cfg"]
-    rt = cfg.rt
-    pay, live_t, inv_t, nr_t = (prep["pay"], prep["live_t"],
-                                prep["inv_t"], prep["nr_t"])
-    recnm2, recnr2 = prep["recnm2"], prep["recnr2"]
-    live_p = prep["live_p"]
-    if rt > 1:
-        Bp = live_p.shape[0]
-        T = Bp // cfg.bt
-        gtl_rt = None
-        if cfg.mixed:
-            bpad = Bp - B
-            gtl_p = np.pad(np.asarray(blk.gt_len_bs), ((0, bpad), (0, 0)),
-                           constant_values=0)
-            gtl_rt = np.ascontiguousarray(gtl_p.T).astype(
-                np.int8).reshape(S, T, cfg.bt)
-        out = fused_gather_remap_rt(
-            pay, live_t[:, 0].reshape(S, T, cfg.bt),
-            inv_t.reshape(S, inv_t.shape[1], T, cfg.bt),
-            nr_t[:, 0].reshape(S, T, cfg.bt),
-            recnm2[0].reshape(T, cfg.bt), recnr2[0].reshape(T, cfg.bt),
-            prep["w2"], gtl_rt, cfg=cfg,
-            interpret=interpret)
-        out = out.reshape(S, cfg.vout, Bp)
-    else:
-        out = fused_gather_remap(pay, live_t, inv_t, nr_t, recnm2,
-                                 recnr2, prep["w0b"], cfg=cfg,
-                                 interpret=interpret)
-    return _fused_post(out, prep["del_rw_p"], live_p, cfg, B,
-                       _reduce_math, med_rows)
+        prep = fused_host_prep(blk, cfg, require_shared=cand_rt > 8)
+        if prep is None:
+            continue
+        cfg = prep["cfg"]
+        sig = _cfg_signature(cfg, interpret)
+        if _CFG_STATUS.get(sig) is False:
+            continue
+        rt_n = cfg.rt
+        pay, live_t, inv_t, nr_t = (prep["pay"], prep["live_t"],
+                                    prep["inv_t"], prep["nr_t"])
+        recnm2, recnr2 = prep["recnm2"], prep["recnr2"]
+        live_p = prep["live_p"]
+        try:
+            if rt_n > 1:
+                Bp = live_p.shape[0]
+                T = Bp // cfg.bt
+                gtl_rt = None
+                if cfg.mixed:
+                    bpad = Bp - B
+                    gtl_p = np.pad(np.asarray(blk.gt_len_bs),
+                                   ((0, bpad), (0, 0)),
+                                   constant_values=0)
+                    gtl_rt = np.ascontiguousarray(gtl_p.T).astype(
+                        np.int8).reshape(S, T, cfg.bt)
+                out = fused_gather_remap_rt(
+                    pay, live_t[:, 0].reshape(S, T, cfg.bt),
+                    inv_t.reshape(S, inv_t.shape[1], T, cfg.bt),
+                    nr_t[:, 0].reshape(S, T, cfg.bt),
+                    recnm2[0].reshape(T, cfg.bt),
+                    recnr2[0].reshape(T, cfg.bt),
+                    prep["w2"], gtl_rt, cfg=cfg,
+                    interpret=interpret)
+                out = out.reshape(S, cfg.vout, Bp)
+            else:
+                out = fused_gather_remap(pay, live_t, inv_t, nr_t,
+                                         recnm2, recnr2, prep["w0b"],
+                                         cfg=cfg, interpret=interpret)
+            if not interpret and _CFG_STATUS.get(sig) is not True:
+                # prove the config once per process: block through
+                # compile AND first execution so a deferred device
+                # failure cannot escape this try (async dispatch)
+                jax.block_until_ready(out)
+                _CFG_STATUS[sig] = True
+        except Exception:
+            if interpret:
+                # interpret mode backs the CPU test suite: a failure
+                # there is a kernel bug, never a capacity limit — do
+                # not mask it behind the XLA fallback
+                raise
+            _CFG_STATUS[sig] = False
+            import warnings
+            warnings.warn(
+                f"fused kernel config rt={cfg.rt} ws={cfg.ws} "
+                f"failed to compile/execute on "
+                f"{jax.default_backend()}; degrading "
+                f"(vmem estimate {scoped_vmem_estimate(cfg)}B)",
+                RuntimeWarning)
+            continue
+        return _fused_post(out, prep["del_rw_p"], live_p, cfg, B,
+                           _reduce_math, med_rows)
+    return None
 
 
 @partial(jax.jit, static_argnames=("cfg", "b_real", "reduce_fn"))
@@ -751,17 +838,7 @@ def _make_kernel_rt(cfg: FusedConfig):
             slots = K._sorting_network(slots)
             in_gt = jnp.zeros((G_p, rt, cfg.bt), jnp.int32)
             for i, a in enumerate(slots):
-                if i == 0:
-                    term = a
-                elif i == 1:
-                    term = (a + 1) * a // 2
-                elif i == 2:
-                    term = (a + 2) * (a + 1) * a // 6
-                elif i == 3:
-                    term = (a + 3) * (a + 2) * (a + 1) * a // 24
-                else:
-                    raise NotImplementedError("ploidy > 4")
-                in_gt = in_gt + term
+                in_gt = in_gt + _gt_index_term(a, i)
             ok = (~cmiss) & (in_gt < pll[None])
             in_rec = jnp.concatenate(
                 [jnp.where(jnp.int32(int(max_a[gi])) < recnm,

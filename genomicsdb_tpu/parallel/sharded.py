@@ -253,9 +253,11 @@ def shard_block_fused(mesh: Mesh, blk: CellBlock, *, max_merged: int,
     computes the global window plan on the host, and shards the
     kernel-layout arrays over the mesh.  Returns
     (args, cfg, b_local, b_real, s_real) or None when the fused path
-    does not apply (window premise failure / ploidy > 4)."""
+    does not apply (window premise failure / ploidy > 6 / no rt fits
+    the scoped-VMEM budget)."""
+    import dataclasses
     from ..ops import pallas_combine as PC
-    if ploidy > 4:
+    if ploidy > 6:
         return None
     n_pos, n_row = mesh.devices.shape
     if mixed_ploidy and blk.gt_len_bs is None:
@@ -264,6 +266,13 @@ def shard_block_fused(mesh: Mesh, blk: CellBlock, *, max_merged: int,
                                gt_phase=gt_phase, rt=rt,
                                mixed=mixed_ploidy)
     if cfg.rt <= 1:
+        return None
+    # VMEM-aware rt clamp (same budget as the single-chip path): halve
+    # the record sublanes until the per-instance temporaries fit
+    budget = PC._vmem_budget_bytes()
+    while cfg.rt > 2 and PC.scoped_vmem_estimate(cfg) > budget:
+        cfg = dataclasses.replace(cfg, rt=cfg.rt // 2)
+    if PC.scoped_vmem_estimate(cfg) > budget:
         return None
     B, S = np.asarray(blk.live).shape
     pblk = pad_block_for_mesh(blk, 1, n_row)       # samples to n_row

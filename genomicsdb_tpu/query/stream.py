@@ -180,7 +180,11 @@ class CombinedRecordStream:
                 return False
         for name, info in self.vid.fields.items():
             vcf_name = info.vcf_name or name
-            if vcf_name not in hd.str_idx:
+            # FILTER tokens are rendered from the vid field NAME
+            # (filter_name_by_field_idx maps field_idx -> name), so the
+            # name must be in the string dictionary even if a future
+            # vcf_field_name alias declares the field under vcf_name
+            if name not in hd.str_idx or vcf_name not in hd.str_idx:
                 return False
             if info.is_info and vcf_name not in hd.info_type:
                 return False
@@ -216,6 +220,16 @@ class CombinedRecordStream:
                 seen.add((vcf_name, "f"))
                 out.append(f'##FORMAT=<ID={vcf_name},Number=.,'
                            f'Type={t},Description="">')
+        # every remaining vid field NAME lands in the string dictionary
+        # as a FILTER id: classless fields (LowQual etc.) genuinely
+        # appear as FILTER tokens, and the renderer emits FILTER tokens
+        # by field NAME — so _vid_ids_declared can prove the synthesis
+        # scan is a no-op (unused declarations are legal)
+        declared = {v for v, _ in seen} | {"GT", "PASS"}
+        for name, info in self.vid.fields.items():
+            if name not in declared:
+                declared.add(name)
+                out.append(f'##FILTER=<ID={name},Description="">')
         out.append('##FORMAT=<ID=GT,Number=1,Type=String,'
                    'Description="Genotype">')
         return out

@@ -49,9 +49,29 @@ def main(argv=None):
     tmp = tempfile.mkdtemp()
     vcf_path = os.path.join(tmp, "genome_cohort.vcf")
     region = make_cohort(vcf_path, args.samples, args.records)
-    ref_tests = os.environ.get("GENOMICSDB_TPU_REF_TESTS",
-                               "/root/reference/tests")
-    vid_file = os.path.join(ref_tests, "inputs/vid.json")
+    # self-contained vid covering the cohort's fields (no dependency on
+    # a reference checkout)
+    vid_file = os.path.join(tmp, "vid.json")
+    with open(vid_file, "w") as f:
+        json.dump({
+            "fields": {
+                "PASS": {"vcf_field_class": ["FILTER"], "type": "int"},
+                "GT": {"vcf_field_class": ["FORMAT"], "type": "int",
+                       "length": "P"},
+                "AD": {"vcf_field_class": ["FORMAT"], "type": "int",
+                       "length": "R"},
+                "DP": {"vcf_field_class": ["FORMAT", "INFO"],
+                       "type": "int"},
+                "GQ": {"vcf_field_class": ["FORMAT"], "type": "int"},
+                "MIN_DP": {"vcf_field_class": ["FORMAT"],
+                           "type": "int"},
+                "PL": {"vcf_field_class": ["FORMAT"], "type": "int",
+                       "length": "G"},
+                "END": {"vcf_field_class": ["INFO"], "type": "int"},
+            },
+            "contigs": {"1": {"length": 249250621,
+                              "tiledb_column_offset": 0}},
+        }, f)
     callset_file = os.path.join(tmp, "callsets.json")
     with open(callset_file, "w") as f:
         json.dump({"callsets": {
@@ -109,7 +129,8 @@ def main(argv=None):
             "mean_stream_bytes": total_bytes // n}))
     finally:
         srv.shutdown()
-        os.unlink(vcf_path)
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

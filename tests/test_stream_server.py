@@ -59,6 +59,28 @@ def test_stream_server_bcf_round_trip():
         srv.shutdown()
 
 
+def test_vid_ids_declared_fast_path_engages():
+    """The headerless stream's O(records) declaration-synthesis skip
+    must actually fire: _vid_declarations covers every vid name (incl.
+    classless fields like LowQual via FILTER ids), so _vid_ids_declared
+    is True for the reference vids (ADVICE r3: it was always False)."""
+    import glob
+
+    from genomicsdb_tpu.core.vid import VidMapper
+    from genomicsdb_tpu.query.stream import CombinedRecordStream
+    from genomicsdb_tpu.vcf.bcf import _HeaderDict
+    checked = 0
+    for vid_path in sorted(glob.glob(f"{REF_TESTS}/inputs/vid*.json")):
+        vid = VidMapper.from_files(vid_path)
+        stream = CombinedRecordStream.__new__(CombinedRecordStream)
+        stream.vid = vid
+        hd = _HeaderDict(["##fileformat=VCFv4.1"]
+                         + stream._vid_declarations())
+        assert stream._vid_ids_declared(hd), vid_path
+        checked += 1
+    assert checked >= 5
+
+
 def test_stream_server_reports_errors():
     srv = QueryStreamServer(port=0)
     srv.start_background()

@@ -129,6 +129,29 @@ print("CHIP_GOLDEN_OK")
     assert "CHIP_GOLDEN_OK" in out
 
 
+def test_fused_hexaploid_compiled_on_chip():
+    """Ploidy-6 cohorts run fused on the chip (round-3 cap was 4); the
+    VMEM-aware rt selection must pick a config that actually compiles."""
+    out = _run_on_tpu(PREAMBLE + r"""
+import numpy as np
+from genomicsdb_tpu.ops.combine_step import (block_to_args, combine_step,
+                                             synthesize_cohort)
+from genomicsdb_tpu.ops import pallas_combine as PC
+blk = synthesize_cohort(num_samples=4, cells_per_sample=48,
+                        region_len=4096, seed=11, ploidy=6)
+with jax.default_device(tpu):
+    fused = PC.combine_step_fused(blk, max_merged=4, ploidy=6)
+    assert fused is not None, "no fused config fit / window failed"
+    fused = {k: np.asarray(v) for k, v in fused.items()}
+    ref = combine_step(*block_to_args(blk), max_merged=4, ploidy=6)
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+for k in ("pl", "ad", "gt", "gq", "dp_format", "min_dp", "dp_info_sum"):
+    assert np.array_equal(fused[k], ref[k]), k
+print("FUSED_HEX_CHIP_OK")
+""", timeout=1500)
+    assert "FUSED_HEX_CHIP_OK" in out
+
+
 def test_fused_mixed_ploidy_compiled_on_chip():
     """The per-call-ploidy fused variant compiles and matches the XLA
     mixed path on the real chip."""
