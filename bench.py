@@ -117,9 +117,12 @@ def bench_device(num_samples=128, cells_per_sample=2048, region_len=262144,
 
 def bench_device_fused(num_samples=128, cells_per_sample=2048,
                        region_len=262144, chunk=8192, reps=5,
-                       interpret=False):
+                       interpret=False, narrow=False):
     """Fused Pallas path (ops/pallas_combine.py): windowed VMEM gather +
-    remap kernel + XLA reductions, one dispatch over all chunks."""
+    remap kernel + XLA reductions, one dispatch over all chunks.
+    `narrow=True` uses the int16-output kernel (the production setting
+    when the fetch pack engages); its checksum is computed on the
+    widened values so it must EQUAL the wide kernel's."""
     import functools
 
     import jax
@@ -138,7 +141,8 @@ def bench_device_fused(num_samples=128, cells_per_sample=2048,
         g_out=len(K.genotype_combo_table(4, 2)),
         a_in=blk.ad.shape[2], m=4, gt_w=blk.gt.shape[2],
         f_med=blk.info_f.shape[0], f_imed=blk.info_i.shape[0],
-        f_fsum=blk.info_fs.shape[0], ploidy=2, gt_phase=False, rt=rt)
+        f_fsum=blk.info_fs.shape[0], ploidy=2, gt_phase=False, rt=rt,
+        narrow=narrow)
     pay = PC.build_payload(blk, cfg)
     C = pay.shape[2]
     cpad = (-C) % cfg.cb + cfg.cb
@@ -204,6 +208,16 @@ def bench_device_fused(num_samples=128, cells_per_sample=2048,
         live_p.reshape(n_chunks, chunk, S).astype(np.int32))
 
     def chksum(x):
+        if x.dtype == jnp.int16:
+            # widen kernel-narrowed values so the checksum equals the
+            # wide kernel's bit-for-bit
+            from genomicsdb_tpu.core import formats as _f
+            x32 = x.astype(jnp.int32)
+            x32 = jnp.where(x == jnp.int16(-32768),
+                            jnp.int32(_f.INT_MISSING), x32)
+            x32 = jnp.where(x == jnp.int16(-32767),
+                            jnp.int32(_f.INT_VECTOR_END), x32)
+            return jnp.sum(x32, dtype=jnp.int32)
         return jnp.sum(x.astype(jnp.int32), dtype=jnp.int32)
 
     S_n, M_n = S, inv_t.shape[2]
@@ -221,13 +235,19 @@ def bench_device_fused(num_samples=128, cells_per_sample=2048,
                     rm[0].reshape(T, cfg.bt), rn[0].reshape(T, cfg.bt),
                     w, cfg=cfg,
                     interpret=interpret)
-                out = out.reshape(S_n, cfg.vout, chunk)
+                out16 = None
+                if cfg.narrow:
+                    out16 = out[0].reshape(S_n, cfg.vout16, chunk)
+                    out = out[1].reshape(S_n, cfg.vout32, chunk)
+                else:
+                    out = out.reshape(S_n, cfg.vout, chunk)
             else:
+                out16 = None
                 out = PC.fused_gather_remap(pay_d, lt, it, nt, rm, rn,
                                             w, cfg=cfg,
                                             interpret=interpret)
             post = PC._fused_post(out, del_rw_d, lbs, cfg, chunk,
-                                  _reduce_math)
+                                  _reduce_math, None, out16)
             return (chksum(post["pl"]) + chksum(post["ad"])
                     + chksum(post["dp_info_sum"]))
         return jnp.sum(jax.lax.map(body, stacks + (live_bs,)))

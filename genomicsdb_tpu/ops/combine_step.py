@@ -159,6 +159,35 @@ def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
     then run the identical local math — results are bit-identical to the
     unsharded path by construction.
     """
+    pl_out, ad_out, gt_out = _remap_math(
+        plg, invg, pllg, nrg, adg, adlg, gtg, rec_num_merged,
+        rec_has_nr, gt_lens, max_merged=max_merged, ploidy=ploidy,
+        gt_phase=gt_phase, mixed_ploidy=mixed_ploidy)
+
+    if med_rows is not None:
+        # INFO median/sum reductions (the only sort on the hot path)
+        # restricted to the rows that carry ANY valid median/sum input
+        # (meta.med_rows, a host-exact superset of device validity) —
+        # outputs come back [F, len(med_rows)] and the writer scatters
+        # them to full width with ok=False elsewhere, which is exactly
+        # what full-width computation would have produced
+        infog = infog[:, med_rows]
+        infoig = infoig[:, med_rows]
+        infofsg = infofsg[:, med_rows]
+        med_valid = valid[med_rows]
+    else:
+        med_valid = valid
+    out = _reduce_math(gqg, dpfg, mdpg, dpig, infog, infoig, infofsg,
+                       med_valid, axis_name=axis_name)
+    out.update({"pl": pl_out, "ad": ad_out, "gt": gt_out})
+    return out
+
+
+def _remap_math(plg, invg, pllg, nrg, adg, adlg, gtg, rec_num_merged,
+                rec_has_nr, gt_lens=None, *, max_merged: int, ploidy: int,
+                gt_phase: bool = False, mixed_ploidy: bool = False):
+    """The allele/genotype remap part of the combine over gathered
+    [B, S, ...] inputs: (pl_out, ad_out, gt_out)."""
     if mixed_ploidy and gt_lens is not None:
         # general ploidy: remap once per ploidy class (static 1..pmax)
         # and select per call by its GT-derived ploidy — the batched
@@ -188,24 +217,7 @@ def _combine_math(plg, invg, pllg, nrg, adg, adlg, gtg, gqg, dpfg, mdpg,
     gt_out = gt_remap_unrolled(gtg, invg, rec_num_merged, rec_has_nr,
                                gt_phase,
                                gt_lens if mixed_ploidy else None)
-
-    if med_rows is not None:
-        # INFO median/sum reductions (the only sort on the hot path)
-        # restricted to the rows that carry ANY valid median/sum input
-        # (meta.med_rows, a host-exact superset of device validity) —
-        # outputs come back [F, len(med_rows)] and the writer scatters
-        # them to full width with ok=False elsewhere, which is exactly
-        # what full-width computation would have produced
-        infog = infog[:, med_rows]
-        infoig = infoig[:, med_rows]
-        infofsg = infofsg[:, med_rows]
-        med_valid = valid[med_rows]
-    else:
-        med_valid = valid
-    out = _reduce_math(gqg, dpfg, mdpg, dpig, infog, infoig, infofsg,
-                       med_valid, axis_name=axis_name)
-    out.update({"pl": pl_out, "ad": ad_out, "gt": gt_out})
-    return out
+    return pl_out, ad_out, gt_out
 
 
 def _reduce_math(gqg, dpfg, mdpg, dpig, infog, infoig, infofsg, valid, *,
@@ -287,7 +299,7 @@ def gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp, dp_info,
 def combine_step(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
                  dp_info, info_f, info_i, info_fs, inv_bs, nr_bs,
                  rec_num_merged, rec_has_nr, live, del_rw=None,
-                 gt_len_bs=None, med_rows=None, *,
+                 gt_len_bs=None, med_rows=None, remap_rows=None, *,
                  max_merged: int, ploidy: int, gt_phase: bool = False,
                  mixed_ploidy: bool = False) -> Dict[str, jnp.ndarray]:
     # per-chunk args may arrive narrowed (int8/int16) to cut the
@@ -298,16 +310,77 @@ def combine_step(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
     rec_num_merged = rec_num_merged.astype(jnp.int32)
     if gt_len_bs is not None:
         gt_len_bs = gt_len_bs.astype(jnp.int32)
-    g = gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
-                         dp_info, info_f, info_i, info_fs, live, del_rw)
-    out = _combine_math(g["plg"], inv_bs, g["pllg"], nr_bs, g["adg"],
-                        g["adlg"], g["gtg"], g["gqg"], g["dpfg"],
-                        g["mdpg"], g["dpig"], g["infog"], g["infoig"],
-                        g["infofsg"], g["valid"], rec_num_merged,
-                        rec_has_nr, gt_len_bs, med_rows,
-                        max_merged=max_merged, ploidy=ploidy,
-                        gt_phase=gt_phase, mixed_ploidy=mixed_ploidy)
-    out["live"] = live
+    if remap_rows is None:
+        g = gather_on_device(pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
+                             dp_info, info_f, info_i, info_fs, live,
+                             del_rw)
+        out = _combine_math(g["plg"], inv_bs, g["pllg"], nr_bs, g["adg"],
+                            g["adlg"], g["gtg"], g["gqg"], g["dpfg"],
+                            g["mdpg"], g["dpig"], g["infog"], g["infoig"],
+                            g["infofsg"], g["valid"], rec_num_merged,
+                            rec_has_nr, gt_len_bs, med_rows,
+                            max_merged=max_merged, ploidy=ploidy,
+                            gt_phase=gt_phase, mixed_ploidy=mixed_ploidy)
+        out["live"] = live
+        return out
+    # row-restricted remaps: the expensive PL/AD/GT gathers + remap
+    # kernels run only on `remap_rows` (the variant records — ref-block
+    # rows are identity passthroughs the HOST reconstructs,
+    # host_identity_outputs); the cross-sample reductions still cover
+    # every row.  ~7x less compute on gVCF-shaped cohorts where 6/7
+    # records are ref blocks.
+    remap_rows = remap_rows.astype(jnp.int32)
+    live_r = live[remap_rows]
+    valid_r = live_r >= 0
+
+    def g_r(x):
+        return _gather_cells(x, live_r)
+
+    pl_out, ad_out, gt_out = _remap_math(
+        g_r(pl), inv_bs[remap_rows],
+        jnp.where(valid_r, g_r(pl_len), 0), nr_bs[remap_rows],
+        g_r(ad), jnp.where(valid_r, g_r(ad_len), 0),
+        jnp.where(valid_r[..., None], g_r(gt), INT_MISSING),
+        rec_num_merged[remap_rows], rec_has_nr[remap_rows],
+        gt_len_bs[remap_rows] if gt_len_bs is not None else None,
+        max_merged=max_merged, ploidy=ploidy, gt_phase=gt_phase,
+        mixed_ploidy=mixed_ploidy)
+    # reductions over every row: DP logic + INFO medians/sums need the
+    # full record axis (ref-block rows render INFO DP too)
+    valid = live >= 0
+    info_ok = valid if del_rw is None else (valid & ~del_rw)
+
+    def g_f(x):
+        return _gather_cells(x, live)
+
+    gqg = jnp.where(valid_r, g_r(gq), INT_MISSING)
+    dpfg = jnp.where(valid, g_f(dp), INT_MISSING)
+    mdpg = jnp.where(valid, g_f(min_dp), INT_MISSING)
+    dpig = jnp.where(valid, g_f(dp_info), INT_MISSING)
+    infog = jnp.where(info_ok[None],
+                      jax.vmap(lambda f: _gather_cells(f, live))(info_f),
+                      jnp.nan)
+    infoig = jnp.where(info_ok[None],
+                       jax.vmap(lambda f: _gather_cells(f, live))(info_i),
+                       INT_MISSING)
+    infofsg = jnp.where(info_ok[None],
+                        jax.vmap(lambda f: _gather_cells(f, live))(
+                            info_fs), jnp.nan)
+    if med_rows is not None:
+        med_valid = valid[med_rows]
+        infog_m, infoig_m, infofsg_m = (infog[:, med_rows],
+                                        infoig[:, med_rows],
+                                        infofsg[:, med_rows])
+    else:
+        med_valid = valid
+        infog_m, infoig_m, infofsg_m = infog, infoig, infofsg
+    out = _reduce_math(gqg, dpfg, mdpg, dpig, infog_m, infoig_m,
+                       infofsg_m, med_valid)
+    # gq / dp_format / min_dp passthroughs come back row-restricted
+    # (the host identity fill covers ref rows)
+    out["dp_format"] = dpfg[remap_rows]
+    out["min_dp"] = mdpg[remap_rows]
+    out.update({"pl": pl_out, "ad": ad_out, "gt": gt_out, "live": live})
     return out
 
 
@@ -454,6 +527,31 @@ def _pack_blob(packable: Dict, extras: Dict,
     return blob, layout
 
 
+def _narrow_one(k: str, v):
+    """(fits, packed) for one PACK_SPECS tensor.  An int16 input is
+    already narrowed by the fused kernel (BCF16 sentinels baked in):
+    int16-spec keys pass through (fits is constant True — the host
+    proved the input ranges before selecting the narrow kernel);
+    int8-spec keys (gt) re-narrow 16->8 with the sentinel remap."""
+    dt, miss, eov, lo, hi = PACK_SPECS[k]
+    if v.dtype == jnp.int16:
+        if np.dtype(dt) == np.int16:
+            return jnp.ones((), bool), v
+        is_m = v == -32768
+        is_e = v == -32767
+        ok = jnp.all(is_m | is_e | ((v >= lo) & (v <= hi)))
+        p = jnp.where(is_m, jnp.int16(miss),
+                      jnp.where(is_e, jnp.int16(eov),
+                                jnp.clip(v, lo, hi))).astype(dt)
+        return ok, p
+    is_m = v == INT_MISSING
+    is_e = v == formats.INT_VECTOR_END
+    ok = jnp.all(is_m | is_e | ((v >= lo) & (v <= hi)))
+    p = jnp.where(is_m, miss,
+                  jnp.where(is_e, eov, jnp.clip(v, lo, hi))).astype(dt)
+    return ok, p
+
+
 @jax.jit
 def _pack_blob_step(packable: Dict, extras: Dict,
                     rows) -> jnp.ndarray:
@@ -471,16 +569,10 @@ def _pack_blob_step(packable: Dict, extras: Dict,
         parts.append(b)
 
     for k in sorted(packable):
-        dt, miss, eov, lo, hi = PACK_SPECS[k]
         v = packable[k]
         if rows is not None:
             v = v[rows]
-        is_m = v == INT_MISSING
-        is_e = v == formats.INT_VECTOR_END
-        ok = jnp.all(is_m | is_e | ((v >= lo) & (v <= hi)))
-        p = jnp.where(is_m, miss,
-                      jnp.where(is_e, eov, jnp.clip(v, lo, hi))
-                      ).astype(dt)
+        ok, p = _narrow_one(k, v)
         emit(ok.reshape(1))
         emit(p)
     for k in sorted(extras):
@@ -516,16 +608,11 @@ def _pack_outputs_step(out: Dict[str, jnp.ndarray]
                        ) -> Dict[str, jnp.ndarray]:
     """Narrowed copies + fits-flags of the big int32 outputs (device)."""
     packed = {}
-    for k, (dt, miss, eov, lo, hi) in PACK_SPECS.items():
+    for k in PACK_SPECS:
         v = out.get(k)
         if v is None:
             continue
-        is_m = v == INT_MISSING
-        is_e = v == formats.INT_VECTOR_END
-        ok = jnp.all(is_m | is_e | ((v >= lo) & (v <= hi)))
-        p = jnp.where(is_m, miss,
-                      jnp.where(is_e, eov, jnp.clip(v, lo, hi))
-                      ).astype(dt)
+        ok, p = _narrow_one(k, v)
         packed[k + "__p"] = p
         packed[k + "__fits"] = ok
     return packed
@@ -568,6 +655,13 @@ def fetch_outputs(out: Dict, packed: Optional[Dict] = None
             w = v.astype(np.int32)
             w[v == miss] = INT_MISSING
             w[v == eov] = formats.INT_VECTOR_END
+            dev[k] = w
+        elif k in PACK_SPECS and v.dtype == np.int16:
+            # kernel-narrowed tensor fetched through the retry path:
+            # widen with the BCF16 sentinel remap
+            w = v.astype(np.int32)
+            w[v == -32768] = INT_MISSING
+            w[v == -32767] = formats.INT_VECTOR_END
             dev[k] = w
         else:
             dev[k] = v
@@ -661,6 +755,13 @@ def fetch_outputs_split(out: Dict, packed: Dict, var_rows: np.ndarray,
             if k in IDENT_KEYS:
                 ident_full[k] = full
             dev[k] = full
+        elif k in PACK_SPECS and v.dtype == np.int16:
+            # kernel-narrowed tensor through the retry path (full-size,
+            # not row-sliced): widen with the BCF16 sentinel remap
+            w = v.astype(np.int32)
+            w[v == -32768] = INT_MISSING
+            w[v == -32767] = formats.INT_VECTOR_END
+            dev[k] = w
         else:
             dev[k] = v
     if ident_full:

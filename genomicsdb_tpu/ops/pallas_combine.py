@@ -95,6 +95,15 @@ class FusedConfig:
     # per-sublane windows are almost always the same bytes — sharing
     # cuts the window DMA volume rt*2/ws-fold (8x at rt=8, ws=2).
     ws: int = 0
+    # narrow outputs (rt kernel only): emit the PL/AD/GT rows — the
+    # bulk of Vout — as a SEPARATE int16 tensor with the BCF narrow
+    # sentinels (-32768 missing / -32767 vector-end) already applied.
+    # Halves the kernel's dominant HBM write volume and makes the
+    # device->host pack step a pure bitcast for those rows.  Only legal
+    # when the host has proven every input value fits int16
+    # (combine_step_fused checks the payload ranges — remaps are pure
+    # permutations, so input range bounds output range).
+    narrow: bool = False
 
     # payload row ranges [start, stop)
     @property
@@ -131,6 +140,36 @@ class FusedConfig:
     @property
     def vout(self) -> int:
         return self.out_rows["__total__"][1]
+
+    # row maps of the split (narrow) output form
+    @property
+    def out_rows16(self) -> Dict[str, Tuple[int, int]]:
+        r, out = 0, {}
+        for name, w in (("pl", self.g_out), ("ad", self.m),
+                        ("gt", self.gt_w)):
+            out[name] = (r, r + w)
+            r += w
+        out["__total__"] = (0, r)
+        return out
+
+    @property
+    def out_rows32(self) -> Dict[str, Tuple[int, int]]:
+        r, out = 0, {}
+        for name, w in (("gq", 1), ("dpf", 1), ("mdp", 1), ("dpi", 1),
+                        ("info_f", self.f_med), ("info_i", self.f_imed),
+                        ("info_fs", self.f_fsum)):
+            out[name] = (r, r + w)
+            r += w
+        out["__total__"] = (0, r)
+        return out
+
+    @property
+    def vout16(self) -> int:
+        return self.out_rows16["__total__"][1]
+
+    @property
+    def vout32(self) -> int:
+        return self.out_rows32["__total__"][1]
 
 
 def build_payload(blk, cfg: FusedConfig, cpad: int = 0) -> np.ndarray:
@@ -549,12 +588,34 @@ def fused_host_prep(blk, cfg: FusedConfig, bpad_to: int = 0,
     }
 
 
+def _narrow_inputs_ok(blk) -> bool:
+    """True when every PL/AD/GT input value fits the int16 narrow range
+    (remaps are permutations + sentinels, so input range bounds output
+    range).  Cached on the store-wide dense layout: the check scans the
+    full slabs once, not per query."""
+    lay = getattr(blk, "_dense_layout", None)
+    if lay is not None and "_narrow_ok" in lay:
+        return lay["_narrow_ok"]
+    ok = True
+    for arr in (blk.pl, blk.ad, blk.gt):
+        a = np.asarray(arr)
+        fits = (((a >= -32000) & (a <= 32000))
+                | (a == INT_MISSING) | (a == formats.INT_VECTOR_END))
+        if not fits.all():
+            ok = False
+            break
+    if lay is not None:
+        lay["_narrow_ok"] = ok
+    return ok
+
+
 def combine_step_fused(blk, *, max_merged: int, ploidy: int,
                        gt_phase: bool = False,
                        interpret: bool = False,
                        rt: int = 0,
                        mixed_ploidy: bool = False,
-                       med_rows=None):
+                       med_rows=None,
+                       narrow_out: bool = False):
     """combine_step built on the fused kernel.  Returns the same output
     dict, or None when the window premise fails for this block (caller
     falls back to the XLA path).  `rt` > 1 selects the sublane-packed
@@ -580,10 +641,14 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
         return None
     cand = _rt_candidates(rt)
     budget = _vmem_budget_bytes()
+    narrow = bool(narrow_out) and _narrow_inputs_ok(blk)
     for cand_rt in cand:
         cfg = make_fused_config(blk, max_merged=max_merged,
                                 ploidy=ploidy, gt_phase=gt_phase,
                                 rt=cand_rt, mixed=mixed_ploidy)
+        if narrow and cfg.rt > 1:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, narrow=True)
         if mixed_ploidy and cfg.rt <= 1:
             continue
         if scoped_vmem_estimate(cfg) > budget:
@@ -627,8 +692,14 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
                     recnr2[0].reshape(T, cfg.bt),
                     prep["w2"], gtl_rt, cfg=cfg,
                     interpret=interpret)
-                out = out.reshape(S, cfg.vout, Bp)
+                if cfg.narrow:
+                    out16 = out[0].reshape(S, cfg.vout16, Bp)
+                    out = out[1].reshape(S, cfg.vout32, Bp)
+                else:
+                    out16 = None
+                    out = out.reshape(S, cfg.vout, Bp)
             else:
+                out16 = None
                 out = fused_gather_remap(pay, live_t, inv_t, nr_t,
                                          recnm2, recnr2, prep["w0b"],
                                          cfg=cfg, interpret=interpret)
@@ -637,6 +708,8 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
                 # compile AND first execution so a deferred device
                 # failure cannot escape this try (async dispatch)
                 jax.block_until_ready(out)
+                if out16 is not None:
+                    jax.block_until_ready(out16)
                 _CFG_STATUS[sig] = True
         except Exception:
             if interpret:
@@ -654,20 +727,31 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
                 RuntimeWarning)
             continue
         return _fused_post(out, prep["del_rw_p"], live_p, cfg, B,
-                           _reduce_math, med_rows)
+                           _reduce_math, med_rows, out16)
     return None
 
 
 @partial(jax.jit, static_argnames=("cfg", "b_real", "reduce_fn"))
 def _fused_post(out, del_rw_p, live_p, cfg: FusedConfig, b_real: int,
-                reduce_fn, med_rows=None):
+                reduce_fn, med_rows=None, out16=None):
     """Split the stacked [S, Vout, Bpad] kernel output into the
-    combine_step dict and run the XLA reductions."""
-    ro = cfg.out_rows
+    combine_step dict and run the XLA reductions.  In narrow mode `out`
+    carries only the int32 scalar/INFO rows and `out16` the int16
+    PL/AD/GT rows (BCF narrow sentinels baked in by the kernel)."""
+    ro = cfg.out_rows32 if cfg.narrow else cfg.out_rows
 
     def rows(name):
         lo, hi = ro[name]
         return out[:, lo:hi, :]
+
+    if cfg.narrow:
+        ro16 = cfg.out_rows16
+
+        def rows_v(name):
+            lo, hi = ro16[name]
+            return out16[:, lo:hi, :]
+    else:
+        rows_v = rows
 
     def to_bsx(x):                 # [S, W, Bp] -> [B, S, W]
         return jnp.transpose(x, (2, 0, 1))[:b_real]
@@ -710,9 +794,9 @@ def _fused_post(out, del_rw_p, live_p, cfg: FusedConfig, b_real: int,
         med_valid = valid_b
     res = reduce_fn(gq, dpf, mdp, dpi, infog, infoig, infofsg,
                     med_valid)
-    res["pl"] = to_bsx(rows("pl"))
-    res["ad"] = to_bsx(rows("ad"))
-    res["gt"] = to_bsx(rows("gt"))
+    res["pl"] = to_bsx(rows_v("pl"))
+    res["ad"] = to_bsx(rows_v("ad"))
+    res["gt"] = to_bsx(rows_v("gt"))
     res["live"] = jnp.asarray(live_p[:b_real], jnp.int32)
     return res
 
@@ -747,7 +831,6 @@ def _make_kernel_rt(cfg: FusedConfig):
             gtl_ref = rest[0]
             rest = rest[1:]
         win_refs = rest[:n_win]
-        out_ref = rest[n_win]
         t = pl.program_id(0)
         s = pl.program_id(1)
         live = live_ref[0]                         # [rt, Bt]
@@ -913,14 +996,32 @@ def _make_kernel_rt(cfg: FusedConfig):
             fill = NAN_BITS if fl else jnp.int32(INT_MISSING)
             return jnp.where(valid, row(name, i), fill)[None]
 
-        parts = [pl_out, ad_out, gt_out, masked("gq"), masked("dpf"),
-                 masked("mdp"), masked("dpi")]
+        scalars = [masked("gq"), masked("dpf"), masked("mdp"),
+                   masked("dpi")]
         for blkname, n, fl in (("info_f", cfg.f_med, True),
                                ("info_i", cfg.f_imed, False),
                                ("info_fs", cfg.f_fsum, True)):
             for i in range(n):
-                parts.append(masked(blkname, i, fl))
-        out_ref[0] = jnp.concatenate(parts, axis=0)   # [Vout, rt, Bt]
+                scalars.append(masked(blkname, i, fl))
+        if cfg.narrow:
+            # the BCF narrow sentinels baked in: -32768 = missing,
+            # -32767 = vector-end (the host proved value ranges fit)
+            def to16(x):
+                y = jnp.where(x == jnp.int32(INT_MISSING),
+                              jnp.int32(-32768),
+                              jnp.where(x == jnp.int32(VEC_END),
+                                        jnp.int32(-32767), x))
+                return y.astype(jnp.int16)
+
+            out16_ref = rest[n_win]
+            out32_ref = rest[n_win + 1]
+            out16_ref[0] = to16(
+                jnp.concatenate([pl_out, ad_out, gt_out], axis=0))
+            out32_ref[0] = jnp.concatenate(scalars, axis=0)
+        else:
+            out_ref = rest[n_win]
+            out_ref[0] = jnp.concatenate(
+                [pl_out, ad_out, gt_out] + scalars, axis=0)
 
     return kernel
 
@@ -967,6 +1068,22 @@ def fused_gather_remap_rt(payload, live_rt, inv_rt, nr_rt, recnm_rt,
     gtl_specs = [pl.BlockSpec((1, rt, cfg.bt),
                               lambda t, s, w: (s, t, 0))] \
         if cfg.mixed else []
+    if cfg.narrow:
+        out_specs = [
+            pl.BlockSpec((1, cfg.vout16, rt, cfg.bt),
+                         lambda t, s, w: (s, 0, t, 0)),
+            pl.BlockSpec((1, cfg.vout32, rt, cfg.bt),
+                         lambda t, s, w: (s, 0, t, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((S, cfg.vout16, T, cfg.bt), jnp.int16),
+            jax.ShapeDtypeStruct((S, cfg.vout32, T, cfg.bt), jnp.int32),
+        ]
+    else:
+        out_specs = pl.BlockSpec((1, cfg.vout, rt, cfg.bt),
+                                 lambda t, s, w: (s, 0, t, 0))
+        out_shape = jax.ShapeDtypeStruct((S, cfg.vout, T, cfg.bt),
+                                         jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T2, S),
@@ -978,15 +1095,13 @@ def fused_gather_remap_rt(payload, live_rt, inv_rt, nr_rt, recnm_rt,
             pl.BlockSpec((rt, cfg.bt), lambda t, s, w: (t, 0)),
             pl.BlockSpec((rt, cfg.bt), lambda t, s, w: (t, 0)),
         ] + gtl_specs + win_specs,
-        out_specs=pl.BlockSpec((1, cfg.vout, rt, cfg.bt),
-                               lambda t, s, w: (s, 0, t, 0)),
+        out_specs=out_specs,
     )
     gtl_args = (gtl_rt,) if cfg.mixed else ()
     with jax.enable_x64(False):
         return pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((S, cfg.vout, T, cfg.bt),
-                                           jnp.int32),
+            out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=interpret,
         )(w2, live_rt, inv_rt, nr_rt, recnm_rt, recnr_rt, *gtl_args,

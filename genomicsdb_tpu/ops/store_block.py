@@ -707,7 +707,15 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
     # The merged REF only includes calls STARTING at the record
     # (GA4GHOperator skips col < variant.start, variant_operations.cc
     # refs collection); the ALT merge includes every live variant call.
-    sig_cache: Dict[Tuple, Tuple] = {}
+    # merge results keyed by (REF, ALT, starting) pattern — STORE-WIDE:
+    # real cohorts repeat allele patterns across records and queries, so
+    # interval queries reuse prior merges instead of re-running the
+    # host-string merge (the dense layout is invalidated with the store).
+    # Deletion-rewritten records key by cell identity and fold in
+    # del_state, which depends on the queried attribute set — those
+    # entries stay per-query.
+    sig_cache: Dict[Tuple, Tuple] = lay.setdefault("_sig_cache", {})
+    sig_cache_local: Dict[Tuple, Tuple] = {}
     rec_overflow: List[int] = []
     del_rw = np.zeros((B, S), dtype=bool)
     gt_override: Dict[Tuple[int, int], np.ndarray] = {}
@@ -759,18 +767,44 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                            starting)
                 got = sig_cache.get(sig_key)
                 if got is None:
-                    call_refs = [get_ref(c) for c in var_cells]
-                    call_alts = [get_alts(c) for c in var_cells]
+                    # dedup identical (REF, ALT, starting) calls to
+                    # CLASSES before the Python-string merge: the merge
+                    # is idempotent over duplicate calls (seen-dict /
+                    # longest-REF updates are no-ops), so running it
+                    # over class representatives in first-occurrence
+                    # order is exactly equivalent — O(#classes) Python
+                    # work instead of O(#samples) at cohort width
+                    refc = ref_codes[var_cells].astype(np.int64)
+                    altc = alt_codes[var_cells].astype(np.int64)
+                    stb = np.fromiter((1 if st else 0
+                                       for st in starting),
+                                      dtype=np.int64,
+                                      count=len(starting))
+                    arr = np.stack([refc, altc, stb], axis=1)
+                    _, first, invmap = np.unique(
+                        arr, axis=0, return_index=True,
+                        return_inverse=True)
+                    order = np.argsort(first, kind="stable")
+                    rank = np.empty(len(order), np.int64)
+                    rank[order] = np.arange(len(order))
+                    class_of = rank[invmap]       # per call, 1st-occ order
+                    reps = first[order]           # representative calls
+                    call_refs_u = [get_ref(var_cells[int(i)])
+                                   for i in reps]
+                    call_alts_u = [get_alts(var_cells[int(i)])
+                                   for i in reps]
+                    starting_u = [starting[int(i)] for i in reps]
                     start_refs = [r for r, st
-                                  in zip(call_refs, starting) if st]
+                                  in zip(call_refs_u, starting_u) if st]
                     merged_ref = M.merge_reference_allele(start_refs) \
                         if start_refs else None
                     alt_merge_ref = merged_ref \
                         if merged_ref is not None else "N"
-                    merged_alts, lut, non_ref = M.merge_alt_alleles(
-                        call_refs, call_alts, alt_merge_ref)
-                    inv_rows = M.inverse_lut_matrix(
-                        np.asarray(lut), len(merged_alts) + 1)
+                    merged_alts, lut_u, non_ref = M.merge_alt_alleles(
+                        call_refs_u, call_alts_u, alt_merge_ref)
+                    inv_rows_u = M.inverse_lut_matrix(
+                        np.asarray(lut_u), len(merged_alts) + 1)
+                    inv_rows = inv_rows_u[class_of]
                     got = (merged_ref, merged_alts, non_ref, inv_rows,
                            {})
                     sig_cache[sig_key] = got
@@ -836,14 +870,17 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
                           for c, st in zip(var_cells, starting))
         if any(rewritten):
             # deletion-rewritten calls fold per-cell PL-argmin state
-            # into the merge: key by cell identity
+            # into the merge: key by cell identity (per-query cache —
+            # del_state depends on the queried attributes)
             sig = ("c", tuple(var_cells), starting)
+            cache = sig_cache_local
         else:
             # the merge depends only on the (REF, ALT) string pattern:
             # records sharing it reuse one merge + inverse-LUT result
             sig = (tuple(ref_codes[var_cells].tolist()),
                    tuple(alt_codes[var_cells].tolist()), starting)
-        got = sig_cache.get(sig)
+            cache = sig_cache
+        got = cache.get(sig)
         if got is None:
             call_refs, call_alts = [], []
             for c, st, rw in zip(var_cells, starting, rewritten):
@@ -874,7 +911,7 @@ def store_to_block(store: ColumnarStore, qc: QueryConfig,
             lut_rw = {i: np.asarray(lut[i]).copy()
                       for i, rw in enumerate(rewritten) if rw}
             got = (merged_ref, merged_alts, non_ref, inv_rows, lut_rw)
-            sig_cache[sig] = got
+            cache[sig] = got
         merged_ref, merged_alts, non_ref, inv_rows, lut_rw = got
         if any(rewritten):
             del_rw[b, s_var[np.asarray(rewritten)]] = True

@@ -129,6 +129,8 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
     import os as _os
     med_restrict = None     # (rows, n) when the combine's INFO sorts
     # were restricted to meta.med_rows — the fetch scatters them back
+    remap_restrict = None   # (var_rows, ref_rows, n_var) when the
+    # remaps were restricted to variant rows (CPU path)
     if mesh is not None:
         from ..parallel.sharded import (pad_block_for_mesh, shard_block,
                                         shard_block_fused,
@@ -208,18 +210,47 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
         if use_fused:
             # fused Pallas path (windowed gather + remap in VMEM);
             # mixed (per-call) ploidy runs the per-ploidy-select kernel
-            # variant; falls back to XLA when the window premise fails
+            # variant; falls back to XLA when the window premise fails.
+            # When the fetch pack will engage (below), ask the kernel
+            # to emit PL/AD/GT already narrowed to int16 — kills the
+            # device re-narrow pass and ~halves the kernel's dominant
+            # HBM write volume
+            _pk0 = _os.environ.get("GENOMICSDB_TPU_PACK", "")
+            pack_on = _pk0 == "1" or (_pk0 != "0"
+                                      and jnp_backend_is_tpu())
             from ..ops.pallas_combine import combine_step_fused
             out = combine_step_fused(blk, max_merged=max_merged,
                                      ploidy=ploidy,
                                      gt_phase=plan.gt_phase,
                                      mixed_ploidy=mixed_ploidy,
                                      interpret=not jnp_backend_is_tpu(),
-                                     med_rows=med_rows_p)
+                                     med_rows=med_rows_p,
+                                     narrow_out=pack_on)
         if out is None:
             from ..ops.combine_step import block_to_args_cached
+            # CPU-device configuration: restrict the expensive PL/AD/GT
+            # gathers + remaps to VARIANT rows — ref-block rows are
+            # identity passthroughs reconstructed on the host (the same
+            # split the TPU fetch pack uses).  Bucketed so repeated
+            # interval queries reuse compiled steps.
+            remap_rows_p = None
+            ref_mask = getattr(meta, "is_ref_block_only", None)
+            if (ref_mask is not None and not jnp_backend_is_tpu()
+                    and _os.environ.get("GENOMICSDB_TPU_VARROWS",
+                                        "1") != "0"):
+                var_rows = np.nonzero(~ref_mask)[0]
+                ref_rows = np.nonzero(ref_mask)[0]
+                if len(ref_rows) >= max(len(ref_mask) // 4, 1):
+                    bucket = 16
+                    while bucket < len(var_rows):
+                        bucket *= 2
+                    remap_rows_p = np.zeros(bucket, np.int32)
+                    remap_rows_p[:len(var_rows)] = var_rows
+                    remap_restrict = (var_rows, ref_rows,
+                                      len(var_rows))
             out = combine_step(*block_to_args_cached(blk),
                                med_rows=med_rows_p,
+                               remap_rows=remap_rows_p,
                                max_merged=max_merged,
                                ploidy=ploidy, gt_phase=plan.gt_phase,
                                mixed_ploidy=mixed_ploidy)
@@ -239,14 +270,20 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
     _pk = _os.environ.get("GENOMICSDB_TPU_PACK", "")
     if _pk == "1" or (_pk != "0" and jnp_backend_is_tpu()):
         from ..ops.combine_step import pack_outputs
-        ref_mask = meta.is_ref_block_only
-        var_rows = np.nonzero(~ref_mask)[0]
-        ref_rows = np.nonzero(ref_mask)[0]
-        if len(ref_rows) >= max(len(ref_mask) // 4, 1):
-            packed = pack_outputs(out, rows=var_rows)
-            split = (var_rows, ref_rows)
-        else:
+        if remap_restrict is not None:
+            # the combine already ran row-restricted: out's remap
+            # outputs hold ONLY variant-bucket rows, so pack them whole
+            # (the remap_restrict scatter below does the assembly)
             packed = pack_outputs(out)
+        else:
+            ref_mask = meta.is_ref_block_only
+            var_rows = np.nonzero(~ref_mask)[0]
+            ref_rows = np.nonzero(ref_mask)[0]
+            if len(ref_rows) >= max(len(ref_mask) // 4, 1):
+                packed = pack_outputs(out, rows=var_rows)
+                split = (var_rows, ref_rows)
+            else:
+                packed = pack_outputs(out)
     if live is None and blk.live is not None:
         live = np.asarray(blk.live)
     # dispatch complete: under jit the combine runs asynchronously from
@@ -298,6 +335,42 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
     else:
         dev["live"] = live
     B, S = live.shape
+    if remap_restrict is not None:
+        # scatter the variant-row remap outputs to full width and fill
+        # ref-block rows with the host identity passthrough (the CPU
+        # analog of fetch_outputs_split's assembly)
+        from ..core.formats import INT_MISSING as _IM
+        var_rows, ref_rows, n_var = remap_restrict
+        widths = (dev["pl"].shape[-1], dev["ad"].shape[-1],
+                  dev["gt"].shape[-1])
+        full = {
+            "pl": np.empty((B, S, widths[0]), np.int32),
+            "ad": np.empty((B, S, widths[1]), np.int32),
+            "gt": np.empty((B, S, widths[2]), np.int32),
+            # 2-D presence columns: rows outside the scatter (no live
+            # cell / bucket padding) must read MISSING
+            "gq": np.full((B, S), _IM, np.int32),
+            "dp_format": np.full((B, S), _IM, np.int32),
+            "min_dp": np.full((B, S), _IM, np.int32),
+        }
+        for k in full:
+            full[k][var_rows] = np.asarray(dev[k])[:n_var]
+        ref_emitted = ref_rows[(live[ref_rows] >= 0).any(axis=1)]
+        if len(ref_emitted):
+            gtl_r = np.asarray(blk.gt_len_bs)[ref_emitted] \
+                if mixed_ploidy else None
+            ok = native_loader.identity_outputs(
+                np.asarray(blk.live)[ref_emitted], blk.pl, blk.pl_len,
+                blk.ad, blk.ad_len, blk.gt, blk.gq, blk.dp, blk.min_dp,
+                gtl_r, widths, blk.ploidy, plan.gt_phase, mixed_ploidy,
+                out=full, dest_rows=ref_emitted)
+            if ok is None:
+                ident = host_identity_outputs(blk, ref_emitted, widths,
+                                              plan.gt_phase,
+                                              mixed_ploidy)
+                for k in full:
+                    full[k][ref_emitted] = ident[k]
+        dev.update(full)
     if med_restrict is not None:
         # scatter the row-restricted INFO reductions back to full
         # width; rows outside med_rows read ok=False — exactly what

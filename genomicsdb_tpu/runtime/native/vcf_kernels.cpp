@@ -1154,12 +1154,17 @@ void group_rec_write(const GroupArgs& a, int64_t r, char* out) {
 }
 
 template <typename F>
-void par_records(int64_t R, F f) {
+void par_records(int64_t R, F f, int64_t work = -1) {
+  // `work` approximates total elements; wide cohorts have few records
+  // x many samples, so the threshold must scale with R*S, not R
+  if (work < 0) work = R;
   int nthreads = 1;
-  if (R >= 256) {
+  if (work >= 16384 && R >= 2) {
     unsigned hw = std::thread::hardware_concurrency();
     nthreads = hw ? static_cast<int>(hw) : 4;
     if (nthreads > 8) nthreads = 8;
+    if (static_cast<int64_t>(nthreads) > R)
+      nthreads = static_cast<int>(R);
   }
   if (nthreads <= 1) { f(int64_t(0), R); return; }
   std::vector<std::thread> ts;
@@ -1183,17 +1188,18 @@ extern "C" int64_t gdb_render_group(
     char* out, int64_t cap, int64_t* rec_offs) {
   GroupArgs a{n_cols, kinds, vals_ptrs, Ws, lens_ptrs, blob_ptrs,
               offs_ptrs, delims, rows, R, S};
+  const int64_t work = R * S * (n_cols > 0 ? n_cols : 1);
   rec_offs[0] = 0;
   par_records(R, [&a, rec_offs](int64_t lo, int64_t hi) {
     for (int64_t r = lo; r < hi; ++r)
       rec_offs[r + 1] = group_rec_len(a, r);
-  });
+  }, work);
   for (int64_t r = 0; r < R; ++r) rec_offs[r + 1] += rec_offs[r];
   if (rec_offs[R] > cap) return -1;
   par_records(R, [&a, rec_offs, out](int64_t lo, int64_t hi) {
     for (int64_t r = lo; r < hi; ++r)
       group_rec_write(a, r, out + rec_offs[r]);
-  });
+  }, work);
   return rec_offs[R];
 }
 
@@ -1236,7 +1242,7 @@ extern "C" int gdb_widen_scatter(
     par_records(n_rows, [&](int64_t lo, int64_t hi) {
       widen_rows<T>(s, rows, n_rows, elem, static_cast<T>(miss),
                     static_cast<T>(eov), out, lo, hi);
-    });
+    }, n_rows * elem);
   };
   if (itemsize == 1) run(int8_t{});
   else if (itemsize == 2) run(int16_t{});
@@ -1260,7 +1266,7 @@ extern "C" int gdb_live_sweep(
   constexpr int64_t I64MAX = INT64_MAX;
   for (int64_t b = 0; b < B; ++b) endmin[b] = I64MAX;
   int nthreads = 1;
-  if (B * S >= 1 << 16) {
+  if (B * S >= 1 << 14) {
     unsigned hw = std::thread::hardware_concurrency();
     nthreads = hw ? static_cast<int>(hw) : 4;
     if (nthreads > 8) nthreads = 8;

@@ -114,6 +114,75 @@ def test_fused_mixed_high_ploidy(pmax):
     _compare(ref, out)
 
 
+def _widen16(a):
+    from genomicsdb_tpu.core import formats
+    a = np.asarray(a)
+    w = a.astype(np.int32)
+    w[a == -32768] = formats.INT_MISSING
+    w[a == -32767] = formats.INT_VECTOR_END
+    return w
+
+
+@pytest.mark.parametrize("mixed", [False, True])
+def test_fused_narrow_outputs(mixed):
+    """narrow_out=True makes the kernel emit PL/AD/GT as int16 with the
+    BCF16 sentinels; widened they must equal the int32 path exactly."""
+    blk = synthesize_cohort(num_samples=6, cells_per_sample=48,
+                            region_len=4096, seed=21)
+    if mixed:
+        B, S = np.asarray(blk.live).shape
+        rng = np.random.default_rng(5)
+        blk.gt_len_bs = rng.integers(1, 3, size=(B, S)).astype(np.int32)
+    ref = combine_step(*block_to_args(blk), max_merged=4, ploidy=2,
+                       mixed_ploidy=mixed)
+    out = PC.combine_step_fused(blk, max_merged=4, ploidy=2,
+                                interpret=True, mixed_ploidy=mixed,
+                                narrow_out=True)
+    assert out is not None
+    for k in ("pl", "ad", "gt"):
+        got = np.asarray(out[k])
+        assert got.dtype == np.int16, (k, got.dtype)
+        np.testing.assert_array_equal(_widen16(got), np.asarray(ref[k]),
+                                      err_msg=k)
+    for k in ("gq", "dp_format", "min_dp", "dp_info_sum", "live"):
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+
+
+def test_fused_narrow_pack_fetch_roundtrip():
+    """The blob pack/fetch of kernel-narrowed outputs reproduces the
+    int32 host arrays bit-exactly (pre-narrowed pass-through + the
+    int16->int8 GT re-narrow)."""
+    from genomicsdb_tpu.ops.combine_step import fetch_outputs, pack_outputs
+    blk = synthesize_cohort(num_samples=6, cells_per_sample=48,
+                            region_len=4096, seed=9)
+    ref = combine_step(*block_to_args(blk), max_merged=4, ploidy=2)
+    out = PC.combine_step_fused(blk, max_merged=4, ploidy=2,
+                                interpret=True, narrow_out=True)
+    assert out is not None
+    packed = pack_outputs(out)
+    assert packed is not None
+    got = fetch_outputs(out, packed)
+    for k in ("pl", "ad", "gt", "gq", "dp_format", "min_dp"):
+        np.testing.assert_array_equal(got[k], np.asarray(ref[k]),
+                                      err_msg=k)
+
+
+def test_narrow_inputs_check_rejects_wide_values():
+    blk = synthesize_cohort(num_samples=4, cells_per_sample=40,
+                            region_len=3000, seed=7)
+    assert PC._narrow_inputs_ok(blk)
+    blk.pl = blk.pl.copy()
+    blk.pl[0, 0, 0] = 100_000          # genuine int16 overflow
+    if getattr(blk, "_dense_layout", None) is not None:
+        blk._dense_layout.pop("_narrow_ok", None)
+    assert not PC._narrow_inputs_ok(blk)
+    out = PC.combine_step_fused(blk, max_merged=4, ploidy=2,
+                                interpret=True, narrow_out=True)
+    # falls back to wide outputs, not a wrong narrow result
+    assert out is not None and np.asarray(out["pl"]).dtype == np.int32
+
+
 def test_vmem_estimate_rejects_round3_oom_config():
     """The config that OOMed Mosaic's 16M scoped-VMEM limit on the chip
     in round 3 (mixed triploid, m=8, V=54, Vout=144, auto-tried rt=32;
