@@ -590,25 +590,37 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
     groups: Dict[int, np.ndarray] = {
         int(uniq_codes[g]): sc_order[uniq_bounds[g]:uniq_bounds[g + 1]]
         for g in range(len(uniq_codes))}
+    direct_groups = None     # [(marshalled desc, idxs)] when the
+    # direct-write render engages: sample text lands straight in the
+    # final line blob (gdb_render_group_lens/_at + gdb_assemble_*),
+    # written exactly once instead of rendered+scattered+memcpy'd
+    samp_lens = None
     if with_fmt:
         renderer = _SampleRenderer(plan, fmt_specs, meta, blk, dev, live,
                                    ploidy, store,
                                    mixed_ploidy=mixed_ploidy)
-        group_cols = [] if renderer.native else None
-        for code, idxs in groups.items():
+        for code in groups:
             sig = sig_of(code)
-            if group_cols is not None:
-                col = renderer.render_group_col(sig, bs_arr[idxs])
-                group_cols.append((col, idxs))
-            else:
-                texts = renderer.render_group(sig, bs_arr[idxs])
-                for i, t in zip(idxs, texts):
-                    rec_text[i] = t
             names = [sp.vcf_name for sp, pr in zip(fmt_specs, sig) if pr]
             if sig[-1]:
                 names.append("DP")
             fmt_strings[code] = ":".join(names) if names else "."
-        if group_cols is not None:
+        lib = native_loader.get_lib()
+        if renderer.native and hasattr(lib, "gdb_assemble_lens"):
+            direct_groups = []
+            samp_lens = np.zeros(nb, np.int64)
+            for code, idxs in groups.items():
+                desc = native_loader._marshal_group(
+                    renderer.group_descs(sig_of(code), bs_arr[idxs]),
+                    bs_arr[idxs], S)
+                samp_lens[idxs] = native_loader.render_group_lens(desc)
+                direct_groups.append((desc, idxs))
+        elif renderer.native:
+            group_cols = []
+            for code, idxs in groups.items():
+                col = renderer.render_group_col(sig_of(code),
+                                                bs_arr[idxs])
+                group_cols.append((col, idxs))
             # scatter-concatenate the group blobs by record index: no
             # per-record byte strings are materialized
             lens = np.zeros(nb, np.int64)
@@ -622,10 +634,22 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
                     np.asarray(arr), offs[:-1], np.diff(offs),
                     samp_offs[:-1][idxs], blob)
             rec_text = (blob, samp_offs)
-    block_lines_text = _assemble_block_lines(
-        nb, block_bs, bs_arr, c_idx, c_names, c_offsets, starts, meta,
-        refs, alt_txts, info_txt, id_txt, qual_txt, filt_txt,
-        fmt_strings, sig_codes, rec_text, with_fmt)
+        else:
+            for code, idxs in groups.items():
+                texts = renderer.render_group(sig_of(code),
+                                              bs_arr[idxs])
+                for i, t in zip(idxs, texts):
+                    rec_text[i] = t
+    if direct_groups is not None:
+        block_lines_text = _assemble_block_lines_direct(
+            nb, block_bs, bs_arr, c_idx, c_names, c_offsets, starts,
+            meta, refs, alt_txts, info_txt, id_txt, qual_txt, filt_txt,
+            fmt_strings, sig_codes, samp_lens, direct_groups)
+    else:
+        block_lines_text = _assemble_block_lines(
+            nb, block_bs, bs_arr, c_idx, c_names, c_offsets, starts,
+            meta, refs, alt_txts, info_txt, id_txt, qual_txt, filt_txt,
+            fmt_strings, sig_codes, rec_text, with_fmt)
     if isinstance(block_lines_text, tuple):   # native (blob, offsets)
         blob, offs = block_lines_text
         if plan_items is None:
@@ -778,6 +802,50 @@ def _assemble_block_lines(nb, block_bs, bs_arr, c_idx, c_names, c_offsets,
             cols.append(t.decode() if isinstance(t, bytes) else t)
         out.append("\t".join(cols))
     return out
+
+
+def _assemble_block_lines_direct(nb, block_bs, bs_arr, c_idx, c_names,
+                                 c_offsets, starts, meta, refs, alt_txts,
+                                 info_txt, id_txt, qual_txt, filt_txt,
+                                 fmt_strings, sig_codes, samp_lens,
+                                 direct_groups):
+    """Direct-write form of _assemble_block_lines: exact line lengths
+    up front, prefixes written in parallel with per-record sample gaps,
+    then each signature group's sample text rendered straight into its
+    gap (gdb_assemble_lens/_write + gdb_render_group_at) — every output
+    byte is written exactly once.  Returns (bytes, offsets[nb+1])."""
+    cidx_b = c_idx[bs_arr]
+    pos1 = starts[bs_arr] - c_offsets[np.maximum(cidx_b, 0)] + 1
+    ends_b = meta.ends[bs_arr]
+    info_end = np.where(ends_b > starts[bs_arr],
+                        pos1 + (ends_b - starts[bs_arr]), -1)
+    names_blob, name_offs = _strs_to_col(c_names)
+    extra_col = None
+    if info_txt:
+        extra_col = _strs_to_col(
+            [";".join(info_txt[int(b)]) if int(b) in info_txt else ""
+             for b in block_bs])
+    code_order = {c: i for i, c in enumerate(fmt_strings)}
+    fmt_blob, fmt_offs = _strs_to_col(
+        [fmt_strings[c] for c in code_order])
+    fmt_idx = np.fromiter(
+        (code_order[c] for c in sig_codes.tolist()),
+        dtype=np.int32, count=nb)
+    out, line_offs, samp_dest = native_loader.assemble_lines_gapped(
+        cidx_b, pos1, names_blob, name_offs,
+        _strs_to_col([id_txt[int(b)] for b in block_bs], True)
+        if id_txt is not None else None,
+        _strs_to_col(refs), _strs_to_col(alt_txts),
+        _strs_to_col([qual_txt[int(b)] for b in block_bs], True)
+        if qual_txt is not None else None,
+        _strs_to_col([filt_txt[int(b)] for b in block_bs], True)
+        if filt_txt is not None else None,
+        info_end, extra_col,
+        np.full(nb, -1, dtype=np.int64),   # DP already in info_txt
+        fmt_blob, fmt_offs, fmt_idx, samp_lens)
+    for desc, idxs in direct_groups:
+        native_loader.render_group_at(desc, samp_dest[idxs], out)
+    return out.tobytes(), line_offs
 
 
 def _render_order(plan):
@@ -1154,13 +1222,10 @@ class _SampleRenderer:
             self.ploidy_bs = None
         self.native = native_loader.get_lib() is not None
 
-    def render_group_col(self, sig, bs):
-        """(uint8 blob, offsets[R+1]) of the tab-joined sample columns
-        per record — the zero-slicing native form of render_group (the
-        caller scatter-concatenates group blobs by record index instead
-        of materializing per-record byte strings)."""
-        if not self.native:
-            return None
+    def group_descs(self, sig, bs):
+        """Column descriptors for one FORMAT-signature group (the
+        gdb_render_group* argument list).  A group with no present
+        columns renders '.' per sample (a single dots column)."""
         mask = self.live[bs] >= 0                  # [R, S]
         R, S = mask.shape
         descs = []
@@ -1173,11 +1238,18 @@ class _SampleRenderer:
             descs.append(("ints", np.asarray(self.dev["dp_format"]),
                           mask64, b","))
         if not descs:
-            row = ("\t".join("." for _ in range(S))).encode()
-            blob = np.frombuffer(row * R, dtype=np.uint8)
-            offs = np.arange(R + 1, dtype=np.int64) * len(row)
-            return blob, offs
-        return native_loader.render_group_fused(descs, np.asarray(bs), S)
+            descs = [("dots", np.ones((R, S), np.int32), b",")]
+        return descs
+
+    def render_group_col(self, sig, bs):
+        """(uint8 blob, offsets[R+1]) of the tab-joined sample columns
+        per record — the zero-slicing native form of render_group (the
+        caller scatter-concatenates group blobs by record index instead
+        of materializing per-record byte strings)."""
+        if not self.native:
+            return None
+        return native_loader.render_group_fused(
+            self.group_descs(sig, bs), np.asarray(bs), self.live.shape[1])
 
     def render_group(self, sig, bs) -> List[str]:
         col = self.render_group_col(sig, bs)

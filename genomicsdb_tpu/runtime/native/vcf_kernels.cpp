@@ -18,6 +18,108 @@
 #include <cmath>
 #include <cstdio>
 #include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <functional>
+#include <mutex>
+
+// ---------------------------------------------------------------------------
+// Persistent worker pool.  Per-call std::thread spawning costs ~0.5-1 ms
+// per parallel section, which dominates small interval queries (the
+// GATK split pattern fires 4-6 parallel sections per query).  Workers
+// are created once, woken by epoch, and chunks are work-stealing via an
+// atomic cursor; the caller participates.  Runs are serialized by
+// run_mu (concurrent sections would contend for the same cores anyway).
+// The pool is intentionally leaked: joining detached workers in static
+// destructors deadlocks on some libc exit paths.
+// ---------------------------------------------------------------------------
+
+namespace gdbpool {
+
+struct Pool {
+  std::vector<std::thread> workers;
+  std::mutex mu;
+  std::mutex run_mu;
+  std::condition_variable cv_work;
+  std::condition_variable cv_done;
+  const std::function<void(int64_t, int64_t)>* fn = nullptr;
+  int64_t chunk = 0;
+  int64_t n = 0;
+  std::atomic<int64_t> next{0};
+  std::atomic<int> active{0};
+  uint64_t epoch = 0;
+  int nworkers;
+
+  Pool() {
+    unsigned hw = std::thread::hardware_concurrency();
+    int total = hw ? static_cast<int>(hw) : 4;
+    if (total > 8) total = 8;
+    nworkers = total - 1;                  // the caller participates
+    for (int i = 0; i < nworkers; ++i)
+      workers.emplace_back([this]() { worker(); });
+  }
+
+  void run_chunks(const std::function<void(int64_t, int64_t)>& f) {
+    for (;;) {
+      const int64_t lo = next.fetch_add(chunk);
+      if (lo >= n) return;
+      f(lo, std::min(n, lo + chunk));
+    }
+  }
+
+  void worker() {
+    uint64_t seen = 0;
+    for (;;) {
+      const std::function<void(int64_t, int64_t)>* f;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_work.wait(lk, [&] { return epoch != seen; });
+        seen = epoch;
+        f = fn;
+      }
+      run_chunks(*f);
+      if (active.fetch_sub(1) == 1) {
+        std::lock_guard<std::mutex> lg(mu);
+        cv_done.notify_all();
+      }
+    }
+  }
+
+  void run(int64_t total, const std::function<void(int64_t, int64_t)>& f) {
+    if (nworkers <= 0) { f(0, total); return; }
+    std::lock_guard<std::mutex> serial(run_mu);
+    {
+      std::lock_guard<std::mutex> lg(mu);
+      fn = &f;
+      n = total;
+      chunk = std::max<int64_t>(1, total / ((nworkers + 1) * 4));
+      next.store(0, std::memory_order_relaxed);
+      active.store(nworkers, std::memory_order_relaxed);
+      ++epoch;
+      cv_work.notify_all();
+    }
+    run_chunks(f);
+    std::unique_lock<std::mutex> lk(mu);
+    cv_done.wait(lk, [&] { return active.load() == 0; });
+  }
+};
+
+inline Pool& pool() {
+  static Pool* p = new Pool();           // leaked by design (see above)
+  return *p;
+}
+
+// Parallel-for over [0, n): f(lo, hi) on pool workers + caller when
+// `work` (approximate total elements) crosses the threading threshold.
+template <typename F>
+inline void par_for(int64_t n, F f, int64_t work) {
+  if (n <= 0) return;
+  if (work < 16384 || n < 2) { f(int64_t(0), n); return; }
+  const std::function<void(int64_t, int64_t)> fn = f;
+  pool().run(n, fn);
+}
+
+}  // namespace gdbpool
 
 namespace {
 
@@ -473,11 +575,17 @@ void gdb_info_values(const char* text, const int64_t* starts,
 void gdb_copy_segments(const char* src, const int64_t* src0,
                        const int64_t* lens, const int64_t* dest0,
                        int64_t n, int64_t elem_size, char* out) {
-  for (int64_t i = 0; i < n; ++i) {
-    if (lens[i] > 0)
-      std::memcpy(out + dest0[i] * elem_size, src + src0[i] * elem_size,
-                  static_cast<size_t>(lens[i] * elem_size));
-  }
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (lens[i] > 0) total += lens[i];
+  gdbpool::par_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      if (lens[i] > 0)
+        std::memcpy(out + dest0[i] * elem_size,
+                    src + src0[i] * elem_size,
+                    static_cast<size_t>(lens[i] * elem_size));
+    }
+  }, total * elem_size / 16);   // memcpy is cheap per element
 }
 
 // Replicate a per-record ragged array to K consecutive cells per record:
@@ -848,26 +956,9 @@ extern "C" int gdb_identity_outputs(
               p_out, ploidy, gt_phase, mixed, pl_o, ad_o, gt_o,
               gq_o, dp_o, mdp_o};
   const int64_t cells = B * S;
-  int nthreads = 1;
-  if (cells >= 1 << 16) {
-    unsigned hw = std::thread::hardware_concurrency();
-    nthreads = hw ? static_cast<int>(hw) : 4;
-    if (nthreads > 8) nthreads = 8;
-    if (static_cast<int64_t>(nthreads) > B) nthreads = static_cast<int>(B);
-  }
-  if (nthreads <= 1) {
-    ident_rows(a, 0, B);
-    return 0;
-  }
-  std::vector<std::thread> ts;
-  const int64_t step = (B + nthreads - 1) / nthreads;
-  for (int t = 0; t < nthreads; ++t) {
-    const int64_t lo = t * step;
-    const int64_t hi = std::min(B, lo + step);
-    if (lo >= hi) break;
-    ts.emplace_back(ident_rows, std::cref(a), lo, hi);
-  }
-  for (auto& t : ts) t.join();
+  gdbpool::par_for(B, [&a](int64_t lo, int64_t hi) {
+    ident_rows(a, lo, hi);
+  }, cells >= (1 << 16) ? cells : 0);
   return 0;
 }
 
@@ -1158,24 +1249,7 @@ void par_records(int64_t R, F f, int64_t work = -1) {
   // `work` approximates total elements; wide cohorts have few records
   // x many samples, so the threshold must scale with R*S, not R
   if (work < 0) work = R;
-  int nthreads = 1;
-  if (work >= 16384 && R >= 2) {
-    unsigned hw = std::thread::hardware_concurrency();
-    nthreads = hw ? static_cast<int>(hw) : 4;
-    if (nthreads > 8) nthreads = 8;
-    if (static_cast<int64_t>(nthreads) > R)
-      nthreads = static_cast<int>(R);
-  }
-  if (nthreads <= 1) { f(int64_t(0), R); return; }
-  std::vector<std::thread> ts;
-  const int64_t step = (R + nthreads - 1) / nthreads;
-  for (int t = 0; t < nthreads; ++t) {
-    const int64_t lo = t * step;
-    const int64_t hi = std::min(R, lo + step);
-    if (lo >= hi) break;
-    ts.emplace_back([&f, lo, hi]() { f(lo, hi); });
-  }
-  for (auto& t : ts) t.join();
+  gdbpool::par_for(R, f, work);
 }
 
 }  // namespace
@@ -1201,6 +1275,221 @@ extern "C" int64_t gdb_render_group(
       group_rec_write(a, r, out + rec_offs[r]);
   }, work);
   return rec_offs[R];
+}
+
+// ---------------------------------------------------------------------------
+// Direct-write grouped render + gapped line assembly.
+//
+// The single-buffer pipeline (gdb_render_group per signature group ->
+// scatter-concatenate group blobs -> gdb_assemble_lines memcpying the
+// sample blob again) writes every sample byte three times.  These
+// entry points write each byte exactly once:
+//   1. gdb_render_group_lens: per-record sample-text length per group
+//   2. gdb_assemble_lens: exact per-line prefix lengths -> line offsets
+//      + per-record sample destinations in the final blob
+//   3. gdb_assemble_write: prefixes + '\n' (parallel), sample gaps left
+//   4. gdb_render_group_at: sample text straight into the gaps
+// ---------------------------------------------------------------------------
+
+extern "C" void gdb_render_group_lens(
+    int64_t n_cols, const int32_t* kinds, const void* const* vals_ptrs,
+    const int64_t* Ws, const void* const* lens_ptrs,
+    const void* const* blob_ptrs, const void* const* offs_ptrs,
+    const char* delims, const int64_t* rows, int64_t R, int64_t S,
+    int64_t* rec_lens) {
+  GroupArgs a{n_cols, kinds, vals_ptrs, Ws, lens_ptrs, blob_ptrs,
+              offs_ptrs, delims, rows, R, S};
+  const int64_t work = R * S * (n_cols > 0 ? n_cols : 1);
+  par_records(R, [&a, rec_lens](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r) rec_lens[r] = group_rec_len(a, r);
+  }, work);
+}
+
+extern "C" void gdb_render_group_at(
+    int64_t n_cols, const int32_t* kinds, const void* const* vals_ptrs,
+    const int64_t* Ws, const void* const* lens_ptrs,
+    const void* const* blob_ptrs, const void* const* offs_ptrs,
+    const char* delims, const int64_t* rows, int64_t R, int64_t S,
+    const int64_t* dest, char* out) {
+  GroupArgs a{n_cols, kinds, vals_ptrs, Ws, lens_ptrs, blob_ptrs,
+              offs_ptrs, delims, rows, R, S};
+  const int64_t work = R * S * (n_cols > 0 ? n_cols : 1);
+  par_records(R, [&a, dest, out](int64_t lo, int64_t hi) {
+    for (int64_t r = lo; r < hi; ++r)
+      group_rec_write(a, r, out + dest[r]);
+  }, work);
+}
+
+namespace {
+
+inline int64_t int64_text_len(int64_t v) {
+  uint64_t u = v < 0 ? static_cast<uint64_t>(-v)
+                     : static_cast<uint64_t>(v);
+  int64_t n = v < 0 ? 2 : 1;
+  while (u >= 10) { u /= 10; ++n; }
+  return n;
+}
+
+struct AsmArgs {
+  const char* names; const int64_t* name_offs;
+  const int32_t* cidx; const int64_t* pos1;
+  const char* id_b; const int64_t* id_o;
+  const char* ref_b; const int64_t* ref_o;
+  const char* alt_b; const int64_t* alt_o;
+  const char* qual_b; const int64_t* qual_o;
+  const char* filt_b; const int64_t* filt_o;
+  const int64_t* info_end;
+  const char* ex_b; const int64_t* ex_o;
+  const int64_t* info_dp;
+  const char* fmt_b; const int64_t* fmt_o; const int32_t* fmt_idx;
+  const int64_t* samp_lens;
+};
+
+// Exact byte count of line i EXCLUDING sample text and the trailing
+// '\n' (must mirror asm_prefix_write below byte for byte).
+int64_t asm_prefix_len(const AsmArgs& a, int64_t i) {
+  const int32_t ci = a.cidx[i];
+  int64_t w = a.name_offs[ci + 1] - a.name_offs[ci] + 1;       // name \t
+  w += int64_text_len(a.pos1[i]) + 1;                          // pos \t
+  w += (a.id_b && a.id_o[i + 1] > a.id_o[i])
+       ? a.id_o[i + 1] - a.id_o[i] : 1;
+  ++w;                                                         // \t
+  w += a.ref_o[i + 1] - a.ref_o[i] + 1;
+  w += a.alt_o[i + 1] - a.alt_o[i] + 1;
+  w += (a.qual_b && a.qual_o[i + 1] > a.qual_o[i])
+       ? a.qual_o[i + 1] - a.qual_o[i] : 1;
+  ++w;
+  w += (a.filt_b && a.filt_o[i + 1] > a.filt_o[i])
+       ? a.filt_o[i + 1] - a.filt_o[i] : 1;
+  ++w;
+  int64_t iw = 0;                                              // INFO
+  if (a.info_end[i] >= 0) iw += 4 + int64_text_len(a.info_end[i]);
+  if (a.ex_b && a.ex_o[i + 1] > a.ex_o[i]) {
+    if (iw) ++iw;
+    iw += a.ex_o[i + 1] - a.ex_o[i];
+  }
+  if (a.info_dp[i] >= 0) {
+    if (iw) ++iw;
+    iw += 3 + int64_text_len(a.info_dp[i]);
+  }
+  w += iw ? iw : 1;
+  const int32_t fi = a.fmt_idx ? a.fmt_idx[i] : -1;
+  if (fi >= 0) {
+    w += 1 + (a.fmt_o[fi + 1] - a.fmt_o[fi]);
+    if (a.samp_lens && a.samp_lens[i] > 0) ++w;   // '\t' before samples
+  }
+  return w;
+}
+
+void asm_prefix_write(const AsmArgs& a, int64_t i, char* w) {
+  const int32_t ci = a.cidx[i];
+  w = put_span(w, a.names, a.name_offs[ci], a.name_offs[ci + 1]);
+  *w++ = '\t';
+  w = put_int(w, a.pos1[i]);
+  *w++ = '\t';
+  if (a.id_b && a.id_o[i + 1] > a.id_o[i]) {
+    w = put_span(w, a.id_b, a.id_o[i], a.id_o[i + 1]);
+  } else {
+    *w++ = '.';
+  }
+  *w++ = '\t';
+  w = put_span(w, a.ref_b, a.ref_o[i], a.ref_o[i + 1]);
+  *w++ = '\t';
+  w = put_span(w, a.alt_b, a.alt_o[i], a.alt_o[i + 1]);
+  *w++ = '\t';
+  if (a.qual_b && a.qual_o[i + 1] > a.qual_o[i]) {
+    w = put_span(w, a.qual_b, a.qual_o[i], a.qual_o[i + 1]);
+  } else {
+    *w++ = '.';
+  }
+  *w++ = '\t';
+  if (a.filt_b && a.filt_o[i + 1] > a.filt_o[i]) {
+    w = put_span(w, a.filt_b, a.filt_o[i], a.filt_o[i + 1]);
+  } else {
+    *w++ = '.';
+  }
+  *w++ = '\t';
+  char* info_start = w;
+  if (a.info_end[i] >= 0) {
+    std::memcpy(w, "END=", 4);
+    w += 4;
+    w = put_int(w, a.info_end[i]);
+  }
+  if (a.ex_b && a.ex_o[i + 1] > a.ex_o[i]) {
+    if (w != info_start) *w++ = ';';
+    w = put_span(w, a.ex_b, a.ex_o[i], a.ex_o[i + 1]);
+  }
+  if (a.info_dp[i] >= 0) {
+    if (w != info_start) *w++ = ';';
+    std::memcpy(w, "DP=", 3);
+    w += 3;
+    w = put_int(w, a.info_dp[i]);
+  }
+  if (w == info_start) *w++ = '.';
+  const int32_t fi = a.fmt_idx ? a.fmt_idx[i] : -1;
+  if (fi >= 0) {
+    *w++ = '\t';
+    w = put_span(w, a.fmt_b, a.fmt_o[fi], a.fmt_o[fi + 1]);
+    if (a.samp_lens && a.samp_lens[i] > 0) *w++ = '\t';
+  }
+}
+
+}  // namespace
+
+extern "C" int64_t gdb_assemble_lens(
+    int64_t n, const char* names, const int64_t* name_offs,
+    const int32_t* cidx, const int64_t* pos1,
+    const char* id_b, const int64_t* id_o,
+    const char* ref_b, const int64_t* ref_o,
+    const char* alt_b, const int64_t* alt_o,
+    const char* qual_b, const int64_t* qual_o,
+    const char* filt_b, const int64_t* filt_o,
+    const int64_t* info_end,
+    const char* ex_b, const int64_t* ex_o,
+    const int64_t* info_dp,
+    const char* fmt_b, const int64_t* fmt_o, const int32_t* fmt_idx,
+    const int64_t* samp_lens,
+    int64_t* line_offs, int64_t* samp_dest) {
+  AsmArgs a{names, name_offs, cidx, pos1, id_b, id_o, ref_b, ref_o,
+            alt_b, alt_o, qual_b, qual_o, filt_b, filt_o, info_end,
+            ex_b, ex_o, info_dp, fmt_b, fmt_o, fmt_idx, samp_lens};
+  par_records(n, [&a, line_offs, samp_lens](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i)
+      line_offs[i + 1] = asm_prefix_len(a, i)
+          + (samp_lens ? samp_lens[i] : 0) + 1;          // + '\n'
+  }, n * 4);
+  line_offs[0] = 0;
+  for (int64_t i = 0; i < n; ++i) line_offs[i + 1] += line_offs[i];
+  for (int64_t i = 0; i < n; ++i)
+    samp_dest[i] = line_offs[i + 1] - 1
+        - (samp_lens ? samp_lens[i] : 0);
+  return line_offs[n];
+}
+
+extern "C" void gdb_assemble_write(
+    int64_t n, const char* names, const int64_t* name_offs,
+    const int32_t* cidx, const int64_t* pos1,
+    const char* id_b, const int64_t* id_o,
+    const char* ref_b, const int64_t* ref_o,
+    const char* alt_b, const int64_t* alt_o,
+    const char* qual_b, const int64_t* qual_o,
+    const char* filt_b, const int64_t* filt_o,
+    const int64_t* info_end,
+    const char* ex_b, const int64_t* ex_o,
+    const int64_t* info_dp,
+    const char* fmt_b, const int64_t* fmt_o, const int32_t* fmt_idx,
+    const int64_t* samp_lens,
+    const int64_t* line_offs, char* out) {
+  AsmArgs a{names, name_offs, cidx, pos1, id_b, id_o, ref_b, ref_o,
+            alt_b, alt_o, qual_b, qual_o, filt_b, filt_o, info_end,
+            ex_b, ex_o, info_dp, fmt_b, fmt_o, fmt_idx, samp_lens};
+  const int64_t work = n ? line_offs[n] / 8 : 0;
+  par_records(n, [&a, line_offs, out](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      asm_prefix_write(a, i, out + line_offs[i]);
+      out[line_offs[i + 1] - 1] = '\n';
+    }
+  }, work);
 }
 
 
@@ -1265,14 +1554,6 @@ extern "C" int gdb_live_sweep(
   if (B <= 0 || S <= 0) return 0;
   constexpr int64_t I64MAX = INT64_MAX;
   for (int64_t b = 0; b < B; ++b) endmin[b] = I64MAX;
-  int nthreads = 1;
-  if (B * S >= 1 << 14) {
-    unsigned hw = std::thread::hardware_concurrency();
-    nthreads = hw ? static_cast<int>(hw) : 4;
-    if (nthreads > 8) nthreads = 8;
-    if (static_cast<int64_t>(nthreads) > S)
-      nthreads = static_cast<int>(S);
-  }
   std::vector<std::vector<int64_t>> partials;
   auto sweep = [&](int64_t s0, int64_t s1, int64_t* emin) {
     for (int64_t s = s0; s < s1; ++s) {
@@ -1295,21 +1576,20 @@ extern "C" int gdb_live_sweep(
       }
     }
   };
-  if (nthreads <= 1) {
+  if (B * S < (1 << 14) || S < 2) {
     sweep(0, S, endmin);
     return 0;
   }
-  partials.assign(nthreads, std::vector<int64_t>(B, I64MAX));
-  std::vector<std::thread> ts;
-  const int64_t step = (S + nthreads - 1) / nthreads;
-  for (int t = 0; t < nthreads; ++t) {
-    const int64_t lo = t * step;
-    const int64_t hi = std::min<int64_t>(S, lo + step);
-    if (lo >= hi) break;
-    ts.emplace_back([&, lo, hi, t]() { sweep(lo, hi,
-                                             partials[t].data()); });
-  }
-  for (auto& t : ts) t.join();
+  // per-CHUNK end-min partials (the pool schedules chunks dynamically,
+  // so partials cannot be per thread), merged after the run
+  const int64_t nchunks = std::min<int64_t>(S, 32);
+  const int64_t step = (S + nchunks - 1) / nchunks;
+  partials.assign(nchunks, std::vector<int64_t>(B, I64MAX));
+  gdbpool::par_for(nchunks, [&](int64_t c0, int64_t c1) {
+    for (int64_t c = c0; c < c1; ++c)
+      sweep(c * step, std::min<int64_t>(S, (c + 1) * step),
+            partials[c].data());
+  }, B * S);
   for (auto& pr : partials)
     for (int64_t b = 0; b < B; ++b)
       if (pr[b] < endmin[b]) endmin[b] = pr[b];

@@ -206,6 +206,74 @@ def assemble_lines(cidx, pos1, names_blob, name_offs, id_col, ref_col,
     return out_arr[:w].tobytes(), out_offs
 
 
+def assemble_lines_gapped(cidx, pos1, names_blob, name_offs, id_col,
+                          ref_col, alt_col, qual_col, filt_col,
+                          info_end, extra_col, info_dp, fmt_blob,
+                          fmt_offs, fmt_idx, samp_lens):
+    """Direct-write line assembly: exact-length phase + parallel prefix
+    write, leaving per-record gaps of samp_lens[i] bytes for the sample
+    text (filled afterwards by render_group_at).  Returns
+    (out uint8 [total], line_offs[n+1], samp_dest[n]) or None when the
+    kernels are unavailable."""
+    import ctypes
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gdb_assemble_lens"):
+        return None
+    if not hasattr(lib, "_asm2_bound"):
+        i64 = ctypes.c_int64
+        p64 = np.ctypeslib.ndpointer(np.int64)
+        p32 = np.ctypeslib.ndpointer(np.int32)
+        cp = ctypes.c_char_p
+        common = [i64, cp, p64, p32, p64, cp, ctypes.c_void_p, cp, p64,
+                  cp, p64, cp, ctypes.c_void_p, cp, ctypes.c_void_p,
+                  p64, cp, ctypes.c_void_p, p64, cp, p64, p32, p64]
+        lib.gdb_assemble_lens.restype = i64
+        lib.gdb_assemble_lens.argtypes = common + [p64, p64]
+        lib.gdb_assemble_write.restype = None
+        lib.gdb_assemble_write.argtypes = common + [p64, ctypes.c_void_p]
+        lib._asm2_bound = True
+    n = len(pos1)
+    keep = []
+
+    def blob(col):
+        if col is None:
+            return None, None
+        v = col[0]
+        if isinstance(v, np.ndarray):
+            v = np.ascontiguousarray(v)
+            keep.append(v)
+            v = ctypes.cast(ctypes.c_void_p(v.ctypes.data),
+                            ctypes.c_char_p)
+        return v, np.ascontiguousarray(col[1], dtype=np.int64)
+
+    id_b, id_o = blob(id_col)
+    ref_b, ref_o = blob(ref_col)
+    alt_b, alt_o = blob(alt_col)
+    qual_b, qual_o = blob(qual_col)
+    filt_b, filt_o = blob(filt_col)
+    ex_b, ex_o = blob(extra_col)
+    args = (n, names_blob,
+            np.ascontiguousarray(name_offs, dtype=np.int64),
+            np.ascontiguousarray(cidx, dtype=np.int32),
+            np.ascontiguousarray(pos1, dtype=np.int64),
+            id_b, _offs_ptr(id_o), ref_b, ref_o, alt_b, alt_o,
+            qual_b, _offs_ptr(qual_o), filt_b, _offs_ptr(filt_o),
+            np.ascontiguousarray(info_end, dtype=np.int64),
+            ex_b, _offs_ptr(ex_o),
+            np.ascontiguousarray(info_dp, dtype=np.int64),
+            fmt_blob, np.ascontiguousarray(fmt_offs, dtype=np.int64),
+            np.ascontiguousarray(fmt_idx, dtype=np.int32),
+            np.ascontiguousarray(samp_lens, dtype=np.int64))
+    line_offs = np.empty(n + 1, dtype=np.int64)
+    samp_dest = np.empty(max(n, 1), dtype=np.int64)
+    total = lib.gdb_assemble_lens(*args, line_offs, samp_dest)
+    out = np.empty(int(total), dtype=np.uint8)
+    lib.gdb_assemble_write(*args, line_offs,
+                           out.ctypes.data_as(ctypes.c_void_p))
+    _ = keep
+    return out, line_offs, samp_dest[:n]
+
+
 def render_int_lists(values: np.ndarray, offsets: np.ndarray,
                      delim: bytes = b","):
     """Ragged int32 rows -> delimited decimal text (missing -> '.')."""
@@ -684,28 +752,34 @@ def render_strided_lists(vals: np.ndarray, rows: np.ndarray,
     return out_arr[:w], out_offsets
 
 
-def render_group_fused(cols, rows: np.ndarray, S: int):
-    """One-pass FORMAT-group render (gdb_render_group): `cols` is a
-    list of descriptors —
-      ("ints", vals [B,S,W] int32, lens [R,S], delim)
-      ("blob", blob bytes|uint8-array, offs int64 [R*S+1])
-      ("dots", lens [R,S], delim)      # missing-call placeholders
-    Returns (uint8 blob, rec_offsets[R+1]) of per-record sample text
-    ("a:b\ta:b..."), or None when the native library is unavailable."""
-    lib = get_lib()
-    if lib is None:
-        return None
-    if not hasattr(lib, "_group_bound"):
-        i64 = ctypes.c_int64
-        vp = ctypes.POINTER(ctypes.c_void_p)
-        lib.gdb_render_group.restype = i64
-        lib.gdb_render_group.argtypes = [
-            i64, np.ctypeslib.ndpointer(np.int32), vp,
-            np.ctypeslib.ndpointer(np.int64), vp, vp, vp,
-            ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
-            i64, i64, ctypes.c_char_p, i64,
+def _bind_group(lib):
+    i64 = ctypes.c_int64
+    vp = ctypes.POINTER(ctypes.c_void_p)
+    common = [
+        i64, np.ctypeslib.ndpointer(np.int32), vp,
+        np.ctypeslib.ndpointer(np.int64), vp, vp, vp,
+        ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64), i64, i64]
+    lib.gdb_render_group.restype = i64
+    lib.gdb_render_group.argtypes = common + [
+        ctypes.c_char_p, i64, np.ctypeslib.ndpointer(np.int64)]
+    if hasattr(lib, "gdb_render_group_lens"):
+        lib.gdb_render_group_lens.restype = None
+        lib.gdb_render_group_lens.argtypes = common + [
             np.ctypeslib.ndpointer(np.int64)]
-        lib._group_bound = True
+        lib.gdb_render_group_at.restype = None
+        lib.gdb_render_group_at.argtypes = common + [
+            np.ctypeslib.ndpointer(np.int64), ctypes.c_void_p]
+    lib._group_bound = True
+
+
+class _GroupDesc:
+    """Marshalled gdb_render_group* argument pack for one signature
+    group (kinds/widths/pointer tables + kept-alive source arrays)."""
+    __slots__ = ("k", "kinds", "Ws", "vpp", "lpp", "bpp", "opp",
+                 "delims", "rows", "R", "S", "cap", "keep")
+
+
+def _marshal_group(cols, rows: np.ndarray, S: int) -> _GroupDesc:
     rows = np.ascontiguousarray(rows, dtype=np.int64)
     R = len(rows)
     k = len(cols)
@@ -786,18 +860,74 @@ def render_group_fused(cols, rows: np.ndarray, S: int):
             cap += int(lens.sum()) * 2
         else:
             raise ValueError(col[0])
-    out_arr, out = _text_buf(cap)
-    rec_offs = np.empty(R + 1, dtype=np.int64)
-    vpp = ctypes.cast(vals_p, ctypes.POINTER(ctypes.c_void_p))
-    lpp = ctypes.cast(lens_p, ctypes.POINTER(ctypes.c_void_p))
-    bpp = ctypes.cast(blob_p, ctypes.POINTER(ctypes.c_void_p))
-    opp = ctypes.cast(offs_p, ctypes.POINTER(ctypes.c_void_p))
-    w = lib.gdb_render_group(k, kinds, vpp, Ws, lpp, bpp, opp,
-                             bytes(delims), rows, R, S, out, cap,
-                             rec_offs)
+    d = _GroupDesc()
+    d.k = k
+    d.kinds = kinds
+    d.Ws = Ws
+    d.vpp = ctypes.cast(vals_p, ctypes.POINTER(ctypes.c_void_p))
+    d.lpp = ctypes.cast(lens_p, ctypes.POINTER(ctypes.c_void_p))
+    d.bpp = ctypes.cast(blob_p, ctypes.POINTER(ctypes.c_void_p))
+    d.opp = ctypes.cast(offs_p, ctypes.POINTER(ctypes.c_void_p))
+    d.delims = bytes(delims)
+    d.rows = rows
+    d.R = R
+    d.S = S
+    d.cap = cap
+    d.keep = keep
+    return d
+
+
+def render_group_fused(cols, rows: np.ndarray, S: int):
+    """One-pass FORMAT-group render (gdb_render_group): `cols` is a
+    list of descriptors —
+      ("ints", vals [B,S,W] int32, lens [R,S], delim)
+      ("blob", blob bytes|uint8-array, offs int64 [R*S+1])
+      ("dots", lens [R,S], delim)      # missing-call placeholders
+    Returns (uint8 blob, rec_offsets[R+1]) of per-record sample text
+    ("a:b\ta:b..."), or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_group_bound"):
+        _bind_group(lib)
+    d = _marshal_group(cols, rows, S)
+    out_arr, out = _text_buf(d.cap)
+    rec_offs = np.empty(d.R + 1, dtype=np.int64)
+    w = lib.gdb_render_group(d.k, d.kinds, d.vpp, d.Ws, d.lpp, d.bpp,
+                             d.opp, d.delims, d.rows, d.R, d.S, out,
+                             d.cap, rec_offs)
     if w < 0:
         raise RuntimeError("render_group overflow")
     return out_arr[:w], rec_offs
+
+
+def render_group_lens(desc: _GroupDesc) -> Optional[np.ndarray]:
+    """Per-record sample-text byte lengths for one marshalled group
+    (phase 1 of the direct-write render).  None without the kernel."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gdb_render_group_lens"):
+        return None
+    if not hasattr(lib, "_group_bound"):
+        _bind_group(lib)
+    lens = np.empty(desc.R, dtype=np.int64)
+    lib.gdb_render_group_lens(desc.k, desc.kinds, desc.vpp, desc.Ws,
+                              desc.lpp, desc.bpp, desc.opp, desc.delims,
+                              desc.rows, desc.R, desc.S, lens)
+    return lens
+
+
+def render_group_at(desc: _GroupDesc, dest: np.ndarray,
+                    out: np.ndarray) -> None:
+    """Write each record's sample text at out[dest[r]:] (phase 2 of the
+    direct-write render; lengths were taken from render_group_lens)."""
+    lib = get_lib()
+    if not hasattr(lib, "_group_bound"):
+        _bind_group(lib)
+    dest = np.ascontiguousarray(dest, dtype=np.int64)
+    lib.gdb_render_group_at(desc.k, desc.kinds, desc.vpp, desc.Ws,
+                            desc.lpp, desc.bpp, desc.opp, desc.delims,
+                            desc.rows, desc.R, desc.S, dest,
+                            out.ctypes.data_as(ctypes.c_void_p))
 
 
 def widen_scatter(narrow: np.ndarray, rows: np.ndarray, miss: int,
