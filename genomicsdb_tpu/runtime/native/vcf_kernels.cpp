@@ -393,6 +393,169 @@ void gdb_split_fields_multi(const char* text, const int64_t* starts,
 }
 
 // ---------------------------------------------------------------------------
+// Cohort-wide FORMAT parsing (the import hot path at production width).
+//
+// One call parses EVERY mapped sample of a FORMAT-signature group for
+// every requested field, two-pass:
+//   mode 0 (count): per-cell element counts -> lens[cid] per field
+//     (cid = rec * K_s + k, the final cell layout), with the
+//     all-elements-missing rule (a numeric field whose span contains
+//     no character outside {'.', ','} is invalid -> 0; reference
+//     variant_field_data.h:360-384) applied during the scan.
+//   mode 1 (parse): values written straight at their final offsets
+//     (ragged: offsets[cid]; fixed: mat[cid * width]), skipping cells
+//     counted 0.
+// Replaces the per-(signature x sample) Python jobs (split + parse +
+// reduceat + scatter, ~16 interpreter ops per sample) whose GIL-bound
+// glue capped 1000-wide imports at ~240k cells/s.
+// Parallel over records via the worker pool.  Field positions fidxs
+// must be ascending (one ':' scan per sample cell resolves all).
+// kinds: 0 = int list, 1 = float list, 2 = GT, 3 = GT with interleaved
+// phase (vcf2binary.cc m_store_phase_information_for_GT).
+// Returns 0, or -2 on a malformed numeric token.
+// ---------------------------------------------------------------------------
+int gdb_fmt_cohort(
+    const char* text, const int64_t* offs, int64_t stride,
+    const int64_t* recs, int64_t R,
+    const int64_t* scols, int64_t K, int64_t K_s,
+    const int32_t* fidxs, const int32_t* kinds, int64_t F,
+    int mode,
+    const void* const* lens_ptrs,
+    const void* const* offs_ptrs,
+    const void* const* vals_ptrs,
+    const int32_t* dst_fixed_w) {
+  std::atomic<int> rc{0};
+  auto body = [&](int64_t r0, int64_t r1) {
+    std::vector<int64_t> fs(F), fe(F);
+    for (int64_t r = r0; r < r1; ++r) {
+      const int64_t rec = recs[r];
+      const int64_t* ro = offs + rec * stride;
+      for (int64_t k = 0; k < K; ++k) {
+        const int64_t cid = rec * K_s + k;
+        const int64_t s = ro[scols[k]];
+        const int64_t e = ro[scols[k] + 1] - 1;
+        // one ':' scan resolves every requested field position
+        {
+          int32_t fld = 0;
+          int64_t ki = 0;
+          int64_t cur = s;
+          for (int64_t j = s; j <= e && ki < F; ++j) {
+            if (j == e || text[j] == ':') {
+              while (ki < F && fidxs[ki] == fld) {
+                fs[ki] = cur;
+                fe[ki] = j;
+                ++ki;
+              }
+              ++fld;
+              cur = j + 1;
+            }
+          }
+          for (; ki < F; ++ki) { fs[ki] = 0; fe[ki] = 0; }
+        }
+        for (int64_t f = 0; f < F; ++f) {
+          const char* p = text + fs[f];
+          const char* lim = text + fe[f];
+          const int32_t kind = kinds[f];
+          int64_t* lens = static_cast<int64_t*>(
+              const_cast<void*>(lens_ptrs[f]));
+          if (mode == 0) {
+            int64_t cnt = 0;
+            if (p < lim) {
+              if (kind >= 2) {                       // GT
+                int64_t a = 1;
+                for (const char* q = p; q < lim; ++q)
+                  if (*q == '/' || *q == '|') ++a;
+                cnt = (kind == 3) ? 2 * a - 1 : a;
+              } else {
+                int64_t nsep = 0;
+                bool any = false;
+                for (const char* q = p; q < lim; ++q) {
+                  if (*q == ',') ++nsep;
+                  else if (*q != '.') any = true;
+                }
+                cnt = any ? nsep + 1 : 0;
+              }
+            }
+            lens[cid] = cnt;
+            continue;
+          }
+          // mode 1: parse values at their final destination
+          if (lens[cid] <= 0) continue;
+          const int32_t w_fixed = dst_fixed_w[f];
+          if (kind >= 2) {                           // GT
+            int32_t* dst;
+            const int64_t* off64 = static_cast<const int64_t*>(
+                offs_ptrs[f]);
+            dst = static_cast<int32_t*>(
+                const_cast<void*>(vals_ptrs[f])) + off64[cid];
+            const char* tok = p;
+            bool first = true;
+            for (const char* q = p;; ++q) {
+              if (q == lim || *q == '/' || *q == '|') {
+                int32_t allele = -1;
+                if (!(q == tok || (*tok == '.' && q == tok + 1))) {
+                  if (!parse_int(tok, q, &allele)) {
+                    rc.store(-2);
+                    return;
+                  }
+                  if (allele == INT32_MIN) allele = -1;
+                }
+                if (!first && kind == 3)
+                  *dst++ = (*(tok - 1) == '|') ? 1 : 0;
+                *dst++ = allele;
+                first = false;
+                tok = q + 1;
+                if (q == lim) break;
+              }
+            }
+            continue;
+          }
+          const bool is_float = kind == 1;
+          int64_t j = 0;
+          int32_t* di = nullptr;
+          float* df = nullptr;
+          if (w_fixed > 0) {
+            if (is_float)
+              df = static_cast<float*>(
+                  const_cast<void*>(vals_ptrs[f])) + cid * w_fixed;
+            else
+              di = static_cast<int32_t*>(
+                  const_cast<void*>(vals_ptrs[f])) + cid * w_fixed;
+          } else {
+            const int64_t* off64 = static_cast<const int64_t*>(
+                offs_ptrs[f]);
+            if (is_float)
+              df = static_cast<float*>(
+                  const_cast<void*>(vals_ptrs[f])) + off64[cid];
+            else
+              di = static_cast<int32_t*>(
+                  const_cast<void*>(vals_ptrs[f])) + off64[cid];
+          }
+          const char* tok = p;
+          for (const char* q = p;; ++q) {
+            if (q == lim || *q == ',') {
+              if (w_fixed <= 0 || j < w_fixed) {
+                if (is_float) {
+                  df[j] = parse_float(tok, q);
+                } else if (!parse_int(tok, q, &di[j])) {
+                  rc.store(-2);
+                  return;
+                }
+              }
+              ++j;
+              tok = q + 1;
+              if (q == lim) break;
+            }
+          }
+        }
+      }
+    }
+  };
+  gdbpool::par_for(R, body, R * K * (F > 0 ? F : 1) * 4);
+  return rc.load();
+}
+
+// ---------------------------------------------------------------------------
 // Record-prefix kernels: the per-record byte work of the import fast path
 // (CHROM runs, REF/ALT extraction, INFO key lookup) that would otherwise be
 // 200k-iteration Python loops (reference hot path: vcf2binary.cc:991-1160).

@@ -712,6 +712,60 @@ def identity_outputs(live, pl, pl_len, ad, ad_len, gt, gq, dp, min_dp,
     return out
 
 
+def fmt_cohort(records: bytes, offs: np.ndarray, recs: np.ndarray,
+               scols: np.ndarray, K_s: int, fidxs: np.ndarray,
+               kinds: np.ndarray, mode: int, lens_list,
+               offs_list=None, vals_list=None, fixed_w=None):
+    """Cohort-wide FORMAT parse (gdb_fmt_cohort): mode 0 fills per-field
+    cell-element counts, mode 1 parses values at final offsets.  Lists
+    are per field: lens (int64 [n_cells]), offsets (int64 [n_cells+1],
+    ragged fields), values (int32/float32 flat or fixed [n_cells, w]).
+    Returns True, or None when the kernel is unavailable; raises on
+    malformed numeric input."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gdb_fmt_cohort"):
+        return None
+    if not hasattr(lib, "_fmtc_bound"):
+        i64 = ctypes.c_int64
+        vp = ctypes.POINTER(ctypes.c_void_p)
+        lib.gdb_fmt_cohort.restype = ctypes.c_int
+        lib.gdb_fmt_cohort.argtypes = [
+            ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64), i64,
+            np.ctypeslib.ndpointer(np.int64), i64,
+            np.ctypeslib.ndpointer(np.int64), i64, i64,
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32), i64, ctypes.c_int,
+            vp, vp, vp, np.ctypeslib.ndpointer(np.int32)]
+        lib._fmtc_bound = True
+    F = len(lens_list)
+    lens_p = (ctypes.c_void_p * F)()
+    offs_p = (ctypes.c_void_p * F)()
+    vals_p = (ctypes.c_void_p * F)()
+    for f in range(F):
+        lens_p[f] = lens_list[f].ctypes.data
+        if offs_list is not None and offs_list[f] is not None:
+            offs_p[f] = offs_list[f].ctypes.data
+        if vals_list is not None and vals_list[f] is not None:
+            vals_p[f] = vals_list[f].ctypes.data
+    if fixed_w is None:
+        fixed_w = np.zeros(F, np.int32)
+    rc = lib.gdb_fmt_cohort(
+        records, np.ascontiguousarray(offs, dtype=np.int64),
+        offs.shape[1],
+        np.ascontiguousarray(recs, dtype=np.int64), len(recs),
+        np.ascontiguousarray(scols, dtype=np.int64), len(scols),
+        int(K_s),
+        np.ascontiguousarray(fidxs, dtype=np.int32),
+        np.ascontiguousarray(kinds, dtype=np.int32), F, int(mode),
+        ctypes.cast(lens_p, ctypes.POINTER(ctypes.c_void_p)),
+        ctypes.cast(offs_p, ctypes.POINTER(ctypes.c_void_p)),
+        ctypes.cast(vals_p, ctypes.POINTER(ctypes.c_void_p)),
+        np.ascontiguousarray(fixed_w, dtype=np.int32))
+    if rc == -2:
+        raise ValueError("malformed numeric FORMAT token")
+    return True
+
+
 def render_strided_lists(vals: np.ndarray, rows: np.ndarray,
                          lens: np.ndarray, delim: bytes = b","):
     """FORMAT-column renderer over the FULL [B, S, W] value tensor:

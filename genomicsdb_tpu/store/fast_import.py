@@ -276,10 +276,6 @@ def fast_import_file(path: str, vid: VidMapper,
             sig = tuple(records[offs[ri, 8]:offs[ri, 9] - 1]
                         .decode().split(":"))
             groups[sig] = hidx[g2 == g]
-    # Parse jobs: one per (FORMAT signature, mapped sample).  Each job
-    # scans its sample column ONCE for every requested field
-    # (gdb_split_fields_multi) and parses natively; ctypes releases the
-    # GIL, so jobs run in parallel across host cores.
     field_meta = {}
     for name in fmt_names:
         info = vid.fields[name]
@@ -294,6 +290,87 @@ def fast_import_file(path: str, vid: VidMapper,
     per_cell_by_field: Dict[str, Optional[List[Optional[np.ndarray]]]] = {
         name: ([None] * n_cells if field_meta[name][3] else None)
         for name in fmt_names}
+
+    # ---- cohort-wide two-pass native parse (numeric + GT fields) ----
+    # One gdb_fmt_cohort call per signature group parses EVERY mapped
+    # sample for every numeric field: pass 1 counts per-cell elements
+    # into the final cell layout, pass 2 writes values at their final
+    # offsets — no per-sample Python glue (the reference's
+    # OpenMP-across-files fetch, tiledb_loader.cc:363, pushed down to
+    # per-record parallelism).  Char/string fields (PGT/PID) keep the
+    # per-sample job path below.
+    cohort_done = set()
+    if mapped and hasattr(nl.get_lib(), "gdb_fmt_cohort"):
+        scols = np.asarray([9 + local_idx for local_idx, _row in mapped],
+                           dtype=np.int64)
+        num_names = [name for name in fmt_names
+                     if not field_meta[name][3]]
+        group_plans = []   # (recs, names, fidxs, kinds)
+        for sig, recs in groups.items():
+            present = []
+            for name in num_names:
+                vcfn = vid.fields[name].vcf_name
+                if vcfn in sig:
+                    present.append((name, sig.index(vcfn)))
+            if not present:
+                continue
+            present.sort(key=lambda t: t[1])
+            g_names = [nm for nm, _ in present]
+            g_fidxs = np.asarray([fi for _, fi in present],
+                                 dtype=np.int32)
+            g_kinds = np.asarray(
+                [(2 + int(vid.fields[nm].length.contains_phase()))
+                 if field_meta[nm][1] else int(field_meta[nm][2])
+                 for nm in g_names], dtype=np.int32)
+            group_plans.append((recs.astype(np.int64), g_names,
+                                g_fidxs, g_kinds))
+        for recs64, g_names, g_fidxs, g_kinds in group_plans:
+            nl.fmt_cohort(records, offs, recs64, scols, K_s, g_fidxs,
+                          g_kinds, 0,
+                          [lens_by_field[nm] for nm in g_names])
+        # allocate destinations once counts are complete
+        dest_vals: Dict[str, np.ndarray] = {}
+        dest_offs: Dict[str, Optional[np.ndarray]] = {}
+        dest_w: Dict[str, int] = {}
+        for name in num_names:
+            kind, dtype, flen = specs[name]
+            is_float = field_meta[name][2]
+            lens = lens_by_field[name]
+            if kind == "fixed":
+                fill = formats.FLOAT_MISSING if is_float else INT_MISSING
+                dest_vals[name] = np.full(
+                    (n_cells, flen), fill,
+                    dtype=np.float32 if is_float else np.int32)
+                dest_offs[name] = None
+                dest_w[name] = flen
+            else:
+                off = np.zeros(n_cells + 1, dtype=np.int64)
+                np.cumsum(lens, out=off[1:])
+                dest_vals[name] = np.empty(
+                    int(off[-1]),
+                    dtype=np.float32 if is_float else np.int32)
+                dest_offs[name] = off
+                dest_w[name] = 0
+        for recs64, g_names, g_fidxs, g_kinds in group_plans:
+            nl.fmt_cohort(records, offs, recs64, scols, K_s, g_fidxs,
+                          g_kinds, 1,
+                          [lens_by_field[nm] for nm in g_names],
+                          [dest_offs[nm] for nm in g_names],
+                          [dest_vals[nm] for nm in g_names],
+                          np.asarray([dest_w[nm] for nm in g_names],
+                                     dtype=np.int32))
+        for name in num_names:
+            kind, dtype, flen = specs[name]
+            lens = lens_by_field[name]
+            valid = lens > 0
+            if kind == "fixed":
+                fields[name] = FieldData(name, "fixed", dtype, valid,
+                                         dest_vals[name])
+            else:
+                fields[name] = FieldData(name, kind, dtype, valid,
+                                         dest_vals[name],
+                                         dest_offs[name])
+            cohort_done.add(name)
 
     def parse_sample(recs, present, fidxs, k_pos, local_idx):
         scol = 9 + local_idx
@@ -343,6 +420,8 @@ def fast_import_file(path: str, vid: VidMapper,
     for sig, recs in groups.items():
         present = []
         for name in fmt_names:
+            if name in cohort_done:
+                continue
             vcfn = vid.fields[name].vcf_name
             if vcfn in sig:
                 present.append(((name, field_meta[name]), sig.index(vcfn)))
@@ -380,6 +459,8 @@ def fast_import_file(path: str, vid: VidMapper,
                                               src_off))
 
     for name in fmt_names:
+        if name in cohort_done:
+            continue
         info, is_gt, is_float, is_char = field_meta[name]
         kind, dtype, flen = specs[name]
         lens = lens_by_field[name]
