@@ -98,6 +98,35 @@ class CombinedRecordStream:
         if page:
             yield bytes(page)
 
+    def _record_chunks(self):
+        """(blob bytes, line_offsets int64[n+1]) per record-aligned
+        chunk: the block engine's coalesced multi-line chunks carried as
+        single blobs — no per-line string materialization between the
+        text renderer and the BCF2 encoder."""
+        import numpy as np
+        if self.engine == "block":
+            from .driver import iter_vcf_query_block
+            it = iter_vcf_query_block(
+                self.store, self.qc, self.qp, self.vid,
+                template_path=None, reference_path=self.reference_path,
+                coalesce=True)
+        else:
+            it = (ln.rstrip("\n") for ln in self
+                  if not ln.startswith("#"))
+        for ch in it:
+            b = ch.encode()
+            if not b or len(b) != len(ch):    # empty / non-ASCII
+                if b:
+                    yield None, ch            # caller's per-line path
+                continue
+            arr = np.frombuffer(b, np.uint8)
+            nl_pos = np.flatnonzero(arr == 10)
+            offs = np.empty(len(nl_pos) + 2, np.int64)
+            offs[0] = 0
+            offs[1:-1] = nl_pos + 1
+            offs[-1] = len(b)
+            yield b, offs
+
     def bcf_stream(self) -> Iterator[bytes]:
         """BCF2 byte stream: header block first, then one encoded BCF2
         record per combined record — the wire format the reference's
@@ -105,7 +134,8 @@ class CombinedRecordStream:
         (genomicsdb_bcf_generator.h:33-93, read_and_advance)."""
         import struct
 
-        from ..vcf.bcf import (_encode_record,
+        from ..vcf.bcf import (_encode_blob_native,
+                               _encode_record,
                                _encode_records_native,
                                _synthesize_declarations)
 
@@ -126,27 +156,32 @@ class CombinedRecordStream:
                 return enc
             return [_encode_record(r, hd, n_sample) for r in recs]
 
+        def encode_chunks(hd):
+            # whole rendered chunks flow as (blob, offsets) straight to
+            # the (chunk-parallel) native encoder; per-line paths only
+            # on native miss / non-ASCII
+            for b, offs in self._record_chunks():
+                if b is None:             # non-ASCII chunk: line path
+                    lines = [ln for ln in offs.split("\n") if ln]
+                    yield from encode_batch(lines, hd, n_sample)
+                    continue
+                enc = _encode_blob_native(b, offs, hd, n_sample)
+                if enc is not None:
+                    yield enc
+                    continue
+                lines = [ln for ln in b.decode().split("\n") if ln]
+                yield from encode_batch(lines, hd, n_sample)
+
         n_sample = len(self.qc.rows_to_query)
         if self.header_lines:
             # full template header: declarations complete; encode in
             # record batches through the native BCF2 kernel
             hd = _HeaderDict(self.header_lines)
             yield header_block(self.header_lines)
-            batch: List[str] = []
-            for line in self:
-                if line.startswith("#"):
-                    continue
-                batch.append(line.rstrip("\n"))
-                if len(batch) >= 8192:
-                    yield from encode_batch(batch, hd, n_sample)
-                    batch = []
-            if batch:
-                yield from encode_batch(batch, hd, n_sample)
+            yield from encode_chunks(hd)
             return
         # headerless: declare from the vid (authoritative types — no
         # per-record text scan), then synthesize only what's left
-        records = [ln.rstrip("\n") for ln in self
-                   if not ln.startswith("#")]
         chrom = ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
                  + "\t".join(self.vid.callset_name(r)
                              for r in self.qc.rows_to_query))
@@ -158,8 +193,13 @@ class CombinedRecordStream:
         # already declared, the O(records) synthesis scan is provably a
         # no-op and is skipped (the GATK split pattern sends thousands
         # of small interval queries; the scan was ~15% of each)
-        extra = [] if self._vid_ids_declared(hd) \
-            else _synthesize_declarations(records, hd)
+        if self._vid_ids_declared(hd):
+            yield header_block(header_lines)
+            yield from encode_chunks(hd)
+            return
+        records = [ln.rstrip("\n") for ln in self
+                   if not ln.startswith("#")]
+        extra = _synthesize_declarations(records, hd)
         if extra:
             header_lines = header_lines[:-1] + extra + [header_lines[-1]]
             hd = _HeaderDict(header_lines)

@@ -74,46 +74,69 @@ class QueryStreamServer:
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
+            def _run_query(self, doc):
+                qp = QueryParams.from_dict(doc)
+                if not qp.base_dir:
+                    qp.base_dir = outer.base_dir
+                vid, store = cache.get(qp)
+                qc = driver.make_query_config(qp, vid)
+                template = qp.resolve(qp.vcf_header_filename) \
+                    if qp.vcf_header_filename else None
+                refg = qp.resolve(qp.reference_genome) \
+                    if qp.reference_genome else None
+                stream = CombinedRecordStream(
+                    store, qc, qp, vid, template_path=template,
+                    reference_path=refg,
+                    engine=doc.get("engine", "block"))
+                return stream.bcf_stream()
+
             def handle(self):
                 # small-interval queries are latency-sensitive (the
                 # GATK split pattern): disable Nagle and coalesce
                 # writes to >=64 KiB sends
+                import struct
                 self.connection.setsockopt(socket.IPPROTO_TCP,
                                            socket.TCP_NODELAY, 1)
-                line = self.rfile.readline()
-                if not line:
-                    return
-                try:
-                    doc = json.loads(line)
-                    qp = QueryParams.from_dict(doc)
-                    if not qp.base_dir:
-                        qp.base_dir = outer.base_dir
-                    vid, store = cache.get(qp)
-                    qc = driver.make_query_config(qp, vid)
-                    template = qp.resolve(qp.vcf_header_filename) \
-                        if qp.vcf_header_filename else None
-                    refg = qp.resolve(qp.reference_genome) \
-                        if qp.reference_genome else None
-                    stream = CombinedRecordStream(
-                        store, qc, qp, vid, template_path=template,
-                        reference_path=refg,
-                        engine=doc.get("engine", "block"))
-                    buf = bytearray()
-                    for chunk in stream.bcf_stream():
-                        buf += chunk
-                        if len(buf) >= (64 << 10):
-                            self.wfile.write(buf)
-                            buf = bytearray()
-                    if buf:
-                        self.wfile.write(buf)
-                except BrokenPipeError:
-                    pass
-                except Exception as e:   # report errors in-band
+                while True:
+                    line = self.rfile.readline()
+                    if not line or not line.strip():
+                        return
+                    persistent = False
                     try:
-                        msg = f"GDBERR {e}\n".encode()
-                        self.wfile.write(msg)
-                    except Exception:
-                        pass
+                        doc = json.loads(line)
+                        # persistent mode: the connection serves MANY
+                        # queries (the GATK/Spark split pattern fires
+                        # thousands against one store) — each response
+                        # is framed [u32 len][bytes]..., end = zero
+                        # frame, so the reader never needs EOF
+                        persistent = bool(doc.get("persistent"))
+                        buf = bytearray()
+                        for chunk in self._run_query(doc):
+                            if persistent:
+                                buf += struct.pack("<I", len(chunk))
+                            buf += chunk
+                            if len(buf) >= (64 << 10):
+                                self.wfile.write(buf)
+                                buf = bytearray()
+                        if persistent:
+                            buf += struct.pack("<I", 0)
+                        if buf:
+                            self.wfile.write(buf)
+                    except BrokenPipeError:
+                        return
+                    except Exception as e:   # report errors in-band
+                        try:
+                            msg = f"GDBERR {e}\n".encode()
+                            if persistent:
+                                self.wfile.write(
+                                    struct.pack("<I", len(msg)) + msg
+                                    + struct.pack("<I", 0))
+                            else:
+                                self.wfile.write(msg)
+                        except Exception:
+                            return
+                    if not persistent:
+                        return   # one-shot: EOF terminates the stream
 
         class Server(socketserver.ThreadingTCPServer):
             daemon_threads = True
@@ -134,6 +157,54 @@ class QueryStreamServer:
     def shutdown(self):
         self._server.shutdown()
         self._server.server_close()
+
+
+class QueryStreamClient:
+    """Persistent-connection client: one TCP connection serves many
+    interval queries (each response framed [u32 len][bytes]... + zero
+    frame), killing the per-query connect + teardown of the one-shot
+    contract.  Use as a context manager."""
+
+    def __init__(self, host: str, port: int,
+                 timeout: Optional[float] = 60.0):
+        self._sock = socket.create_connection((host, port),
+                                              timeout=timeout)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._rfile = self._sock.makefile("rb")
+
+    def query(self, query: dict) -> bytes:
+        import struct
+        doc = dict(query)
+        doc["persistent"] = True
+        self._sock.sendall(json.dumps(doc).encode() + b"\n")
+        chunks = []
+        while True:
+            hdr = self._rfile.read(4)
+            if len(hdr) < 4:
+                raise ConnectionError("stream server closed connection")
+            (n,) = struct.unpack("<I", hdr)
+            if n == 0:
+                break
+            got = self._rfile.read(n)
+            if len(got) < n:
+                raise ConnectionError("short read from stream server")
+            chunks.append(got)
+        data = b"".join(chunks)
+        if data.startswith(b"GDBERR"):
+            raise RuntimeError(data.decode(errors="replace"))
+        return data
+
+    def close(self):
+        try:
+            self._rfile.close()
+        finally:
+            self._sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def read_query_stream(host: str, port: int, query: dict,

@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -271,27 +272,18 @@ inline int encode_gt(const Tok& t, int32_t* out, int max_out, bool* err) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Encode n record lines to BCF2 records.
-// Lines are [line_offs[i], line_offs[i+1]) spans of `text` WITHOUT the
-// trailing newline handled (a trailing '\n' or '\r' is stripped).
-// Dictionaries: contig names; shared string dict in IDX order with
-// per-id info/format type codes (0 none, 1 Integer, 2 Float, 3 String;
-// Flag INFO ids also use 1/3 — a valueless key encodes as a flag
-// regardless).  Returns bytes written, -1 on out overflow, -2 on a
-// malformed numeric token, -3 on a name missing from a dictionary.
-int64_t gdb_bcf_encode_records(
-    const char* text, const int64_t* line_offs, int64_t n_lines,
-    const char* contig_blob, const int64_t* contig_offs, int64_t n_contig,
-    const char* str_blob, const int64_t* str_offs, int64_t n_str,
+// Encode lines [lo, hi) into `o` (which starts at its own offset 0);
+// out_offs[li - lo + 1] = o.w after line li (out_offs[0] pre-set by the
+// caller).  Returns 0, or -2 malformed numeric / -3 missing dict name.
+// On Writer overflow the caller retries with a larger buffer.
+int encode_lines(
+    const char* text, const int64_t* line_offs, int64_t lo, int64_t hi,
+    const SpanDict& contigs, const SpanDict& strs,
     const uint8_t* info_type, const uint8_t* fmt_type, int32_t n_sample,
-    char* out, int64_t cap, int64_t* out_offs) {
-  SpanDict contigs, strs;
-  contigs.build(contig_blob, contig_offs, n_contig);
-  strs.build(str_blob, str_offs, n_str);
-  Writer o{out, cap};
-  out_offs[0] = 0;
+    Writer& o, int64_t* out_offs) {
+  char* out = o.base;
   constexpr int MAXC = 4096;   // columns per line
   constexpr int MAXT = 4096;   // sub-tokens
   std::vector<Tok> cols(MAXC), toks(MAXT), ftoks(64);
@@ -299,9 +291,10 @@ int64_t gdb_bcf_encode_records(
   std::vector<uint32_t> fbuf;
   std::vector<int32_t> gt_enc;
   std::vector<int> gt_len;
-  for (int64_t li = 0; li < n_lines; ++li) {
-    const char* p = text + line_offs[li];
-    const char* e = text + line_offs[li + 1];
+  for (int64_t gi = lo; gi < hi; ++gi) {
+    const int64_t li = gi - lo;
+    const char* p = text + line_offs[gi];
+    const char* e = text + line_offs[gi + 1];
     while (e > p && (e[-1] == '\n' || e[-1] == '\r')) --e;
     if (e <= p) {
       out_offs[li + 1] = o.w;
@@ -567,15 +560,112 @@ int64_t gdb_bcf_encode_records(
       }
     }
     int64_t l_indiv = o.w - indiv_at;
-    if (o.overflow) return -1;
+    if (o.overflow) return 0;        // caller retries with more space
     uint32_t ls = static_cast<uint32_t>(l_shared);
     uint32_t liv = static_cast<uint32_t>(l_indiv);
     std::memcpy(out + rec_hdr_at, &ls, 4);
     std::memcpy(out + rec_hdr_at + 4, &liv, 4);
     out_offs[li + 1] = o.w;
   }
-  if (o.overflow) return -1;
-  return o.w;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode n record lines to BCF2 records, parallel over line chunks
+// (each chunk encodes into its own growable scratch, then chunks are
+// stitched back to back — record encoding is independent per line).
+// Lines are [line_offs[i], line_offs[i+1]) spans of `text` WITHOUT the
+// trailing newline handled (a trailing '\n' or '\r' is stripped).
+// Dictionaries: contig names; shared string dict in IDX order with
+// per-id info/format type codes (0 none, 1 Integer, 2 Float, 3 String;
+// Flag INFO ids also use 1/3 — a valueless key encodes as a flag
+// regardless).  Returns bytes written, -1 on out overflow, -2 on a
+// malformed numeric token, -3 on a name missing from a dictionary.
+int64_t gdb_bcf_encode_records(
+    const char* text, const int64_t* line_offs, int64_t n_lines,
+    const char* contig_blob, const int64_t* contig_offs, int64_t n_contig,
+    const char* str_blob, const int64_t* str_offs, int64_t n_str,
+    const uint8_t* info_type, const uint8_t* fmt_type, int32_t n_sample,
+    char* out, int64_t cap, int64_t* out_offs) {
+  SpanDict contigs, strs;
+  contigs.build(contig_blob, contig_offs, n_contig);
+  strs.build(str_blob, str_offs, n_str);
+  out_offs[0] = 0;
+  if (n_lines <= 0) return 0;
+  unsigned hw = std::thread::hardware_concurrency();
+  int nthreads = hw ? static_cast<int>(hw) : 4;
+  if (nthreads > 8) nthreads = 8;
+  const int64_t text_len = line_offs[n_lines] - line_offs[0];
+  if (n_lines < 512 || text_len < (1 << 18) || nthreads <= 1) {
+    Writer o{out, cap};
+    int rc = encode_lines(text, line_offs, 0, n_lines, contigs, strs,
+                          info_type, fmt_type, n_sample, o, out_offs);
+    if (rc < 0) return rc;
+    if (o.overflow) return -1;
+    return o.w;
+  }
+  const int64_t nchunks = std::min<int64_t>(
+      static_cast<int64_t>(nthreads) * 4, (n_lines + 255) / 256);
+  const int64_t step = (n_lines + nchunks - 1) / nchunks;
+  std::vector<std::vector<char>> bufs(nchunks);
+  std::vector<std::vector<int64_t>> offs_local(nchunks);
+  std::vector<int64_t> written(nchunks, 0);
+  std::vector<int> rcs(nchunks, 0);
+  auto run_chunk = [&](int64_t c) {
+    const int64_t lo = c * step;
+    const int64_t hi = std::min(n_lines, lo + step);
+    if (lo >= hi) return;
+    const int64_t tl = line_offs[hi] - line_offs[lo];
+    int64_t scratch = tl * 2 + (hi - lo) * 96 + 4096;
+    offs_local[c].assign(hi - lo + 1, 0);
+    for (;;) {
+      bufs[c].resize(static_cast<size_t>(scratch));
+      Writer o{bufs[c].data(), scratch};
+      int rc = encode_lines(text, line_offs, lo, hi, contigs, strs,
+                            info_type, fmt_type, n_sample, o,
+                            offs_local[c].data());
+      if (rc < 0) {
+        rcs[c] = rc;
+        return;
+      }
+      if (!o.overflow) {
+        written[c] = o.w;
+        return;
+      }
+      scratch *= 2;
+    }
+  };
+  std::vector<std::thread> ts;
+  const int64_t per = (nchunks + nthreads - 1) / nthreads;
+  for (int t = 0; t < nthreads; ++t) {
+    const int64_t c0 = t * per;
+    const int64_t c1 = std::min(nchunks, c0 + per);
+    if (c0 >= c1) break;
+    ts.emplace_back([&, c0, c1]() {
+      for (int64_t c = c0; c < c1; ++c) run_chunk(c);
+    });
+  }
+  for (auto& t : ts) t.join();
+  for (int64_t c = 0; c < nchunks; ++c)
+    if (rcs[c] < 0) return rcs[c];
+  int64_t total = 0;
+  for (int64_t c = 0; c < nchunks; ++c) total += written[c];
+  if (total > cap) return -1;
+  int64_t base = 0;
+  for (int64_t c = 0; c < nchunks; ++c) {
+    const int64_t lo = c * step;
+    const int64_t hi = std::min(n_lines, lo + step);
+    if (lo >= hi) continue;
+    std::memcpy(out + base, bufs[c].data(),
+                static_cast<size_t>(written[c]));
+    for (int64_t i = 0; i < hi - lo; ++i)
+      out_offs[lo + i + 1] = base + offs_local[c][i + 1];
+    base += written[c];
+  }
+  return total;
 }
 
 }  // extern "C"

@@ -118,6 +118,20 @@ def main(argv=None):
             assert data[:5] == b"BCF\x02\x02"
         lats.sort()
         n = len(lats)
+        # persistent-connection mode: one TCP connection serves every
+        # query (framed responses) — no per-query connect/teardown
+        from genomicsdb_tpu.query.stream_server import QueryStreamClient
+        plats = []
+        with QueryStreamClient(host, port) as cli:
+            for _ in range(args.warmup):
+                cli.query(doc(lo, lo + args.interval))
+            for _ in range(args.queries):
+                lo = rng.randint(1, max(region - 2 * args.interval, 2))
+                t0 = time.perf_counter()
+                data = cli.query(doc(lo, lo + args.interval))
+                plats.append(time.perf_counter() - t0)
+                assert data[:5] == b"BCF\x02\x02"
+        plats.sort()
         print(json.dumps({
             "samples": args.samples, "records": args.records,
             "cells": int(store.num_cells), "positions": region,
@@ -126,6 +140,8 @@ def main(argv=None):
             "socket_p50_ms": round(lats[n // 2] * 1000, 1),
             "socket_p90_ms": round(lats[(n * 9) // 10] * 1000, 1),
             "socket_min_ms": round(lats[0] * 1000, 1),
+            "persistent_p50_ms": round(plats[n // 2] * 1000, 1),
+            "persistent_p90_ms": round(plats[(n * 9) // 10] * 1000, 1),
             "mean_stream_bytes": total_bytes // n}))
     finally:
         srv.shutdown()

@@ -270,17 +270,7 @@ def _synthesize_declarations(record_lines: List[str],
     return extra
 
 
-def _encode_records_native(lines: List[str], hd: "_HeaderDict",
-                           n_sample: int) -> Optional[List[bytes]]:
-    """Batch-encode record lines with the native BCF2 kernel; None when
-    unavailable or when a line needs the Python path (the two encoders
-    are byte-identical — tests/test_bcf.py cross-checks)."""
-    import os
-
-    from ..runtime import native_loader as nl
-    if not lines or os.environ.get("GENOMICSDB_TPU_NO_NATIVE", "") \
-            not in ("", "0"):
-        return None
+def _native_type_codes(hd: "_HeaderDict"):
     codes = getattr(hd, "_native_codes", None)
     if codes is None:
         n = len(hd.strings)
@@ -298,6 +288,41 @@ def _encode_records_native(lines: List[str], hd: "_HeaderDict",
                 # int-parses everything else; mirror that
                 fmt_c[i] = num.get(t, 3 if t == "String" else 1)
         codes = hd._native_codes = (info_c, fmt_c)
+    return codes
+
+
+def _encode_blob_native(blob: bytes, offs: np.ndarray, hd: "_HeaderDict",
+                        n_sample: int) -> Optional[bytes]:
+    """Encode newline-separated record text (one multi-line blob with
+    line offsets, as the block renderer emits) straight to concatenated
+    BCF2 record bytes — no per-line string materialization.  None when
+    the native kernel is unavailable."""
+    import os
+
+    from ..runtime import native_loader as nl
+    if os.environ.get("GENOMICSDB_TPU_NO_NATIVE", "") not in ("", "0"):
+        return None
+    codes = _native_type_codes(hd)
+    res = nl.bcf_encode_records(blob, offs, hd.contigs, hd.strings,
+                                codes[0], codes[1], n_sample)
+    if res is None:
+        return None
+    out, _oo = res   # already concatenated record bytes
+    return out
+
+
+def _encode_records_native(lines: List[str], hd: "_HeaderDict",
+                           n_sample: int) -> Optional[List[bytes]]:
+    """Batch-encode record lines with the native BCF2 kernel; None when
+    unavailable or when a line needs the Python path (the two encoders
+    are byte-identical — tests/test_bcf.py cross-checks)."""
+    import os
+
+    from ..runtime import native_loader as nl
+    if not lines or os.environ.get("GENOMICSDB_TPU_NO_NATIVE", "") \
+            not in ("", "0"):
+        return None
+    codes = _native_type_codes(hd)
     blob = "\n".join(lines).encode()
     if len(blob) != sum(len(ln) for ln in lines) + len(lines) - 1:
         return None   # non-ASCII text: byte offsets would not line up

@@ -94,3 +94,32 @@ def test_stream_server_reports_errors():
             assert "GDBERR" in str(e)
     finally:
         srv.shutdown()
+
+
+def test_persistent_connection_many_queries():
+    """Persistent mode: ONE connection serves many queries with framed
+    responses, each byte-identical to the one-shot EOF contract."""
+    from genomicsdb_tpu.query.stream_server import QueryStreamClient
+    srv = QueryStreamServer(port=0)
+    srv.start_background()
+    try:
+        host, port = srv.address
+        one_shot = read_query_stream(host, port, _query_doc())
+        sub = dict(_query_doc())
+        sub["query_column_ranges"] = [
+            {"range_list": [{"low": 0, "high": 13000}]}]
+        one_shot_sub = read_query_stream(host, port, sub)
+        assert one_shot_sub != one_shot
+        with QueryStreamClient(host, port) as cli:
+            assert cli.query(_query_doc()) == one_shot
+            assert cli.query(sub) == one_shot_sub
+            assert cli.query(_query_doc()) == one_shot
+            # errors arrive in-band and the connection survives
+            try:
+                cli.query({"vid_mapping_file": "/does/not/exist"})
+                raise AssertionError("expected GDBERR")
+            except RuntimeError as e:
+                assert "GDBERR" in str(e)
+            assert cli.query(sub) == one_shot_sub
+    finally:
+        srv.shutdown()
