@@ -568,6 +568,27 @@ def bench_wide_cohort():
     return json.loads(r.stdout.strip().splitlines()[-1])
 
 
+def bench_process_scaling():
+    """Strong scaling across worker PROCESSES (the reference's MPI
+    rank-per-partition model; the measurable stand-in for the >=80%
+    1->N efficiency target while real multi-chip is unavailable):
+    1/2/4 pinned ranks over an equally-partitioned workspace, outputs
+    byte-identical across rank counts (tools/scaling_bench.py)."""
+    import subprocess
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = ""
+    r = subprocess.run(
+        [sys.executable, "-m", "genomicsdb_tpu.tools.scaling_bench",
+         "--records", "600000"],
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    if r.returncode != 0:
+        return {"error": (r.stderr or "")[-300:]}
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
 def bench_cohort_end_to_end(n_samples=100, n_records=4000,
                             tmpdir="/tmp"):
     """Full pipeline on a 100-sample cohort (BASELINE config 5 shape):
@@ -850,6 +871,11 @@ def _emit(child_stdout: str, run_lane: bool):
             {k: v for k, v in (pick("wide_cohort_1000") or {}).items()
              if k in ("cells_per_sec", "query_warm_s",
                       "interval_10kb_p50_ms", "import_s", "error")},
+        "process_scaling": {
+            k: {"eff_pct": v.get("efficiency_pct"),
+                "eff_compute_pct": v.get("efficiency_compute_pct")}
+            for k, v in ((pick("process_scaling") or {})
+                         .get("ranks", {})).items()},
         "chip_lane": {k: v for k, v in (pick("chip_lane") or {}).items()
                       if k != "summary"},
         "platform_note": pick("platform_note"),
@@ -898,6 +924,10 @@ def _bench_impl():
         wide1000 = bench_wide_cohort()
     except Exception as e:
         wide1000 = {"error": str(e)[:200]}
+    try:
+        scaling = bench_process_scaling()
+    except Exception as e:
+        scaling = {"error": str(e)[:200]}
     value = max(dev["positions_per_sec"],
                 fused.get("positions_per_sec", 0))
     # primary baseline: the C++-speed sequential engine on the same
@@ -945,6 +975,7 @@ def _bench_impl():
             "wide_cohort_1000": {
                 k: round(v, 2) if isinstance(v, float) else v
                 for k, v in wide1000.items()},
+            "process_scaling": scaling,
         },
     }
     if platform_note:

@@ -422,7 +422,7 @@ def render_block_vcf_pipelined(store: ColumnarStore, qc: QueryConfig,
     if profile.ENABLED:
         profile.GLOBAL_STATS.bump("block_records", len(block_bs))
         profile.GLOBAL_STATS.bump("spliced_records",
-                                  len(emitted) - len(block_bs))
+                                  len(emitted_arr) - len(block_bs))
     # ---------------- coordinate/contig resolution ----------------
     starts_l = starts.tolist()
     ends_l = meta.ends.tolist()

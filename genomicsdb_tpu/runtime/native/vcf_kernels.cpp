@@ -22,6 +22,9 @@
 #include <condition_variable>
 #include <functional>
 #include <mutex>
+#ifdef __linux__
+#include <sched.h>
+#endif
 
 // ---------------------------------------------------------------------------
 // Persistent worker pool.  Per-call std::thread spawning costs ~0.5-1 ms
@@ -53,6 +56,15 @@ struct Pool {
   Pool() {
     unsigned hw = std::thread::hardware_concurrency();
     int total = hw ? static_cast<int>(hw) : 4;
+#ifdef __linux__
+    // respect CPU affinity (taskset / rank-per-core pinning): a worker
+    // pinned to one core must not spawn threads that fight for it
+    cpu_set_t cs;
+    if (sched_getaffinity(0, sizeof(cs), &cs) == 0) {
+      const int c = CPU_COUNT(&cs);
+      if (c > 0 && c < total) total = c;
+    }
+#endif
     if (total > 8) total = 8;
     nworkers = total - 1;                  // the caller participates
     for (int i = 0; i < nworkers; ++i)

@@ -71,6 +71,14 @@ def is_workspace(path: str) -> bool:
     return os.path.isfile(os.path.join(path, WORKSPACE_MARKER))
 
 
+def array_exists(workspace: str, array_name: str) -> bool:
+    """True when the array has at least one written fragment."""
+    try:
+        return bool(_fragment_paths(workspace, array_name))
+    except Exception:
+        return False
+
+
 def _array_dir(workspace: str, array_name: str) -> str:
     if "://" in workspace:
         return workspace.rstrip("/") + "/" + array_name

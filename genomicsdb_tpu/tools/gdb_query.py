@@ -51,6 +51,21 @@ def load_context(args, rank: int):
     store = None
     if workspace and qp.array_name and ws.is_workspace(workspace):
         store = _open_store(args, qp, workspace)
+    if store is None and ip is not None and ip.column_partitions:
+        # inherit this rank's workspace/array from the loader JSON
+        # (the reference's update_from_loader, gt_mpi_gather.cc:550-557)
+        # — query the IMPORTED partition instead of re-importing
+        parts = sorted(ip.column_partitions,
+                       key=lambda p: int(p["begin"]))
+        if rank < len(parts):
+            part = parts[rank]
+            w = ip.resolve(part.get("workspace", "")) \
+                if part.get("workspace") else ""
+            a = part.get("array_name") or part.get("array") or ""
+            if w and a and ws.is_workspace(w) \
+                    and ws.array_exists(w, a):
+                qp.workspace, qp.array_name = w, a
+                store = _open_store(args, qp, w)
     if store is None:
         if ip is not None:
             store = qdriver.build_store_from_loader(ip, vid, rank)
@@ -133,7 +148,8 @@ def run_rank(args, rank: int) -> str:
         refg = qp.resolve(qp.reference_genome) if qp.reference_genome \
             else (ip.resolve(ip.reference_genome) if ip else None)
         # header only on rank 0 (partition outputs are concatenated)
-        tmpl = template if rank == args.rank else None
+        tmpl = template if rank == args.rank \
+            and not getattr(args, "no_vcf_header", False) else None
         if args.page_size > 0 and not args.java_vcf:
             # batched_vcf mode: resumable byte pages whose concatenation
             # is byte-identical to the one-shot query (gt_mpi_gather.cc
@@ -177,6 +193,56 @@ def run_rank(args, rank: int) -> str:
     return qdriver.run_variants_query(store, qc)
 
 
+def _parallel_rank_pieces(raw_argv, args):
+    """Spawn one gdb_query worker PROCESS per rank and gather their
+    stdout in rank order — the reference's MPI execution model
+    (rank-per-partition processes, root MPI_Gatherv of the serialized
+    results, gt_mpi_gather.cc:166-295)."""
+    import subprocess
+
+    base = []
+    skip = False
+    for a in raw_argv:
+        if skip:
+            skip = False
+            continue
+        if a in ("-r", "--rank", "--num-ranks"):
+            skip = True
+            continue
+        if a == "--parallel-ranks":
+            continue
+        base.append(a)
+    import os as _os
+    pin = _os.environ.get("GENOMICSDB_TPU_RANK_AFFINITY") == "1"
+    ncores = _os.cpu_count() or 1
+    procs = []
+    for i, r in enumerate(range(args.rank, args.rank + args.num_ranks)):
+        cmd = [sys.executable, "-m", "genomicsdb_tpu.tools.gdb_query",
+               *base, "-r", str(r), "--num-ranks", "1", "--rank-piece"]
+        if i > 0:
+            cmd.append("--no-vcf-header")
+        pre = None
+        if pin and hasattr(_os, "sched_setaffinity"):
+            core = i % ncores
+            pre = (lambda c: lambda: _os.sched_setaffinity(0, {c}))(core)
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                      stderr=subprocess.PIPE,
+                                      preexec_fn=pre))
+    pieces = []
+    errs = []
+    for r, pr in zip(range(args.rank, args.rank + args.num_ranks),
+                     procs):
+        out, err = pr.communicate()
+        if pr.returncode != 0:
+            errs.append(f"rank {r}: exit {pr.returncode}: "
+                        f"{err.decode(errors='replace')[-500:]}")
+        pieces.append(out.decode())
+    if errs:
+        raise SystemExit("gdb_query --parallel-ranks failed:\n"
+                         + "\n".join(errs))
+    return pieces
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="gdb_query")
     p.add_argument("-j", "--query-json", dest="query_json", default=None)
@@ -195,6 +261,16 @@ def main(argv=None):
     p.add_argument("-r", "--rank", type=int, default=0)
     p.add_argument("--num-ranks", type=int, default=1,
                    help="gather outputs of ranks [rank, rank+num_ranks)")
+    p.add_argument("--parallel-ranks", action="store_true",
+                   help="run each rank in its OWN worker process and "
+                        "gather stdout in rank order — the reference's "
+                        "MPI rank-per-partition execution model "
+                        "(vcf2tiledb.cc:44-52, gt_mpi_gather.cc:166-295) "
+                        "with this process as the root gatherer")
+    p.add_argument("--rank-piece", action="store_true",
+                   help=argparse.SUPPRESS)   # internal: worker mode
+    p.add_argument("--no-vcf-header", action="store_true",
+                   help=argparse.SUPPRESS)   # internal: non-first rank
     p.add_argument("--print-calls", action="store_true")
     p.add_argument("--print-csv", action="store_true")
     p.add_argument("--print-AC", dest="print_AC", action="store_true")
@@ -243,8 +319,13 @@ def main(argv=None):
     # construction, gt_mpi_gather.cc:322-366)
     import json as _json
     try:
-        pieces = [run_rank(args, r)
-                  for r in range(args.rank, args.rank + args.num_ranks)]
+        if args.parallel_ranks and args.num_ranks > 1:
+            pieces = _parallel_rank_pieces(
+                list(argv) if argv is not None else sys.argv[1:], args)
+        else:
+            pieces = [run_rank(args, r)
+                      for r in range(args.rank,
+                                     args.rank + args.num_ranks)]
     except FileNotFoundError as e:
         raise SystemExit(f"gdb_query: file not found: {e.filename or e}")
     except _json.JSONDecodeError as e:
@@ -261,6 +342,9 @@ def main(argv=None):
             qp0, _ = pb_compat.export_config_to_query(f.read())
     else:
         qp0 = QueryParams.from_file(args.query_json, args.rank)
+    if args.rank_piece:
+        sys.stdout.write(text)      # worker: parent owns the file knob
+        return
     if qp0.vcf_output_filename and qp0.vcf_output_filename != "-":
         from ..vcf.bgzf import open_output
         with open_output(qp0.resolve(qp0.vcf_output_filename),

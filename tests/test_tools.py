@@ -212,3 +212,65 @@ def test_bgzf_output(tmp_path, capsys):
                     "--produce-Broad-GVCF"])
     with gzip.open(out_gz, "rt") as f:
         assert f.read() == stdout_text
+
+
+def test_parallel_ranks_matches_inprocess(tmp_path):
+    """--parallel-ranks (one worker PROCESS per rank, the reference's
+    MPI model) must produce bytes identical to the in-process rank
+    loop, including when ranks inherit their partition workspace/array
+    from the loader JSON (update_from_loader,
+    gt_mpi_gather.cc:550-557)."""
+    import json
+    import subprocess
+    import sys
+
+    ws = str(tmp_path / "ws")
+    loader = {
+        "column_partitions": [
+            {"begin": 0, "workspace": ws, "array_name": "p0"},
+            {"begin": 12202, "workspace": ws, "array_name": "p1"},
+            {"begin": 17000, "workspace": ws, "array_name": "p2"},
+        ],
+        "callset_mapping_file": os.path.join(
+            REF_TESTS, "inputs/callsets/t0_1_2.json"),
+        "vid_mapping_file": os.path.join(REF_TESTS, "inputs/vid.json"),
+        "reference_genome": os.path.join(
+            REF_TESTS, "inputs/chr1_10MB.fasta.gz"),
+        "vcf_header_filename": os.path.join(
+            REF_TESTS, "inputs/template_vcf_header.vcf"),
+        "treat_deletions_as_intervals": True,
+    }
+    lp = tmp_path / "l.json"
+    lp.write_text(json.dumps(loader))
+    query = {
+        "workspace": "", "array_name": "",
+        "query_column_ranges": [
+            {"range_list": [{"low": 0, "high": 1000000000}]}],
+        "vid_mapping_file": loader["vid_mapping_file"],
+        "callset_mapping_file": loader["callset_mapping_file"],
+        "reference_genome": loader["reference_genome"],
+        "vcf_header_filename": [loader["vcf_header_filename"]],
+        "attributes": ["REF", "ALT", "DP", "GT", "GQ", "AD", "PL",
+                       "MIN_DP", "DP_FORMAT"],
+    }
+    qp = tmp_path / "q.json"
+    qp.write_text(json.dumps(query))
+    # import the partitions (rank-per-partition worker processes)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    for r in range(3):
+        subprocess.run(
+            [sys.executable, "-m", "genomicsdb_tpu.tools.vcf2gdb",
+             str(lp), "--rank", str(r)], check=True,
+            capture_output=True, env=env)
+    base = ["-j", str(qp), "-l", str(lp), "--num-ranks", "3",
+            "--produce-Broad-GVCF", "--platform", "cpu"]
+    inproc = subprocess.run(
+        [sys.executable, "-m", "genomicsdb_tpu.tools.gdb_query", *base],
+        capture_output=True, env=env)
+    assert inproc.returncode == 0, inproc.stderr.decode()[-500:]
+    par = subprocess.run(
+        [sys.executable, "-m", "genomicsdb_tpu.tools.gdb_query", *base,
+         "--parallel-ranks"], capture_output=True, env=env)
+    assert par.returncode == 0, par.stderr.decode()[-500:]
+    assert par.stdout == inproc.stdout
+    assert len(inproc.stdout) > 1000
