@@ -22,17 +22,33 @@ is available.
 
 from __future__ import annotations
 
-import pickle
+try:
+    # pyspark serializes task closures with cloudpickle: lambdas and
+    # local functions must work; mirror that when it is available
+    import cloudpickle as pickle
+except ImportError:              # pragma: no cover - always bundled
+    import pickle
 from concurrent.futures import ProcessPoolExecutor
 from typing import Callable, List, Sequence
 
-_OPS = ("map", "flatMap", "mapPartitions")
+_OPS = ("map", "flatMap", "mapPartitions", "mapPartitionsWithIndex",
+        "filter", "glom")
 
 
 def _run_partition(payload: bytes) -> bytes:
-    """Executor entry: unpickle (items, op chain), evaluate, pickle
-    results back.  Runs in a fresh worker process."""
-    items, chain = pickle.loads(payload)
+    """Executor entry: unpickle (partition idx, items, op chain),
+    evaluate, pickle results back.  Runs in a fresh worker process."""
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the driver's platform intent even when the container's
+        # sitecustomize re-registers a TPU plugin in the fresh worker
+        try:
+            import jax
+            jax.config.update("jax_platforms",
+                              os.environ["JAX_PLATFORMS"].split(",")[0])
+        except Exception:
+            pass
+    pidx, items, chain = pickle.loads(payload)
     for op, fn in chain:
         if op == "map":
             items = [fn(x) for x in items]
@@ -40,6 +56,12 @@ def _run_partition(payload: bytes) -> bytes:
             items = [y for x in items for y in fn(x)]
         elif op == "mapPartitions":
             items = list(fn(iter(items)))
+        elif op == "mapPartitionsWithIndex":
+            items = list(fn(pidx, iter(items)))
+        elif op == "filter":
+            items = [x for x in items if fn(x)]
+        elif op == "glom":
+            items = [items]
         else:
             raise ValueError(op)
     return pickle.dumps(items)
@@ -66,11 +88,21 @@ class LocalRDD:
     def mapPartitions(self, fn):
         return self._with("mapPartitions", fn)
 
+    def mapPartitionsWithIndex(self, fn):
+        return self._with("mapPartitionsWithIndex", fn)
+
+    def filter(self, fn):
+        return self._with("filter", fn)
+
+    def glom(self):
+        return self._with("glom", lambda x: x)
+
     def getNumPartitions(self) -> int:
         return len(self._parts)
 
     def collect(self) -> list:
-        payloads = [pickle.dumps((p, self._chain)) for p in self._parts]
+        payloads = [pickle.dumps((i, p, self._chain))
+                    for i, p in enumerate(self._parts)]
         results = list(self._ctx._pool_map(_run_partition, payloads))
         out: list = []
         for blob in results:
@@ -79,6 +111,15 @@ class LocalRDD:
 
     def count(self) -> int:
         return len(self.collect())
+
+    def take(self, n: int) -> list:
+        return self.collect()[:n]
+
+    def first(self):
+        got = self.take(1)
+        if not got:
+            raise ValueError("RDD is empty")
+        return got[0]
 
 
 class LocalSparkContext:

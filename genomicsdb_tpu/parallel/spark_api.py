@@ -70,6 +70,57 @@ def get_splits(ip: Optional[ImportParams], qp: QueryParams,
     return splits
 
 
+def open_split_store(split: InputSplit, ip: Optional[ImportParams],
+                     vid):
+    """Open the split's partition: the PERSISTED workspace array named
+    by the loader's column partition when it exists (the reference
+    executors read HDFS-resident TileDB arrays, run_spark_hdfs.py),
+    else import live from the loader's callsets."""
+    if ip is not None and ip.column_partitions:
+        parts = sorted(ip.column_partitions,
+                       key=lambda p: int(p["begin"]))
+        if split.rank < len(parts):
+            part = parts[split.rank]
+            w = ip.resolve(part.get("workspace", "")) \
+                if part.get("workspace") else ""
+            a = part.get("array_name") or part.get("array") or ""
+            from ..store import workspace as ws
+            if w and a and ws.is_workspace(w) and ws.array_exists(w, a):
+                return ws.open_array(w, a)
+    if ip is not None:
+        from ..query import driver
+        return driver.build_store_from_loader(ip, vid, split.rank)
+    return None
+
+
+def render_split_vcf(split: InputSplit, qp: QueryParams, vid,
+                     ip: Optional[ImportParams],
+                     with_header: bool = False):
+    """Executor task: this split's slice of the combined VCF as text
+    lines (the reference's per-executor GenomicsDBRecordReader +
+    htsjdk rendering).  Gathering the per-split lists in split order
+    reproduces the single-process query byte for byte."""
+    from ..query import driver
+    store = open_split_store(split, ip, vid)
+    sub = QueryParams()
+    sub.__dict__.update(qp.__dict__)
+    sub.scan_full = False
+    sub.column_ranges = [[split.interval]]
+    qc = driver.make_query_config(sub, vid)
+    template = sub.resolve(sub.vcf_header_filename) \
+        if with_header and sub.vcf_header_filename else None
+    if template is None and with_header and ip is not None \
+            and ip.vcf_header_filename:
+        template = ip.resolve(ip.vcf_header_filename)
+    refg = sub.resolve(sub.reference_genome) if sub.reference_genome \
+        else (ip.resolve(ip.reference_genome)
+              if ip and ip.reference_genome else None)
+    text = driver.run_vcf_query_block(store, qc, sub, vid,
+                                      template_path=template,
+                                      reference_path=refg)
+    return [ln for ln in text.split("\n") if ln]
+
+
 class RecordReader:
     """Iterates one split's records (GenomicsDBRecordReader): opens the
     split's partition store and yields (contig, pos_1based, Variant)."""
@@ -80,8 +131,7 @@ class RecordReader:
         from ..query.stream import FeatureReader
         self.split = split
         if store is None:
-            store = driver.build_store_from_loader(ip, vid, split.rank) \
-                if ip is not None else None
+            store = open_split_store(split, ip, vid)
         if store is None:
             raise ValueError("RecordReader needs a store or ImportParams")
         qc = driver.make_query_config(qp, vid)

@@ -9,6 +9,10 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8"
                            ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# exported so SUBPROCESSES spawned by tests (CLI workers, local-spark
+# executors) also resolve to CPU: with the pool-IPs override empty, the
+# sitecustomize axon registration stands down in children too
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 try:
     import jax
 
