@@ -206,7 +206,10 @@ def _iter_interval_blocks(store: ColumnarStore, iv, qc, qp, vid,
         # (per-shape compile) to the compile-free cost
         pad_kw = {}
         if len(starts):
-            bucket = 64
+            # wide cohorts: a finer record floor (32) halves the padded
+            # [B, S] tensors of a typical 10 kb interval query — at
+            # S >= 512 the extra compile shape is worth the latency
+            bucket = 32 if S_w >= 512 else 64
             while bucket < len(starts):
                 bucket *= 2
             pad_kw = {"pad_records": bucket, "pad_cells_to": 256}

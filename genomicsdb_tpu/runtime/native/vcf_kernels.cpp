@@ -1133,7 +1133,7 @@ extern "C" int gdb_identity_outputs(
   const int64_t cells = B * S;
   gdbpool::par_for(B, [&a](int64_t lo, int64_t hi) {
     ident_rows(a, lo, hi);
-  }, cells >= (1 << 16) ? cells : 0);
+  }, cells);
   return 0;
 }
 

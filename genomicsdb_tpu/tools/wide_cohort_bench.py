@@ -136,9 +136,11 @@ def run(n_samples=1000, n_records=2000, n_windows=4, skip_seq=False):
             assert blk == seq, f"window ({lo}) mismatch"
             windows_ok += 1
 
-    # interval latency at this width
+    # interval latency at this width (warmup first: the pad-bucket
+    # shapes compile once per process and must not pollute p50/p90 —
+    # production serving is a long-lived process)
     lats = []
-    for _ in range(12):
+    for i in range(20):
         lo = rng.randint(1, max(region - 20000, 2))
         qp_i = QueryParams()
         qp_i.column_ranges = [[(lo, lo + 10000)]]
@@ -146,7 +148,8 @@ def run(n_samples=1000, n_records=2000, n_windows=4, skip_seq=False):
         qc_i = driver.make_query_config(qp_i, vid)
         t0 = time.perf_counter()
         driver.run_vcf_query_block(store, qc_i, qp_i, vid)
-        lats.append(time.perf_counter() - t0)
+        if i >= 8:
+            lats.append(time.perf_counter() - t0)
     lats.sort()
     out = {
         "samples": n_samples,
@@ -161,8 +164,9 @@ def run(n_samples=1000, n_records=2000, n_windows=4, skip_seq=False):
         "cells_per_sec": round(store.num_cells / warm_s, 1),
         "cell_records_per_sec": round(
             n_records * n_samples / warm_s, 1),
-        "interval_10kb_p50_ms": round(lats[6] * 1000, 1),
-        "interval_10kb_p90_ms": round(lats[10] * 1000, 1),
+        "interval_10kb_p50_ms": round(lats[len(lats) // 2] * 1000, 1),
+        "interval_10kb_p90_ms": round(
+            lats[(len(lats) * 9) // 10] * 1000, 1),
         "seq_windows_verified": windows_ok,
         "checksum": checksum,
         "lines": text.count("\n"),
