@@ -11,7 +11,12 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 os.environ["JAX_PLATFORMS"] = "cpu"
 # exported so SUBPROCESSES spawned by tests (CLI workers, local-spark
 # executors) also resolve to CPU: with the pool-IPs override empty, the
-# sitecustomize axon registration stands down in children too
+# sitecustomize axon registration stands down in children too.  The
+# container's original value is stashed so the real-TPU lane
+# (test_tpu_lane) can restore it for ITS subprocesses.
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    os.environ["_GDB_AXON_POOL_IPS_ORIG"] = \
+        os.environ["PALLAS_AXON_POOL_IPS"]
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 try:
     import jax

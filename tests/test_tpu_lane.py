@@ -24,6 +24,13 @@ def _run_on_tpu(script: str, timeout: int = TIMEOUT) -> str:
     # run on the real device alongside a cpu backend for oracles
     env["JAX_PLATFORMS"] = "axon,cpu"
     env.pop("XLA_FLAGS", None)
+    # conftest blanks the axon pool override so CPU-suite subprocesses
+    # stay off the chip; THIS lane wants the chip back
+    orig = env.pop("_GDB_AXON_POOL_IPS_ORIG", None)
+    if orig:
+        env["PALLAS_AXON_POOL_IPS"] = orig
+    else:
+        env.pop("PALLAS_AXON_POOL_IPS", None)
     # remote compiles dominate (~1-2 min each); persist them
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
     try:
