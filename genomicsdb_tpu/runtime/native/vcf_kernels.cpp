@@ -479,13 +479,15 @@ int gdb_fmt_cohort(
                   if (*q == '/' || *q == '|') ++a;
                 cnt = (kind == 3) ? 2 * a - 1 : a;
               } else {
+                // invalid only when the field is a SINGLE missing
+                // value (reference convert_field_to_tiledb:
+                // num_values == 1 && missing); ".,." stays a valid
+                // 2-vector of missing elements
                 int64_t nsep = 0;
-                bool any = false;
-                for (const char* q = p; q < lim; ++q) {
+                for (const char* q = p; q < lim; ++q)
                   if (*q == ',') ++nsep;
-                  else if (*q != '.') any = true;
-                }
-                cnt = any ? nsep + 1 : 0;
+                cnt = (nsep == 0 && lim - p == 1 && *p == '.')
+                          ? 0 : nsep + 1;
               }
             }
             lens[cid] = cnt;

@@ -399,19 +399,19 @@ def fast_import_file(path: str, vid: VidMapper,
             else:
                 vals2, off2 = nl.parse_int_lists(records, fs, fe)
             seg_lens = np.diff(off2)
-            # all-missing segments are invalid
-            # (variant_field_data.h:360-384)
+            # a field is invalid only when it is a SINGLE missing value
+            # (convert_field_to_tiledb: num_values == 1 && missing);
+            # ".,." stays a valid 2-vector of missing elements
             if not is_gt and len(vals2):
+                first = vals2[np.minimum(off2[:-1],
+                                         max(len(vals2) - 1, 0))]
                 if is_float:
-                    miss_elem = (vals2.view(np.uint32)
-                                 == formats.FLOAT_MISSING_BITS)
+                    first_miss = (first.view(np.uint32)
+                                  == formats.FLOAT_MISSING_BITS)
                 else:
-                    miss_elem = vals2 == INT_MISSING
-                any_valid = np.logical_or.reduceat(
-                    ~miss_elem, np.minimum(off2[:-1],
-                                           max(len(vals2) - 1, 0)))
-                any_valid = any_valid & (seg_lens > 0)
-                seg_lens = np.where(any_valid, seg_lens, 0)
+                    first_miss = first == INT_MISSING
+                seg_lens = np.where((seg_lens == 1) & first_miss, 0,
+                                    seg_lens)
             out.append((name, "num", recs * K_s + k_pos, seg_lens, vals2,
                         off2[:-1]))
         return out

@@ -150,3 +150,47 @@ def test_bcf_input_import(tmp_path):
         finally:
             del os.environ["GENOMICSDB_TPU_NO_NATIVE"]
         np.testing.assert_array_equal(st.col, want.col)
+
+
+def test_fmt_cohort_edge_cases(tmp_path, monkeypatch):
+    """The cohort-wide two-pass FORMAT parser (gdb_fmt_cohort) against
+    the Python reference path on crafted edge inputs: truncated sample
+    columns, all-missing segments ('.', '.,.'), phased / missing GT,
+    int8/16/32-boundary values, fixed-width overflow, empty fields."""
+    if nl.get_lib() is None or not hasattr(nl.get_lib(),
+                                           "gdb_fmt_cohort"):
+        pytest.skip("no cohort parse kernel")
+    vcf = tmp_path / "edge.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+        '##FORMAT=<ID=AD,Number=.,Type=Integer,Description="a">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="d">',
+        '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="q">',
+        '##FORMAT=<ID=PL,Number=G,Type=Integer,Description="p">',
+        '##FORMAT=<ID=AF,Number=1,Type=Float,Description="f">',
+        '##INFO=<ID=END,Number=1,Type=Integer,Description="e">',
+        '##contig=<ID=1,length=100000>',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+        "\tS0\tS1\tS2",
+        # truncated sample columns (GT only; GT+AD)
+        "1\t10\t.\tA\tG\t.\t.\t.\tGT:AD:DP:GQ:PL\t0/1\t0/0:3,4\t"
+        "1/1:5,6:7:8:9,10,11",
+        # all-missing numeric segments -> invalid; '.' GT stays valid
+        "1\t20\t.\tC\tT\t.\t.\t.\tGT:AD:DP\t.:.,.:.\t./.:.:.\t0|1:.,3:5",
+        # int width boundaries (int8/int16/int32 packing downstream)
+        "1\t30\t.\tG\tA\t.\t.\t.\tGT:PL:DP\t0/0:0,120,-120:127\t"
+        "0/1:-32760,32767,1:32768\t1/1:2147483647,-2147483647,5:1",
+        # float FORMAT + empty trailing field + phased triploid GT
+        "1\t40\t.\tT\tC\t.\t.\t.\tGT:AF:GQ\t0|1|2:0.25:9\t.\t0/0:.:3",
+    ]) + "\n")
+    vid = VidMapper.from_files(os.path.join(REF_TESTS, "inputs/vid.json"))
+    # vid.json declares GT(P)/AD(R)/DP/GQ/PL(G); AF is absent -> ignore
+    vid.parse_callsets({"callsets": {
+        f"S{i}": {"row_idx": i, "idx_in_file": i, "filename": str(vcf)}
+        for i in range(3)}})
+    native = import_callsets(vid)
+    monkeypatch.setenv("GENOMICSDB_TPU_NO_NATIVE", "1")
+    python = import_callsets(vid)
+    monkeypatch.delenv("GENOMICSDB_TPU_NO_NATIVE")
+    _stores_equal(python, native)
