@@ -864,7 +864,7 @@ def _emit(child_stdout: str, run_lane: bool):
             pick("device_fused_pallas", "positions_per_sec"),
         "wide1024_cells_per_sec":
             pick("device_fused_wide_1024_samples", "cells_per_sec"),
-        "import_cells_per_sec": pick("import", "cells_per_sec"),
+        "import_cells_per_sec": pick("import", "native_cells_per_sec"),
         "e2e_positions_per_sec":
             pick("cohort100_end_to_end", "end_to_end_positions_per_sec"),
         "wide_cohort_1000":
