@@ -123,3 +123,45 @@ def test_persistent_connection_many_queries():
             assert cli.query(sub) == one_shot_sub
     finally:
         srv.shutdown()
+
+
+def test_stream_server_concurrent_clients_threaded_pool():
+    """Concurrent persistent clients: the server handles connections in
+    threads while the native worker pool serializes parallel sections —
+    every response must equal its single-connection reference."""
+    import threading
+
+    from genomicsdb_tpu.query.stream_server import QueryStreamClient
+    srv = QueryStreamServer(port=0)
+    srv.start_background()
+    try:
+        host, port = srv.address
+        docs = []
+        for lo, hi in [(0, 1000000000), (0, 13000), (12141, 17000),
+                       (17000, 1000000000)]:
+            d = dict(_query_doc())
+            d["query_column_ranges"] = [
+                {"range_list": [{"low": lo, "high": hi}]}]
+            docs.append(d)
+        want = [read_query_stream(host, port, d) for d in docs]
+        errors = []
+
+        def client(tid):
+            try:
+                with QueryStreamClient(host, port) as cli:
+                    for k in range(8):
+                        i = (tid + k) % len(docs)
+                        got = cli.query(docs[i])
+                        assert got == want[i], (tid, k, i, len(got))
+            except Exception as e:       # surfaced after join
+                errors.append((tid, repr(e)))
+
+        threads = [threading.Thread(target=client, args=(t,))
+                   for t in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+    finally:
+        srv.shutdown()
