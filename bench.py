@@ -568,6 +568,28 @@ def bench_wide_cohort():
     return json.loads(r.stdout.strip().splitlines()[-1])
 
 
+def bench_stream_latency():
+    """Socket-stream interval latency (the GATK/Spark split-serving
+    pattern): p50/p90 of 10 kb interval queries against the 200k-record
+    store through the external TCP attachment, one-shot and persistent
+    connections (tools/stream_latency_bench.py — the reproducible form
+    of the docs/performance.md latency figures; round-4 verdict asked
+    for this lane to be driver-audited)."""
+    import subprocess
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = ""
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "genomicsdb_tpu.tools.stream_latency_bench"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    if r.returncode != 0:
+        return {"error": (r.stderr or "")[-300:]}
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
 def bench_process_scaling():
     """Strong scaling across worker PROCESSES (the reference's MPI
     rank-per-partition model; the measurable stand-in for the >=80%
@@ -704,13 +726,19 @@ def bench_cohort_end_to_end(n_samples=100, n_records=4000,
     # warm run first: the text stage jit-compiles for the CPU backend
     # inside this (TPU) process, and that one-time XLA-CPU compile (~5s)
     # otherwise dominates the throughput figure.  Cold time is reported
-    # separately as vcf_text_cold_s.
-    t0 = time.perf_counter()
-    text = _run_text()
-    t_text_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    text2 = _run_text()
-    t_text = time.perf_counter() - t0
+    # separately as vcf_text_cold_s.  The serving index is disabled:
+    # this lane measures the ENGINE (the index would materialize on the
+    # warm repeat and serve a slice of itself).
+    os.environ["GENOMICSDB_TPU_SERVING_INDEX"] = "0"
+    try:
+        t0 = time.perf_counter()
+        text = _run_text()
+        t_text_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        text2 = _run_text()
+        t_text = time.perf_counter() - t0
+    finally:
+        del os.environ["GENOMICSDB_TPU_SERVING_INDEX"]
     assert text2 == text, "text phase not deterministic across runs"
     n_lines = text.count("\n")
     os.unlink(path)
@@ -876,6 +904,12 @@ def _emit(child_stdout: str, run_lane: bool):
                 "eff_compute_pct": v.get("efficiency_compute_pct")}
             for k, v in ((pick("process_scaling") or {})
                          .get("ranks", {})).items()},
+        "stream_latency": {
+            k: v for k, v in (pick("stream_latency") or {}).items()
+            if k in ("socket_p50_ms", "socket_p90_ms",
+                     "persistent_p50_ms", "persistent_p90_ms",
+                     "engine_persistent_p50_ms", "socket_min_ms",
+                     "error")},
         "chip_lane": {k: v for k, v in (pick("chip_lane") or {}).items()
                       if k != "summary"},
         "platform_note": pick("platform_note"),
@@ -928,6 +962,10 @@ def _bench_impl():
         scaling = bench_process_scaling()
     except Exception as e:
         scaling = {"error": str(e)[:200]}
+    try:
+        latency = bench_stream_latency()
+    except Exception as e:
+        latency = {"error": str(e)[:200]}
     value = max(dev["positions_per_sec"],
                 fused.get("positions_per_sec", 0))
     # primary baseline: the C++-speed sequential engine on the same
@@ -976,6 +1014,9 @@ def _bench_impl():
                 k: round(v, 2) if isinstance(v, float) else v
                 for k, v in wide1000.items()},
             "process_scaling": scaling,
+            "stream_latency": {
+                k: round(v, 2) if isinstance(v, float) else v
+                for k, v in latency.items()},
         },
     }
     if platform_note:

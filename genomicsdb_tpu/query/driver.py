@@ -151,7 +151,35 @@ def iter_vcf_query_block(store, qc: QueryConfig,
                     reference_path, filter_names, max_merged,
                     max_records_per_block, mesh, coalesce)
         return
+    # materialized serving: repeated queries of one signature against an
+    # immutable store slice the full-store combined text instead of
+    # recomputing (query/serving_index.py — the GATK/Spark split-serving
+    # pattern).  Byte-identical by construction + fuzz
+    # (tests/test_serving_index.py); build is non-reentrant, so the
+    # index's own full-store build runs through the engine path below.
+    idx_srv = None
+    if mesh is None:
+        from ..store.columnar import ColumnarStore
+        from . import serving_index as si
+        if isinstance(store, ColumnarStore):
+            idx_srv = si.lookup_for_query(store, qc, qp, vid,
+                                          template_path, reference_path)
     for iv in intervals:
+        if idx_srv is not None:
+            from . import serving_index as si
+
+            def edge_fn(lo, hi):
+                return si.engine_record_lines(store, qc, qp, vid,
+                                              reference_path, lo, hi)
+            served = idx_srv.serve_text(int(iv[0]), int(iv[1]), edge_fn)
+            if served is not None:
+                if coalesce:
+                    yield from served
+                else:
+                    for chunk in served:
+                        yield from (ln for ln in chunk.split("\n")
+                                    if ln)
+                continue
         yield from _iter_interval_blocks(
             store, iv, qc, qp, vid, ref_genome, reference_path,
             filter_names, max_merged, max_records_per_block, mesh,

@@ -48,6 +48,7 @@ class CombinedRecordStream:
         self.vid = vid
         self.engine = engine
         self.reference_path = reference_path
+        self._template_path = template_path
         ref_genome = (ReferenceGenome(reference_path)
                       if reference_path else None)
         sample_names = [vid.callset_name(r) for r in qc.rows_to_query]
@@ -105,11 +106,19 @@ class CombinedRecordStream:
         text renderer and the BCF2 encoder."""
         import numpy as np
         if self.engine == "block":
+            from . import serving_index as si
             from .driver import iter_vcf_query_block
-            it = iter_vcf_query_block(
-                self.store, self.qc, self.qp, self.vid,
-                template_path=None, reference_path=self.reference_path,
-                coalesce=True)
+
+            def _bypassed():
+                # bcf_stream consulted the serving index already; this
+                # engine pass must not count as a second query
+                with si._Bypass():
+                    yield from iter_vcf_query_block(
+                        self.store, self.qc, self.qp, self.vid,
+                        template_path=None,
+                        reference_path=self.reference_path,
+                        coalesce=True)
+            it = _bypassed()
         else:
             it = (ln.rstrip("\n") for ln in self
                   if not ln.startswith("#"))
@@ -177,6 +186,11 @@ class CombinedRecordStream:
             # full template header: declarations complete; encode in
             # record batches through the native BCF2 kernel
             hd = _HeaderDict(self.header_lines)
+            served = self._serve_bcf_from_index(hd, n_sample)
+            if served is not None:
+                yield header_block(self.header_lines)
+                yield from served
+                return
             yield header_block(self.header_lines)
             yield from encode_chunks(hd)
             return
@@ -194,6 +208,11 @@ class CombinedRecordStream:
         # no-op and is skipped (the GATK split pattern sends thousands
         # of small interval queries; the scan was ~15% of each)
         if self._vid_ids_declared(hd):
+            served = self._serve_bcf_from_index(hd, n_sample)
+            if served is not None:
+                yield header_block(header_lines)
+                yield from served
+                return
             yield header_block(header_lines)
             yield from encode_chunks(hd)
             return
@@ -205,6 +224,40 @@ class CombinedRecordStream:
             hd = _HeaderDict(header_lines)
         yield header_block(header_lines)
         yield from encode_batch(records, hd, n_sample)
+
+    # -- materialized serving (query/serving_index.py) -------------------
+    def _serve_bcf_from_index(self, hd, n_sample: int):
+        """Iterator of BCF2 record bytes via the materialized serving
+        index, or None (engine path)."""
+        from ..core.config import INT64_MAX
+        from ..store.columnar import ColumnarStore
+        from . import serving_index as si
+        if self.engine != "block" \
+                or not isinstance(self.store, ColumnarStore):
+            return None
+        idx = si.lookup_for_query(self.store, self.qc, self.qp,
+                                  self.vid, self._template_path,
+                                  self.reference_path)
+        if idx is None:
+            return None
+        idx.ensure_bcf(hd, n_sample)
+        intervals = self.qc.column_intervals or [(0, INT64_MAX - 2)]
+
+        def edge_fn(lo, hi):
+            return si.engine_bcf_bytes(self.store, self.qc, self.qp,
+                                       self.vid, self.reference_path,
+                                       hd, n_sample, lo, hi)
+
+        def gen():
+            for lo, hi in intervals:
+                served = idx.serve_bcf(int(lo), int(hi), edge_fn)
+                if served is None:
+                    chunk = edge_fn(int(lo), int(hi))
+                    if chunk:
+                        yield chunk
+                else:
+                    yield from served
+        return gen()
 
     def _vid_ids_declared(self, hd) -> bool:
         """True when every id this stream's renderers can emit is

@@ -279,15 +279,30 @@ class CombineToVCF(CombineOperator):
     # ---------------- FORMAT machinery ----------------
 
     def _collect_and_extend(self, variant: Variant, name: str, remapped,
-                            remapping_needed: bool,
-                            is_gt: bool) -> Optional[List[np.ndarray]]:
+                            remapping_needed: bool, is_gt: bool,
+                            num_merged_alts: int = -1
+                            ) -> Optional[List[np.ndarray]]:
         """collect_and_extend_fields (variant_field_handler.cc:805-880).
 
         Returns per-sample arrays, all padded to the max length, or None if
         no call has a valid value.  use_missing_values_only_not_vector_end
-        is False (C++ CLI path)."""
+        is False (C++ CLI path).
+
+        Genotype-length fields are first shaped per call to the genotype
+        count of (merged alleles, call ploidy): the reference remaps
+        allele-length-dependent fields for EVERY call
+        (GA4GHOperator::operate, variant_operations.cc:572-728), so an
+        under-length input (e.g. a diploid-shaped PL under a triploid GT)
+        still emits #genotypes entries, the unmapped tail as missing.
+        When remapping ran, the remap kernels already produce the target
+        length and this is a no-op; it matters on the non-remapped
+        (ref-block-only) path."""
         info = self.qc.field_info(name)
         is_char = info is not None and info.type in ("char", "string")
+        gt_shape = (not is_gt and num_merged_alts >= 0 and info is not None
+                    and info.length.is_genotype_dependent()
+                    and self.gt_queried)
+        gt_info = self.qc.field_info("GT") if gt_shape else None
         values: List[Optional[np.ndarray]] = []
         max_len = 0
         num_valid = 0
@@ -304,6 +319,24 @@ class CombineToVCF(CombineOperator):
                     arr = v            # common case: ragged column slice
                 else:
                     arr = np.atleast_1d(np.asarray(v))
+                if gt_shape and gt_info is not None:
+                    gt = call.gt
+                    ploidy = gt_info.length.ploidy(len(gt)) \
+                        if gt is not None else 0
+                    if ploidy > 0:
+                        want = len(M.genotype_combinations(
+                            num_merged_alts + 1, ploidy))
+                        if len(arr) < want:
+                            fill = (formats.FLOAT_MISSING
+                                    if info.type == "float"
+                                    else INT_MISSING)
+                            ext = np.full(want, fill,
+                                          dtype=arr.dtype
+                                          if arr.dtype in (np.int32,
+                                                           np.float32)
+                                          else np.int32)
+                            ext[:len(arr)] = arr
+                            arr = ext
                 values.append(arr)
                 if len(arr) > max_len:
                     max_len = len(arr)
@@ -520,7 +553,8 @@ class CombineToVCF(CombineOperator):
                 continue
             is_gt = name == "GT"
             per_sample = self._collect_and_extend(
-                variant, name, remapped, remapping_needed, is_gt)
+                variant, name, remapped, remapping_needed, is_gt,
+                num_merged_alts)
             if per_sample is None:
                 continue
             if is_gt:

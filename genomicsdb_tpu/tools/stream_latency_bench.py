@@ -132,6 +132,24 @@ def main(argv=None):
                 plats.append(time.perf_counter() - t0)
                 assert data[:5] == b"BCF\x02\x02"
         plats.sort()
+        # engine lane: the same persistent-connection queries with the
+        # materialized serving index disabled — the per-query live
+        # combine cost, reported alongside the production (served) path
+        os.environ["GENOMICSDB_TPU_SERVING_INDEX"] = "0"
+        try:
+            elats = []
+            with QueryStreamClient(host, port) as cli:
+                for _ in range(4):
+                    cli.query(doc(lo, lo + args.interval))
+                for _ in range(max(n // 2, 10)):
+                    lo = rng.randint(1, max(region - 2 * args.interval,
+                                            2))
+                    t0 = time.perf_counter()
+                    cli.query(doc(lo, lo + args.interval))
+                    elats.append(time.perf_counter() - t0)
+        finally:
+            del os.environ["GENOMICSDB_TPU_SERVING_INDEX"]
+        elats.sort()
         print(json.dumps({
             "samples": args.samples, "records": args.records,
             "cells": int(store.num_cells), "positions": region,
@@ -142,6 +160,10 @@ def main(argv=None):
             "socket_min_ms": round(lats[0] * 1000, 1),
             "persistent_p50_ms": round(plats[n // 2] * 1000, 1),
             "persistent_p90_ms": round(plats[(n * 9) // 10] * 1000, 1),
+            "engine_persistent_p50_ms": round(
+                elats[len(elats) // 2] * 1000, 1),
+            "engine_persistent_p90_ms": round(
+                elats[(len(elats) * 9) // 10] * 1000, 1),
             "mean_stream_bytes": total_bytes // n}))
     finally:
         srv.shutdown()
