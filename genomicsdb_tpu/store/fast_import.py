@@ -33,8 +33,15 @@ def _supported(vid: VidMapper, nsamples: int) -> bool:
         info = vid.fields[name]
         if not (info.is_info or info.is_format):
             continue
-        if info.length.num_dimensions > 1 or info.is_composite():
-            return False
+        if info.is_composite():
+            continue      # data imports via the flattened element fields
+        if info.length.num_dimensions > 1:
+            # text-serialized 2-D INFO fields (allele-specific AS_*
+            # annotations, genomicsdb_multid_vector_field.h:87) parse
+            # through the vectorized ragged2d path; 2-D FORMAT has no
+            # fast path
+            if not info.is_info or info.vcf_type != "string":
+                return False
     return True
 
 
@@ -141,7 +148,17 @@ def fast_import_file(path: str, vid: VidMapper,
     info_attr = [(a, vid.fields[a]) for a in attrs
                  if a not in base_fields and vid.fields.get(a) is not None
                  and vid.fields[a].is_info]
-    info_keys = ["END"] + [fi.vcf_name for _, fi in info_attr]
+    # dedupe keys: flattened tuple elements (AS_RAW_MQRankSum_f0/_f1)
+    # share one parent INFO key — the native scan must see it ONCE
+    info_keys = ["END"]
+    key_col: Dict[str, int] = {"END": 0}
+    attr_col = []
+    for _, fi in info_attr:
+        c = key_col.get(fi.vcf_name)
+        if c is None:
+            c = key_col[fi.vcf_name] = len(info_keys)
+            info_keys.append(fi.vcf_name)
+        attr_col.append(c)
     i_s = offs[:, 7].copy()
     i_e = (offs[:, 8] - 1).copy()
     vs, ve, pres = nl.info_values(records, i_s, i_e, info_keys)
@@ -194,12 +211,18 @@ def fast_import_file(path: str, vid: VidMapper,
                                  all_true.copy(), vals, off)
 
     # ---- INFO fields (native value-span parse, replicated to cells) ----
-    for j, (name, info) in enumerate(info_attr, start=1):
+    for ai, (name, info) in enumerate(info_attr):
+        j = attr_col[ai]
         if name in fields:
             continue
         kind, dtype, flen = specs[name]
         is_float = info.type == "float"
         p_mask = pres[j]
+        if kind == "ragged2d":
+            fields[name] = _import_ragged2d(
+                name, info, vid, records, vs[j], ve[j], p_mask, n, K_s,
+                mapped, len(samples), dtype)
+            continue
         if info.type == "flag":
             mat = np.full((n, flen), INT_MISSING, dtype=np.int32)
             mat[p_mask, 0] = 1
@@ -502,6 +525,127 @@ def fast_import_file(path: str, vid: VidMapper,
     store.eff_end = cell_end.copy()  # recomputed by merge/sort below
     store.fields = fields
     return store
+
+
+def _import_ragged2d(name, info, vid, records, vs_j, ve_j, p_mask,
+                     n, K_s, mapped, nsamples, dtype) -> FieldData:
+    """Vectorized parse of a text-serialized 2-D INFO field
+    (allele-specific annotations like AS_RAW_MQ
+    "8.0,10.0|28.0|31.0", genomicsdb_multid_vector_field.cc
+    parse_and_store_numeric / vcf2binary.cc:991-1160): outer segments
+    split on delimiter(0), inner tokens on delimiter(1); composite
+    (tuple) parents interleave element values, the flattened element
+    field selects tokens tuple_index::n_tuple.  Byte-equal to
+    import_pipeline.parse_multid_string (tests/test_fast_import.py)."""
+    from ..core import known_fields as kf
+    parent = vid.fields[info.parent_name] if info.is_flattened else info
+    n_tuple = parent.num_elements_in_tuple
+    tuple_index = info.tuple_index
+    etype = info.type
+    is_float = etype == "float"
+    np_dtype = np.float32 if is_float else np.int32
+    idx = np.nonzero(p_mask)[0]
+    n_p = len(idx)
+    miss = formats.FLOAT_MISSING if is_float else INT_MISSING
+    if n_p == 0:
+        return FieldData(name, "ragged2d", dtype,
+                         np.zeros(n * K_s, dtype=bool),
+                         np.zeros(0, np_dtype),
+                         np.zeros(1, np.int64),
+                         outer_offsets=np.zeros(n * K_s + 1, np.int64))
+    blob, boffs = nl.extract_spans(records, vs_j[idx].copy(),
+                                   ve_j[idx].copy())
+    arr = np.frombuffer(blob, np.uint8)
+    d0 = ord(parent.length.delimiter(0))
+    d1 = ord(parent.length.delimiter(1))
+    pipes = np.flatnonzero(arr == d0)
+    # outer segments: one per record plus one per delimiter(0)
+    seg_starts = np.sort(np.concatenate([boffs[:-1], pipes + 1]))
+    seg_ends = np.sort(np.concatenate([pipes, boffs[1:]]))
+    cnt = np.searchsorted(pipes, boffs)
+    outer_per_rec = (cnt[1:] - cnt[:-1]) + 1        # [n_p]
+    n_segs = len(seg_starts)
+    # inner tokens: one per segment plus one per delimiter(1); tokens of
+    # EMPTY outer segments are dropped (an empty part is a 0-length
+    # inner vector, parse_multid_string's `part == ""` branch)
+    commas = np.flatnonzero(arr == d1)
+    tok_starts = np.sort(np.concatenate([seg_starts, commas + 1]))
+    tok_ends = np.sort(np.concatenate([commas, seg_ends]))
+    seg_of_tok = np.searchsorted(seg_starts, tok_starts,
+                                 side="right") - 1
+    first_tok_of_seg = np.searchsorted(tok_starts, seg_starts,
+                                       side="left")
+    local = np.arange(len(tok_starts)) - first_tok_of_seg[seg_of_tok]
+    nonempty = (seg_ends - seg_starts)[seg_of_tok] > 0
+    sel = nonempty & ((local % n_tuple) == tuple_index)
+    ts, te = tok_starts[sel], tok_ends[sel]
+    n_tok = len(ts)
+    # parse each selected token (spans contain no delimiter; an empty
+    # token ",," or "." is a MISSING element, matching int(float(t)) /
+    # np.float32(t) with the "." / "" guards)
+    vals = np.full(n_tok, miss, dtype=np_dtype)
+    if n_tok:
+        try:
+            pv, po = (nl.parse_float_lists if is_float
+                      else nl.parse_int_lists)(blob, ts.copy(),
+                                               te.copy())
+            tc = np.diff(po)
+            one = tc == 1
+            vals[one] = pv[po[:-1][one]]
+        except ValueError:
+            # int element with float-formatted tokens: the python
+            # semantics are int(float(t)) (parse_multid_string)
+            for i in range(n_tok):
+                t = blob[ts[i]:te[i]].decode()
+                if t not in (".", ""):
+                    vals[i] = np.int32(int(float(t)))
+    inner_lens_rec = np.bincount(seg_of_tok[sel],
+                                 minlength=n_segs).astype(np.int64)
+    # ---- replicate per-record payloads to each mapped sample cell ----
+    rec_outer_offs = np.zeros(n_p + 1, dtype=np.int64)
+    np.cumsum(outer_per_rec, out=rec_outer_offs[1:])
+    rec_tot = np.add.reduceat(inner_lens_rec, rec_outer_offs[:-1]) \
+        if n_segs else np.zeros(n_p, np.int64)
+    rec_tot_offs = np.zeros(n_p + 1, dtype=np.int64)
+    np.cumsum(rec_tot, out=rec_tot_offs[1:])
+    # expand present-record arrays to all records
+    outer_full = np.zeros(n, dtype=np.int64)
+    outer_full[idx] = outer_per_rec
+    tot_full_offs = np.zeros(n + 1, dtype=np.int64)
+    tot_full = np.zeros(n, dtype=np.int64)
+    tot_full[idx] = rec_tot
+    np.cumsum(tot_full, out=tot_full_offs[1:])
+    vals_full = np.zeros(int(tot_full_offs[-1]), dtype=np_dtype)
+    if len(vals):
+        nl.copy_segments(vals, rec_tot_offs[:-1], rec_tot,
+                         tot_full_offs[:-1][idx], vals_full)
+    ilens_full_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(outer_full, out=ilens_full_offs[1:])
+    ilens_full = np.zeros(int(ilens_full_offs[-1]), dtype=np.int64)
+    if n_segs:
+        nl.copy_segments(inner_lens_rec, rec_outer_offs[:-1],
+                         outer_per_rec, ilens_full_offs[:-1][idx],
+                         ilens_full)
+    cell_vals, cell_val_offs = nl.replicate_ragged(vals_full,
+                                                   tot_full_offs, K_s)
+    cell_ilens, _ = nl.replicate_ragged(ilens_full, ilens_full_offs,
+                                        K_s)
+    n_cells = n * K_s
+    outer_offsets = np.zeros(n_cells + 1, dtype=np.int64)
+    np.cumsum(np.repeat(outer_full, K_s), out=outer_offsets[1:])
+    inner_offsets = np.zeros(len(cell_ilens) + 1, dtype=np.int64)
+    np.cumsum(cell_ilens, out=inner_offsets[1:])
+    valid = np.repeat(p_mask, K_s)
+    # divide_up_among_samples (vcf2binary.h:35-53): sum-like combine ops
+    # split INFO values among the file's samples; histogram_sum divides
+    # only the count element (tuple_index 1)
+    if _is_sum_like(parent.combine_op) and nsamples > 1 \
+            and (parent.combine_op != kf.OP_HISTOGRAM_SUM
+                 or tuple_index == 1):
+        cell_vals = _divide_ragged(cell_vals, cell_val_offs, valid,
+                                   mapped, nsamples, K_s, is_float)
+    return FieldData(name, "ragged2d", dtype, valid, cell_vals,
+                     inner_offsets, outer_offsets=outer_offsets)
 
 
 def _divide_cells(out, valid, mapped, nsamples, K_s, is_float):

@@ -33,9 +33,25 @@ def _stores_equal(a, b):
                 assert vb is None, (name, i)
             elif isinstance(va, str):
                 assert va == vb, (name, i)
+            elif fa.kind == "ragged2d":
+                assert len(va) == len(vb), (name, i)
+                for k, (sa, sb) in enumerate(zip(va, vb)):
+                    _arrays_bit_equal(np.asarray(sa), np.asarray(sb),
+                                      f"{name}@{i}[{k}]")
             else:
-                np.testing.assert_array_equal(
-                    np.asarray(va), np.asarray(vb), err_msg=f"{name}@{i}")
+                _arrays_bit_equal(np.asarray(va), np.asarray(vb),
+                                  f"{name}@{i}")
+
+
+def _arrays_bit_equal(a, b, msg):
+    """Bit-exact: NaN payloads matter (bcf FLOAT_MISSING vs a parsed
+    quiet NaN render differently)."""
+    assert a.dtype == b.dtype, (msg, a.dtype, b.dtype)
+    if a.dtype == np.float32:
+        np.testing.assert_array_equal(a.view(np.uint32),
+                                      b.view(np.uint32), err_msg=msg)
+    else:
+        np.testing.assert_array_equal(a, b, err_msg=msg)
 
 
 @pytest.mark.parametrize("callset,vid_file", [
@@ -48,13 +64,20 @@ def _stores_equal(a, b):
      "inputs/vid_DS_ID_phased_GT.json"),
     ("inputs/callsets/t0_overlapping.json", "inputs/vid.json"),
     ("inputs/callsets/t0_1_2_combined.json", "inputs/vid.json"),
+    # allele-specific 2-D INFO annotations (AS_RAW_MQ element_wise_sum +
+    # AS_RAW_MQRankSum histogram tuple) through the ragged2d fast path
+    ("inputs/callsets/t0_1_2_all_asa.json", "inputs/vid_all_asa.json"),
 ])
-def test_fast_import_matches_python(callset, vid_file):
+def test_fast_import_matches_python(callset, vid_file, monkeypatch):
     if nl.get_lib() is None:
         pytest.skip("no native toolchain")
     vid = VidMapper.from_files(os.path.join(REF_TESTS, vid_file),
                                os.path.join(REF_TESTS, callset))
+    # force the pure-Python reference path: import_callsets otherwise
+    # takes the native fast path itself, making the comparison vacuous
+    monkeypatch.setenv("GENOMICSDB_TPU_NO_NATIVE", "1")
     python_store = import_callsets(vid, base_dir=REF_TESTS)
+    monkeypatch.delenv("GENOMICSDB_TPU_NO_NATIVE")
     # per-file fast import + merge
     files = {}
     for cs in vid.callsets.values():
