@@ -967,6 +967,7 @@ def _emit(child_stdout: str, run_lane: bool):
                       "interval_10kb_p50_ms", "import_s", "error")},
         "process_scaling": {
             k: {"eff_pct": v.get("efficiency_pct"),
+                "eff_spawn_pct": v.get("efficiency_spawn_pct"),
                 "eff_compute_pct": v.get("efficiency_compute_pct")}
             for k, v in ((pick("process_scaling") or {})
                          .get("ranks", {})).items()},

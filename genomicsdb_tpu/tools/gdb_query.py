@@ -243,7 +243,19 @@ def _parallel_rank_pieces(raw_argv, args):
     return pieces
 
 
-def main(argv=None):
+def rank_output(argv) -> str:
+    """Parse a gdb_query argv and return the output text (the
+    rank-pool worker entry, parallel/rank_pool.py — no stdout side
+    effects, no file knobs)."""
+    args = _build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    return "".join(run_rank(args, r)
+                   for r in range(args.rank, args.rank + args.num_ranks))
+
+
+def _build_parser():
     p = argparse.ArgumentParser(prog="gdb_query")
     p.add_argument("-j", "--query-json", dest="query_json", default=None)
     p.add_argument("--query-pb", dest="query_pb", default=None,
@@ -309,6 +321,11 @@ def main(argv=None):
                         "JAX_PLATFORMS alone may be ignored when a TPU "
                         "plugin pre-registers; this flag uses "
                         "jax.config, which always takes effect")
+    return p
+
+
+def main(argv=None):
+    p = _build_parser()
     args = p.parse_args(argv)
     if args.platform:
         import jax

@@ -128,6 +128,34 @@ def _import_partitions(loader: str, k: int, env) -> float:
     return time.perf_counter() - t0
 
 
+def _pool_query(td: str, k: int, query: str, loader: str,
+                runs: int = 2):
+    """(best wall seconds, output bytes) of the full-genome query
+    against a warm persistent rank pool: the first pass initializes
+    each worker's XLA client + compile cache (excluded — a serving
+    pool is long-lived), later passes are the measured quantity."""
+    from ..parallel.rank_pool import RankPool
+    argvs = []
+    for r in range(k):
+        argv = ["-j", query, "-l", loader, "-r", str(r),
+                "--num-ranks", "1", "--produce-Broad-GVCF",
+                "--platform", "cpu"]
+        if r > 0:
+            argv.append("--no-vcf-header")
+        argvs.append(argv)
+    with RankPool(k, pin_cores=True) as pool:
+        pool.run(argvs)                       # warm: XLA init + compile
+        best = None
+        out = b""
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            pieces = pool.run(argvs)
+            dt = time.perf_counter() - t0
+            out = "".join(pieces).encode()
+            best = dt if best is None else min(best, dt)
+    return best, out
+
+
 def run(samples=8, records=300_000, ranks=(1, 2, 4), warm=True):
     td = tempfile.mkdtemp(prefix="scaling_")
     env = dict(os.environ)
@@ -145,6 +173,16 @@ def run(samples=8, records=300_000, ranks=(1, 2, 4), warm=True):
     env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(td, "jaxcache")
     env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+    # this lane measures ENGINE scaling: repeated warm queries must not
+    # flip to the materialized serving index (query/serving_index.py)
+    env["GENOMICSDB_TPU_SERVING_INDEX"] = "0"
+    # forked rank-pool workers inherit os.environ, not `env`
+    for key in ("JAX_COMPILATION_CACHE_DIR",
+                "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES",
+                "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                "GENOMICSDB_TPU_SERVING_INDEX"):
+        os.environ[key] = env[key]
+    os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
     ncores = os.cpu_count() or 4
     try:
         region, vid_file, callset_file = _write_cohort(
@@ -167,7 +205,7 @@ def run(samples=8, records=300_000, ranks=(1, 2, 4), warm=True):
             runs = 2 if warm else 1
             best = None
             out = b""
-            for _ in range(runs):
+            for _ in range(runs):  # spawned per-job model (mpirun)
                 # this process IS the root gatherer (the mpirun parent):
                 # spawn one pinned gdb_query worker per rank, gather
                 # stdout in rank order (gt_mpi_gather.cc:166-295)
@@ -202,24 +240,37 @@ def run(samples=8, records=300_000, ranks=(1, 2, 4), warm=True):
                 out = b"".join(pieces)
                 best = dt if best is None else min(best, dt)
             checks.add(hashlib.sha256(out).hexdigest()[:16])
+            # persistent rank-pool model (parallel/rank_pool.py): the
+            # serving deployment keeps rank daemons warm, so a query
+            # costs compute + gather, not per-job interpreter + XLA
+            # startup.  Workers are the SAME pinned single-rank
+            # gdb_query path; output must be byte-identical.
+            pool_best, pool_out = _pool_query(td, k, query, loader)
+            if hashlib.sha256(pool_out).hexdigest()[:16] not in checks:
+                raise RuntimeError("rank-pool output differs from the "
+                                   "spawned model")
             results[k] = {"import_s": round(import_s, 2),
-                          "query_wall_s": round(best, 2),
-                          "query_compute_s": round(best - overhead_s,
+                          "query_wall_s": round(pool_best, 2),
+                          "spawn_wall_s": round(best, 2),
+                          "spawn_compute_s": round(best - overhead_s,
                                                    2)}
         if len(checks) != 1:
             raise RuntimeError(f"outputs differ across rank counts: "
                                f"{checks}")
         k0 = min(ranks)
         t1 = results[k0]["query_wall_s"]
-        t1c = results[k0]["query_compute_s"]
+        t1s = results[k0]["spawn_wall_s"]
+        t1c = results[k0]["spawn_compute_s"]
         for k in ranks:
             scale = k / k0
             results[k]["speedup"] = round(
                 t1 / results[k]["query_wall_s"], 2)
             results[k]["efficiency_pct"] = round(
                 100 * t1 / (scale * results[k]["query_wall_s"]), 1)
+            results[k]["efficiency_spawn_pct"] = round(
+                100 * t1s / (scale * results[k]["spawn_wall_s"]), 1)
             results[k]["efficiency_compute_pct"] = round(
-                100 * t1c / (scale * results[k]["query_compute_s"]), 1)
+                100 * t1c / (scale * results[k]["spawn_compute_s"]), 1)
         return {"samples": samples, "records": records,
                 "positions": region, "checksum": checks.pop(),
                 "proc_overhead_s": round(overhead_s, 2),
