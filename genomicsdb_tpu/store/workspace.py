@@ -208,11 +208,18 @@ def _fragment_paths(workspace: str, array_name: str) -> List[str]:
     adir = _array_dir(workspace, array_name)
     fsp = _fs_for(adir)
     if fsp is not None:
+        from .fragment_v2 import V2_SUFFIX
         fs, p = fsp
-        if not fs.isdir(p):
+        # no isdir() pre-check: cache-chained filesystems
+        # (simplecache::http://...) answer isdir False while ls works
+        try:
+            entries = fs.ls(p, detail=False)
+        except (FileNotFoundError, OSError):
             return []
-        return sorted(f for f in fs.ls(p, detail=False)
-                      if f.endswith(".npz"))
+        # directory entries may list with a trailing slash (v2
+        # fragments are directories; HTTP listings append '/')
+        return sorted(f.rstrip("/") for f in entries
+                      if f.rstrip("/").endswith((".npz", V2_SUFFIX)))
     if not os.path.isdir(adir):
         return []
     from .fragment_v2 import V2_SUFFIX
@@ -223,6 +230,32 @@ def _fragment_paths(workspace: str, array_name: str) -> List[str]:
 def _load_fragment(path: str, meta: dict, fs=None) -> ColumnarStore:
     from .fragment_v2 import V2_SUFFIX, open_fragment_v2
     if path.endswith(V2_SUFFIX):
+        if fs is not None:
+            # remote v2 fragment (a DIRECTORY of raw column chunks):
+            # download to a local spill dir, then memory-map — the
+            # reference's remote-workspace reads also materialize
+            # segments locally before use (HDFS segment reads,
+            # variant_storage_manager.cc:478-513).  Fragments are
+            # immutable, so the spill is reusable.
+            import hashlib
+            import tempfile
+            spill_dir = os.path.join(tempfile.gettempdir(),
+                                     "gdb_remote_fragments")
+            os.makedirs(spill_dir, exist_ok=True)
+            local = os.path.join(
+                spill_dir,
+                hashlib.sha256(path.encode()).hexdigest()[:24]
+                + V2_SUFFIX)
+            if not os.path.exists(local):
+                tmp = local + ".part"
+                base = path.rstrip("/")
+                for rf in fs.find(base):
+                    rel = rf[len(base):].lstrip("/")
+                    dst = os.path.join(tmp, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    fs.get_file(rf, dst)
+                os.replace(tmp, local)
+            path = local
         st = open_fragment_v2(path, mmap=True)
         # row bounds grow across fragments; metadata.json carries the max
         if meta and meta.get("num_rows"):
