@@ -135,14 +135,25 @@ def bench_device_fused(num_samples=128, cells_per_sample=2048,
                             seed=0)
     S = blk.col.shape[0]
     nb = len(blk.starts)
-    rt = PC._default_rt()
-    cfg = PC.FusedConfig(
-        g_in=blk.pl.shape[2],
-        g_out=len(K.genotype_combo_table(4, 2)),
-        a_in=blk.ad.shape[2], m=4, gt_w=blk.gt.shape[2],
-        f_med=blk.info_f.shape[0], f_imed=blk.info_i.shape[0],
-        f_fsum=blk.info_fs.shape[0], ploidy=2, gt_phase=False, rt=rt,
-        narrow=narrow)
+    # mirror production rt selection (combine_step_fused auto-tries 32
+    # with shared windows before 8; VMEM-estimate clamp) — pinning rt=8
+    # under-measured the kernel by 27% through round 4
+    rt_cands = PC._rt_candidates(0)
+    budget = PC._vmem_budget_bytes()
+    cfg = None
+    for rt in rt_cands:
+        c = PC.FusedConfig(
+            g_in=blk.pl.shape[2],
+            g_out=len(K.genotype_combo_table(4, 2)),
+            a_in=blk.ad.shape[2], m=4, gt_w=blk.gt.shape[2],
+            f_med=blk.info_f.shape[0], f_imed=blk.info_i.shape[0],
+            f_fsum=blk.info_fs.shape[0], ploidy=2, gt_phase=False,
+            rt=rt, narrow=narrow)
+        if PC.scoped_vmem_estimate(c) <= budget:
+            cfg = c
+            break
+    assert cfg is not None, "no rt candidate fits the VMEM budget"
+    rt = cfg.rt
     pay = PC.build_payload(blk, cfg)
     C = pay.shape[2]
     cpad = (-C) % cfg.cb + cfg.cb

@@ -36,7 +36,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _tried = True
     srcs = [os.path.join(_NATIVE_DIR, f)
             for f in ("vcf_kernels.cpp", "seq_bench.cpp",
-                      "bcf_encode.cpp")]
+                      "bcf_encode.cpp", "bcf_decode.cpp")]
     stale = os.path.isfile(_LIB_PATH) and any(
         os.path.isfile(s)
         and os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
@@ -607,6 +607,45 @@ def bcf_encode_records(text: bytes, line_offs: np.ndarray,
         if w < 0:
             return None   # malformed token / missing name: Python path
         return out_arr[:w].tobytes(), out_offs
+    return None
+
+
+def bcf_decode_records(body: bytes, contig_names, str_names, gt_ids,
+                       n_sample: int):
+    """Decode a BCF2.2 record section to VCF text lines (one native
+    pass; runtime/native/bcf_decode.cpp).  gt_ids: per string-dict id,
+    1 when the name is GT.  Returns bytes (trailing newline) or None
+    (native unavailable / malformed input -> Python cleanroom path)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "gdb_bcf_decode_records"):
+        return None
+    if not hasattr(lib, "_bcf_dec_bound"):
+        i64 = ctypes.c_int64
+        p64 = np.ctypeslib.ndpointer(np.int64)
+        pu8 = np.ctypeslib.ndpointer(np.uint8)
+        lib.gdb_bcf_decode_records.restype = i64
+        lib.gdb_bcf_decode_records.argtypes = [
+            ctypes.c_char_p, i64,
+            ctypes.c_char_p, p64, i64,
+            ctypes.c_char_p, p64, i64,
+            pu8, ctypes.c_int32,
+            ctypes.c_char_p, i64]
+        lib._bcf_dec_bound = True
+    cb, co = _names_blob(contig_names)
+    sb, so = _names_blob(str_names)
+    gt = np.ascontiguousarray(gt_ids, dtype=np.uint8)
+    cap = int(len(body) * 4 + 4096)
+    for _ in range(3):
+        out_arr, out = _text_buf(cap)
+        w = lib.gdb_bcf_decode_records(
+            body, len(body), cb, co, len(contig_names),
+            sb, so, len(str_names), gt, n_sample, out, cap)
+        if w == -1:
+            cap *= 4
+            continue
+        if w < 0:
+            return None
+        return out_arr[:w].tobytes()
     return None
 
 

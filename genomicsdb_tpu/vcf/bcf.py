@@ -575,7 +575,13 @@ class _Reader:
 
 
 def bcf_to_text(data: bytes) -> str:
-    """Decode a BCF2.2 stream produced by text_to_bcf back to VCF text."""
+    """Decode a BCF2.2 stream produced by text_to_bcf back to VCF text.
+
+    The record section decodes through the native pass
+    (runtime/native/bcf_decode.cpp, ~100x the Python cleanroom decoder
+    — the BCF-input import edge rides this); the Python decoder below
+    remains the from-spec oracle (native == Python asserted in
+    tests/test_bcf.py) and the fallback on any malformed byte."""
     if data[:5] != b"BCF\x02\x02":
         raise ValueError("not BCF2.2")
     r = _Reader(data)
@@ -587,6 +593,15 @@ def bcf_to_text(data: bytes) -> str:
     hd = _HeaderDict(header_lines)
     chrom_line = header_lines[-1]
     n_sample = max(0, len(chrom_line.split("\t")) - 9)
+    import os as _os
+    if _os.environ.get("GENOMICSDB_TPU_NO_NATIVE", "") in ("", "0"):
+        from ..runtime import native_loader as nl
+        gt_ids = [1 if s == "GT" else 0 for s in hd.strings]
+        body = bytes(data[r.o:])
+        dec = nl.bcf_decode_records(body, hd.contigs, hd.strings,
+                                    gt_ids, n_sample)
+        if dec is not None:
+            return "\n".join(header_lines) + "\n" + dec.decode()
     out = list(header_lines)
     while r.o < len(data):
         out.append(_decode_record(r, hd, n_sample))

@@ -113,3 +113,38 @@ def test_native_encoder_matches_python():
         assert len(native) == len(python)
         for i, (a, b) in enumerate(zip(native, python)):
             assert a == b, f"record {i} differs: {recs[i][:120]}"
+
+
+def test_native_decoder_matches_python():
+    """The native BCF2 record decoder (gdb_bcf_decode_records) is
+    byte-identical to the Python cleanroom decoder on the whole golden
+    VCF corpus (encode with text_to_bcf, decode both ways)."""
+    import glob
+    import gzip
+    import os
+
+    import pytest
+    if os.environ.get("GENOMICSDB_TPU_NO_NATIVE", "") not in ("", "0"):
+        pytest.skip("native kernels disabled (GENOMICSDB_TPU_NO_NATIVE)")
+    from genomicsdb_tpu.runtime import native_loader as nl
+    if nl.get_lib() is None:
+        pytest.skip("no native toolchain")
+    from genomicsdb_tpu.vcf.bcf import bcf_to_text, text_to_bcf
+
+    checked = 0
+    for p in sorted(glob.glob(os.path.join(
+            REF_TESTS, "inputs/vcfs/*.vcf.gz"))):
+        try:
+            text = gzip.decompress(open(p, "rb").read()).decode()
+            data = text_to_bcf(text)
+        except Exception:
+            continue   # corpus files the encoder does not cover
+        native = bcf_to_text(data)
+        os.environ["GENOMICSDB_TPU_NO_NATIVE"] = "1"
+        try:
+            python = bcf_to_text(data)
+        finally:
+            del os.environ["GENOMICSDB_TPU_NO_NATIVE"]
+        assert native == python, os.path.basename(p)
+        checked += 1
+    assert checked >= 10   # the corpus must actually be exercised
