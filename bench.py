@@ -950,6 +950,13 @@ def _emit(child_stdout: str, run_lane: bool):
     with open(path, "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
+    # regenerate the docs' source-of-truth table from this exact file
+    # (round-4 verdict: hand-maintained docs figures kept drifting)
+    try:
+        from genomicsdb_tpu.tools.perf_table import write_table
+        write_table(path)
+    except Exception as e:
+        sys.stderr.write(f"perf_table generation failed: {e}\n")
     d = full["detail"]
 
     def pick(*keys, src=None):
