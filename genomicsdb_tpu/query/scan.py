@@ -150,9 +150,11 @@ def scan_variants(store: ColumnarStore, qc: QueryConfig,
         if pq_top() is not None:
             current_start = qbegin
         start_scan_col = qbegin + 1
-    # ---- forward scan ----
+    # ---- forward scan (clipped to the interval: a 10 kb query on a
+    # genome-scale store must not build a store-wide index range) ----
     if interval is not None:
-        cell_idxs = store.cells_in_column_range(start_scan_col, INT64_MAX - 1)
+        cell_idxs = store.cells_in_column_range(start_scan_col,
+                                                interval[1])
     else:
         cell_idxs = store.cells_in_column_range(0, INT64_MAX - 1)
     ended = False
