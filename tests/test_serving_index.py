@@ -130,6 +130,41 @@ def test_serving_index_text_path_equals_engine(seed, monkeypatch):
     assert text((0, span), True) == text((0, span), False)
 
 
+def test_serving_index_multi_interval_and_row_subsets(monkeypatch):
+    """Multi-interval queries serve per interval; different row subsets
+    key different indexes; bytes equal the engine in all cases."""
+    monkeypatch.setattr(serving_index, "BUILD_AFTER_QUERIES", 1)
+    rng = np.random.default_rng(5)
+    vid = _vid()
+    store = _random_deletion_store(vid, rng)
+    span = int(store.eff_end.max()) + 10
+
+    def run(row_hi, ivs, use_index):
+        if not use_index:
+            monkeypatch.setenv("GENOMICSDB_TPU_SERVING_INDEX", "0")
+        try:
+            qp = QueryParams()
+            qp.column_ranges = [list(ivs)]
+            qp.row_ranges = [[(0, row_hi)]]
+            qc = driver.make_query_config(qp, vid)
+            s = CombinedRecordStream(store, qc, qp, vid,
+                                     engine="block")
+            return b"".join(s.bcf_stream())
+        finally:
+            if not use_index:
+                monkeypatch.delenv("GENOMICSDB_TPU_SERVING_INDEX")
+
+    ivs = [(0, span // 3), (span // 2, span // 2 + 40),
+           (span - 50, span)]
+    for row_hi in (5, 2):
+        want = run(row_hi, ivs, False)
+        run(row_hi, ivs, True)          # counts + builds
+        got = run(row_hi, ivs, True)    # served
+        assert got == want, row_hi
+    # the two row subsets produced distinct cache entries
+    assert len(store._serving_idx_cache) == 2
+
+
 def test_serving_index_respects_cell_cap(monkeypatch):
     monkeypatch.setenv("GENOMICSDB_TPU_SERVING_CACHE_CELLS", "1")
     rng = np.random.default_rng(3)
