@@ -171,7 +171,8 @@ def iter_vcf_query_block(store, qc: QueryConfig,
             def edge_fn(lo, hi):
                 return si.engine_record_lines(store, qc, qp, vid,
                                               reference_path, lo, hi)
-            served = idx_srv.serve_text(int(iv[0]), int(iv[1]), edge_fn)
+            served = idx_srv.serve_text(int(iv[0]), int(iv[1]), edge_fn,
+                                        si.make_ref_base(ref_genome))
             if served is not None:
                 if coalesce:
                     yield from served

@@ -105,37 +105,105 @@ class ServingIndex:
         return i == 0 or int(self._prefmax[i - 1]) < p
 
     def plan(self, lo: int, hi: int):
-        """Slice plan for [lo, hi] ->
-        (head_iv | None, rec_a, rec_b, tail_iv | None): engine-recompute
-        head_iv, serve index records [rec_a, rec_b), engine-recompute
-        tail_iv.
+        """Segments serving [lo, hi] in column order:
+
+          ('slice', a, b)  — index records [a, b) verbatim;
+          ('edge', i, new_lo, new_hi, elo, ehi) — index record i with
+            its start clipped to new_lo and/or its gVCF range clipped
+            to end at new_hi (None = that side unclipped); when the
+            record is not patch-safe (_patched_line returns None) the
+            live engine recomputes [elo, ehi] instead.
 
         Every record start is a sweep event in ANY query interval that
-        contains it, so an index record with start in (lo, hi] renders
+        contains it, so an index record with start in [lo, hi] renders
         byte-identically inside [lo, hi] — unless its gVCF range is
-        clipped at hi.  Only two positions need engine recompute, each
-        at most ONE record: the head (a cell spans lo => the query
-        emits a clipped record AT lo) and the tail (a cell spans hi+1
-        => the last record may be clipped at hi)."""
+        clipped at hi.  At most two records are clipped: the head (a
+        cell spans lo => the query emits a clipped record AT lo) and
+        the tail (a cell spans hi+1 => the last record is clipped at
+        hi).  A record starting exactly at lo serves verbatim even when
+        other cells span lo: the query's intersect-at-begin sweep sees
+        the same live set the full scan saw at that event column."""
         starts = self.starts
+        segs: list = []
         if self.clean(lo):
             a = int(np.searchsorted(starts, lo, side="left"))
-            head_iv = None
         else:
-            a = int(np.searchsorted(starts, lo, side="right"))
+            h = int(np.searchsorted(starts, lo, side="right")) - 1
+            a = h + 1
+            new_lo = lo if h < 0 or lo != int(starts[h]) else None
+            if h < 0:
+                return [("edge", h, None, None, lo, hi)]  # engine only
             if a >= len(starts) or int(starts[a]) > hi:
-                return (lo, hi), 0, 0, None     # one engine call
-            head_iv = (lo, int(starts[a]) - 1)
+                # the whole query falls inside record h's range
+                new_hi = hi if not self.clean(hi + 1) else None
+                if new_lo is None and new_hi is None:
+                    return [("slice", h, h + 1)]
+                return [("edge", h, new_lo, new_hi, lo, hi)]
+            if new_lo is None:
+                a = h                       # record h serves verbatim
+            else:
+                segs.append(("edge", h, new_lo, None,
+                             lo, int(starts[a]) - 1))
         b = int(np.searchsorted(starts, hi, side="right"))
-        tail_iv = None
-        if not self.clean(hi + 1):
-            if b - 1 < a:
-                return (lo, hi), 0, 0, None     # one engine call
-            tail_iv = (int(starts[b - 1]), hi)
+        tail = None
+        if not self.clean(hi + 1) and b - 1 >= a:
+            t = b - 1
             b -= 1
-        if b < a:
-            b = a
-        return head_iv, a, b, tail_iv
+            tail = ("edge", t, None, hi, int(starts[t]), hi)
+        if b > a:
+            segs.append(("slice", a, b))
+        if tail is not None:
+            segs.append(tail)
+        return segs
+
+    def _patched_line(self, i: int, new_lo: Optional[int],
+                      new_hi: Optional[int], ref_base) -> Optional[bytes]:
+        """Index record i's text line clipped to [new_lo, new_hi], or
+        None when the record cannot be clipped by patching.
+
+        A boundary-clipped combine record differs from the unclipped
+        record ONLY in POS (head), REF (head: the reference base at the
+        shifted start — 'N' placeholder semantics,
+        vcf_writer.py:498-502 / broad_combined_gvcf.cc:824-830) and the
+        INFO END= value (tail): the merged fields depend on the live
+        cell set, which is identical.  That holds only when no
+        non-reference allele is live — a spanning deletion rewrites
+        ALT/GT/PL (handle_deletions, broad_combined_gvcf.cc:912-1078) —
+        so the patch is attempted only when ALT is exactly <NON_REF>;
+        anything else falls back to the live engine."""
+        if i < 0:
+            return None
+        ln = self.text_blob[int(self.line_offs[i]):
+                            int(self.line_offs[i + 1]) - 1]
+        parts = ln.split(b"\t", 8)
+        if len(parts) < 8 or parts[4] != b"<NON_REF>":
+            return None
+        info = parts[7].split(b";")
+        e_idx = next((j for j, t in enumerate(info)
+                      if t.startswith(b"END=")), None)
+        if e_idx is None:
+            return None
+        s = int(self.starts[i])
+        pos = int(parts[1])
+        end = int(info[e_idx][4:])
+        pos_f, end_f = pos, end
+        if new_lo is not None and new_lo != s:
+            pos_f = pos + (new_lo - s)
+            parts[1] = b"%d" % pos_f
+            base = "N" if ref_base is None \
+                else ref_base(parts[0].decode(), pos_f - 1)
+            parts[3] = base.encode()
+        if new_hi is not None:
+            end_f = min(end, pos + (new_hi - s))
+        if end_f == pos_f:
+            # 1-position record: END is not rendered
+            # (vcf_writer.py:526 emits END= only when end > start)
+            del info[e_idx]
+            parts[7] = b";".join(info) if info else b"."
+        elif end_f != end:
+            info[e_idx] = b"END=%d" % end_f
+            parts[7] = b";".join(info)
+        return b"\t".join(parts)
 
     # -- serving ----------------------------------------------------------
     def ensure_bcf(self, hd, n_sample: int) -> bool:
@@ -166,45 +234,59 @@ class ServingIndex:
         self.bcf_blob, self.bcf_offs = b"".join(recs), offs
         return True
 
-    def serve_bcf(self, lo: int, hi: int, engine_bytes_fn) \
+    def serve_bcf(self, lo: int, hi: int, engine_bytes_fn,
+                  ref_base=None, encode_lines_fn=None) \
             -> Optional[Iterator[bytes]]:
         """BCF2 record bytes for [lo, hi]; None => caller falls back to
-        the live engine.  engine_bytes_fn(lo, hi) -> bytes recomputes an
-        edge sub-interval."""
+        the live engine.  Boundary-clipped records are patched from the
+        index text and encoded via encode_lines_fn(lines) -> bytes;
+        engine_bytes_fn(lo, hi) -> bytes recomputes an edge
+        sub-interval when patching does not apply."""
         if self.bcf_blob is None:
             return None
-        head_iv, a, b, tail_iv = self.plan(lo, hi)
+        segs = self.plan(lo, hi)
 
         def gen():
-            if head_iv is not None:
-                chunk = engine_bytes_fn(*head_iv)
-                if chunk:
-                    yield chunk
-            if b > a:
-                yield self.bcf_blob[int(self.bcf_offs[a]):
-                                    int(self.bcf_offs[b])]
-            if tail_iv is not None:
-                chunk = engine_bytes_fn(*tail_iv)
+            for seg in segs:
+                if seg[0] == "slice":
+                    _, a, b = seg
+                    yield self.bcf_blob[int(self.bcf_offs[a]):
+                                        int(self.bcf_offs[b])]
+                    continue
+                _, i, nl, nh, elo, ehi = seg
+                chunk = None
+                if encode_lines_fn is not None:
+                    ln = self._patched_line(i, nl, nh, ref_base)
+                    if ln is not None:
+                        chunk = encode_lines_fn([ln.decode()])
+                if chunk is None:
+                    chunk = engine_bytes_fn(elo, ehi)
                 if chunk:
                     yield chunk
         return gen()
 
-    def serve_text(self, lo: int, hi: int, engine_lines_fn) \
-            -> Optional[Iterator[str]]:
+    def serve_text(self, lo: int, hi: int, engine_lines_fn,
+                   ref_base=None) -> Optional[Iterator[str]]:
         """Record lines (no trailing newline) for [lo, hi]; None =>
-        engine fallback.  engine_lines_fn(lo, hi) -> iterable of
-        lines recomputes an edge sub-interval."""
-        head_iv, a, b, tail_iv = self.plan(lo, hi)
+        engine fallback.  Boundary-clipped records are patched from the
+        index text; engine_lines_fn(lo, hi) recomputes an edge
+        sub-interval when patching does not apply."""
+        segs = self.plan(lo, hi)
 
         def gen():
-            if head_iv is not None:
-                yield from engine_lines_fn(*head_iv)
-            if b > a:
-                blob = self.text_blob[int(self.line_offs[a]):
-                                      int(self.line_offs[b]) - 1]
-                yield blob.decode()
-            if tail_iv is not None:
-                yield from engine_lines_fn(*tail_iv)
+            for seg in segs:
+                if seg[0] == "slice":
+                    _, a, b = seg
+                    blob = self.text_blob[int(self.line_offs[a]):
+                                          int(self.line_offs[b]) - 1]
+                    yield blob.decode()
+                    continue
+                _, i, nl, nh, elo, ehi = seg
+                ln = self._patched_line(i, nl, nh, ref_base)
+                if ln is not None:
+                    yield ln.decode()
+                else:
+                    yield from engine_lines_fn(elo, ehi)
         return gen()
 
     def nbytes(self) -> int:
@@ -279,12 +361,23 @@ def engine_record_lines(store, qc, qp, vid,
         return out
 
 
-def engine_bcf_bytes(store, qc, qp, vid, reference_path, hd,
-                     n_sample: int, lo: int, hi: int) -> bytes:
-    """Concatenated BCF2 record bytes of one edge sub-interval."""
+def make_ref_base(ref_genome):
+    """callable(contig, pos0) -> REF base at a shifted record start,
+    with the engine's exact semantics (vcf_writer.py:498-502: reference
+    base when legal, else 'N').  None ref genome -> None (the patch
+    path then emits the 'N' placeholder)."""
+    if ref_genome is None:
+        return None
+
+    def rb(contig: str, pos0: int) -> str:
+        b = ref_genome.base_at(contig, pos0)
+        return b if b in ("A", "T", "G", "C") else "N"
+    return rb
+
+
+def encode_lines_bcf(lines: List[str], hd, n_sample: int) -> bytes:
+    """Concatenated BCF2 record bytes for rendered text lines."""
     from ..vcf.bcf import _encode_blob_native, _encode_record
-    lines = engine_record_lines(store, qc, qp, vid, reference_path,
-                                lo, hi)
     if not lines:
         return b""
     blob = ("\n".join(lines) + "\n").encode()
@@ -297,6 +390,14 @@ def engine_bcf_bytes(store, qc, qp, vid, reference_path, hd,
         if enc is not None:
             return enc
     return b"".join(_encode_record(ln, hd, n_sample) for ln in lines)
+
+
+def engine_bcf_bytes(store, qc, qp, vid, reference_path, hd,
+                     n_sample: int, lo: int, hi: int) -> bytes:
+    """Concatenated BCF2 record bytes of one edge sub-interval."""
+    lines = engine_record_lines(store, qc, qp, vid, reference_path,
+                                lo, hi)
+    return encode_lines_bcf(lines, hd, n_sample)
 
 
 def build_index(store, qc, qp, vid, reference_path: Optional[str]

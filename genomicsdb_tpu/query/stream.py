@@ -248,9 +248,17 @@ class CombinedRecordStream:
                                        self.vid, self.reference_path,
                                        hd, n_sample, lo, hi)
 
+        ref_base = si.make_ref_base(
+            ReferenceGenome(self.reference_path)
+            if self.reference_path else None)
+
+        def encode_fn(lines):
+            return si.encode_lines_bcf(lines, hd, n_sample)
+
         def gen():
             for lo, hi in intervals:
-                served = idx.serve_bcf(int(lo), int(hi), edge_fn)
+                served = idx.serve_bcf(int(lo), int(hi), edge_fn,
+                                       ref_base, encode_fn)
                 if served is None:
                     chunk = edge_fn(int(lo), int(hi))
                     if chunk:
