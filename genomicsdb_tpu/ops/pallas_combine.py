@@ -822,6 +822,12 @@ def _make_kernel_rt(cfg: FusedConfig):
     assert G == cfg.g_out
     max_allele = np.max(combos, axis=-1)                   # [G_out]
     VEC_END = int(formats.INT_VECTOR_END)
+    # roofline diagnostic (docs/performance.md HBM-roofline section):
+    # replace the per-sublane window gathers with a static slice —
+    # WRONG results, isolates the lane-gather cost from DMA/math/writes
+    import os as _os
+    ablate_gather = _os.environ.get(
+        "GENOMICSDB_TPU_FUSED_ABLATE_GATHER", "") not in ("", "0")
 
     n_win = cfg.ws if cfg.ws else 2 * rt
 
@@ -844,6 +850,10 @@ def _make_kernel_rt(cfg: FusedConfig):
             for su in range(rt):
                 lv = live_ref[0, su:su + 1]        # [1, Bt]
                 rel = jnp.where(lv >= 0, lv - base, 0)
+                if ablate_gather:
+                    g_parts.append(win_refs[0][0, :, :cfg.bt]
+                                   + rel.astype(jnp.int32))
+                    continue
                 acc = None
                 for k in range(cfg.ws):
                     relk = jnp.minimum(

@@ -211,6 +211,7 @@ def fast_import_file(path: str, vid: VidMapper,
                                  all_true.copy(), vals, off)
 
     # ---- INFO fields (native value-span parse, replicated to cells) ----
+    r2d_memo: dict = {}   # parent-name -> shared text segmentation
     for ai, (name, info) in enumerate(info_attr):
         j = attr_col[ai]
         if name in fields:
@@ -221,7 +222,7 @@ def fast_import_file(path: str, vid: VidMapper,
         if kind == "ragged2d":
             fields[name] = _import_ragged2d(
                 name, info, vid, records, vs[j], ve[j], p_mask, n, K_s,
-                mapped, len(samples), dtype)
+                mapped, len(samples), dtype, r2d_memo)
             continue
         if info.type == "flag":
             mat = np.full((n, flen), INT_MISSING, dtype=np.int32)
@@ -528,7 +529,8 @@ def fast_import_file(path: str, vid: VidMapper,
 
 
 def _import_ragged2d(name, info, vid, records, vs_j, ve_j, p_mask,
-                     n, K_s, mapped, nsamples, dtype) -> FieldData:
+                     n, K_s, mapped, nsamples, dtype,
+                     memo=None) -> FieldData:
     """Vectorized parse of a text-serialized 2-D INFO field
     (allele-specific annotations like AS_RAW_MQ
     "8.0,10.0|28.0|31.0", genomicsdb_multid_vector_field.cc
@@ -553,30 +555,45 @@ def _import_ragged2d(name, info, vid, records, vs_j, ve_j, p_mask,
                          np.zeros(0, np_dtype),
                          np.zeros(1, np.int64),
                          outer_offsets=np.zeros(n * K_s + 1, np.int64))
-    blob, boffs = nl.extract_spans(records, vs_j[idx].copy(),
-                                   ve_j[idx].copy())
-    arr = np.frombuffer(blob, np.uint8)
-    d0 = ord(parent.length.delimiter(0))
-    d1 = ord(parent.length.delimiter(1))
-    pipes = np.flatnonzero(arr == d0)
-    # outer segments: one per record plus one per delimiter(0)
-    seg_starts = np.sort(np.concatenate([boffs[:-1], pipes + 1]))
-    seg_ends = np.sort(np.concatenate([pipes, boffs[1:]]))
-    cnt = np.searchsorted(pipes, boffs)
-    outer_per_rec = (cnt[1:] - cnt[:-1]) + 1        # [n_p]
-    n_segs = len(seg_starts)
-    # inner tokens: one per segment plus one per delimiter(1); tokens of
-    # EMPTY outer segments are dropped (an empty part is a 0-length
-    # inner vector, parse_multid_string's `part == ""` branch)
-    commas = np.flatnonzero(arr == d1)
-    tok_starts = np.sort(np.concatenate([seg_starts, commas + 1]))
-    tok_ends = np.sort(np.concatenate([commas, seg_ends]))
-    seg_of_tok = np.searchsorted(seg_starts, tok_starts,
-                                 side="right") - 1
-    first_tok_of_seg = np.searchsorted(tok_starts, seg_starts,
-                                       side="left")
-    local = np.arange(len(tok_starts)) - first_tok_of_seg[seg_of_tok]
-    nonempty = (seg_ends - seg_starts)[seg_of_tok] > 0
+    # the text segmentation depends only on the PARENT's INFO spans —
+    # flattened tuple-element fields (AS_RAW_MQRankSum value + count)
+    # share it, so memoize per parent within one import call
+    mkey = parent.vcf_name if hasattr(parent, "vcf_name") \
+        else info.parent_name or name
+    seg = memo.get(mkey) if memo is not None else None
+    if seg is None:
+        blob, boffs = nl.extract_spans(records, vs_j[idx].copy(),
+                                       ve_j[idx].copy())
+        arr = np.frombuffer(blob, np.uint8)
+        d0 = ord(parent.length.delimiter(0))
+        d1 = ord(parent.length.delimiter(1))
+        pipes = np.flatnonzero(arr == d0)
+        # outer segments: one per record plus one per delimiter(0)
+        seg_starts = np.sort(np.concatenate([boffs[:-1], pipes + 1]))
+        seg_ends = np.sort(np.concatenate([pipes, boffs[1:]]))
+        cnt = np.searchsorted(pipes, boffs)
+        outer_per_rec = (cnt[1:] - cnt[:-1]) + 1        # [n_p]
+        n_segs = len(seg_starts)
+        # inner tokens: one per segment plus one per delimiter(1);
+        # tokens of EMPTY outer segments are dropped (an empty part is
+        # a 0-length inner vector, parse_multid_string's `part == ""`
+        # branch)
+        commas = np.flatnonzero(arr == d1)
+        tok_starts = np.sort(np.concatenate([seg_starts, commas + 1]))
+        tok_ends = np.sort(np.concatenate([commas, seg_ends]))
+        seg_of_tok = np.searchsorted(seg_starts, tok_starts,
+                                     side="right") - 1
+        first_tok_of_seg = np.searchsorted(tok_starts, seg_starts,
+                                           side="left")
+        local = np.arange(len(tok_starts)) \
+            - first_tok_of_seg[seg_of_tok]
+        nonempty = (seg_ends - seg_starts)[seg_of_tok] > 0
+        seg = (blob, outer_per_rec, n_segs, tok_starts, tok_ends,
+               seg_of_tok, local, nonempty)
+        if memo is not None:
+            memo[mkey] = seg
+    (blob, outer_per_rec, n_segs, tok_starts, tok_ends, seg_of_tok,
+     local, nonempty) = seg
     sel = nonempty & ((local % n_tuple) == tuple_index)
     ts, te = tok_starts[sel], tok_ends[sel]
     n_tok = len(ts)
