@@ -16,7 +16,10 @@ import pytest
 
 pytestmark = pytest.mark.tpu
 
-TIMEOUT = 420
+# remote AOT compiles through the tunnel take minutes and are not
+# reliably served by the persistent cache; 420s skipped otherwise-green
+# tests on slow-tunnel days
+TIMEOUT = 560
 
 
 def _run_on_tpu(script: str, timeout: int = TIMEOUT) -> str:
