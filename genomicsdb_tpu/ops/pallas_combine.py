@@ -439,17 +439,19 @@ def _default_rt() -> int:
 
 def _rt_candidates(rt_arg: int) -> tuple:
     """rt values to try in order.  An explicit rt (argument or env)
-    pins one; the default tries 32-with-shared-windows first (sparse
-    cohorts: fewer grid launches, fuller vregs) and falls back to 8
-    (dense gVCF keeps the per-sublane window premise there), then 4/2
-    for configs whose per-instance VMEM footprint rejects the big rts
-    (wide G_out: high ploidy and/or many merged alleles)."""
+    pins one; the default tries the largest sublane packing first
+    (fewer grid instances — the measured per-instance issue overhead,
+    not gathers or math, is what rt amortizes: 64 measures +7% over 32
+    on the bench cohort) and falls back toward 8 (dense gVCF keeps the
+    shared-window premise at smaller spans), then 4/2 for configs whose
+    per-instance VMEM footprint rejects the big rts (wide G_out: high
+    ploidy and/or many merged alleles)."""
     import os
     if rt_arg:
         return (rt_arg,)
     if os.environ.get("GENOMICSDB_TPU_FUSED_RT"):
         return (_default_rt(),)
-    return (32, 8, 4, 2)
+    return (64, 32, 8, 4, 2)
 
 
 def scoped_vmem_estimate(cfg: FusedConfig) -> int:
@@ -643,6 +645,10 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
     budget = _vmem_budget_bytes()
     narrow = bool(narrow_out) and _narrow_inputs_ok(blk)
     for cand_rt in cand:
+        if cand_rt >= 64 and B * 2 < cand_rt * 128:
+            # an rt=64 instance covers 8192 records; don't pad a small
+            # block past 2x its size when rt=32 serves it with less
+            continue
         cfg = make_fused_config(blk, max_merged=max_merged,
                                 ploidy=ploidy, gt_phase=gt_phase,
                                 rt=cand_rt, mixed=mixed_ploidy)
