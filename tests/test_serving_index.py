@@ -177,3 +177,102 @@ def test_serving_index_respects_cell_cap(monkeypatch):
         s = CombinedRecordStream(store, qc, qp, vid, engine="block")
         b"".join(s.bcf_stream())
     assert not getattr(store, "_serving_idx_cache", None)
+
+
+def test_patched_edges_serve_without_engine(monkeypatch):
+    """Boundary-clipped pure-<NON_REF> records serve through the
+    index-text PATCH path (ServingIndex._patched_line) — not the
+    engine fallback — including the reference-genome REF substitution
+    at a shifted head (vcf_writer.py:498-502 semantics), byte-equal to
+    the live engine on the golden t0_1_2 cohort."""
+    import golden_utils as gu
+    monkeypatch.setattr(serving_index, "BUILD_AFTER_QUERIES", 1)
+    vid, store = gu.load_setup("inputs/callsets/t0_1_2.json")
+    ref = os.path.join(gu.REF_TESTS, "inputs/chr1_10MB.fasta.gz")
+    hits = {"n": 0, "ref": 0, "engine": 0}
+    orig_patch = serving_index.ServingIndex._patched_line
+    orig_engine = serving_index.engine_record_lines
+
+    def spy_patch(self, i, nl, nh, ref_base):
+        out = orig_patch(self, i, nl, nh, ref_base)
+        if out is not None:
+            hits["n"] += 1
+            if nl is not None and ref_base is not None:
+                hits["ref"] += 1
+        return out
+
+    def spy_engine(*a, **kw):
+        hits["engine"] += 1
+        return orig_engine(*a, **kw)
+
+    monkeypatch.setattr(serving_index.ServingIndex, "_patched_line",
+                        spy_patch)
+    monkeypatch.setattr(serving_index, "engine_record_lines",
+                        spy_engine)
+
+    def q(iv, use_index):
+        if not use_index:
+            monkeypatch.setenv("GENOMICSDB_TPU_SERVING_INDEX", "0")
+        try:
+            qp = QueryParams()
+            qp.column_ranges = [[iv]]
+            qc = driver.make_query_config(qp, vid)
+            return driver.run_vcf_query_block(store, qc, qp, vid,
+                                              reference_path=ref)
+        finally:
+            if not use_index:
+                monkeypatch.delenv("GENOMICSDB_TPU_SERVING_INDEX")
+
+    # boundaries strictly inside t0_1_2's gVCF ref blocks: each query
+    # head-clips a block => POS shift + reference-base REF patch
+    spans = sorted({(int(c), int(e))
+                    for c, e in zip(store.col, store.eff_end)
+                    if e - c > 4})
+    assert len(spans) >= 2
+    for c, e in spans[:3]:
+        iv = (c + 2, c + 2 + 300)
+        want = q(iv, False)
+        got = q(iv, True)
+        assert got == want, iv
+    assert hits["n"] >= 1, "no boundary served through the patch path"
+    assert hits["ref"] >= 1, "no reference-base head patch exercised"
+    assert hits["engine"] == 0, \
+        "engine fallback fired on pure-<NON_REF> boundaries"
+
+
+def test_patched_tail_and_1bp_collapse(monkeypatch):
+    """Tail clips rewrite INFO END; a clip collapsing a block to one
+    position drops END entirely (vcf_writer.py:526 renders END only
+    when end > start).  Byte-equal to the engine either way."""
+    import golden_utils as gu
+    monkeypatch.setattr(serving_index, "BUILD_AFTER_QUERIES", 1)
+    vid, store = gu.load_setup("inputs/callsets/t0_1_2.json")
+
+    def q(iv, use_index):
+        if not use_index:
+            monkeypatch.setenv("GENOMICSDB_TPU_SERVING_INDEX", "0")
+        try:
+            qp = QueryParams()
+            qp.column_ranges = [[iv]]
+            qc = driver.make_query_config(qp, vid)
+            return driver.run_vcf_query_block(store, qc, qp, vid)
+        finally:
+            if not use_index:
+                monkeypatch.delenv("GENOMICSDB_TPU_SERVING_INDEX")
+
+    # pick a long ref block from the store itself and clip inside it
+    spans = [(int(c), int(e)) for c, e in zip(store.col, store.eff_end)
+             if e - c > 10]
+    assert spans
+    c, e = spans[0]
+    mid = (c + e) // 2
+    # tail clip: END rewritten to the query end
+    iv = (max(0, c - 5), mid)
+    assert q(iv, True) == q(iv, False), iv
+    # 1-bp query inside the block: END= must vanish from INFO
+    got = q((mid, mid), True)
+    want = q((mid, mid), False)
+    assert got == want
+    rec = [ln for ln in got.splitlines() if ln and not
+           ln.startswith("#")]
+    assert rec and "END=" not in rec[0].split("\t")[7]
