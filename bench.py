@@ -198,18 +198,21 @@ def bench_device_fused(num_samples=128, cells_per_sample=2048,
                                      cfg)
             assert w is not None, "window premise failed on synthetic"
             w0b[i] = w
-    # per-chunk kernel-layout stacks
+    # per-chunk kernel-layout stacks — NARROW dtypes exactly as the
+    # production fused_host_prep ships them (the kernel reads int8/16
+    # block DMAs and widens in VMEM)
+    live_dt = np.int16 if pay.shape[2] < 2**15 else np.int32
     live_t = np.ascontiguousarray(
         live_p.reshape(n_chunks, chunk, S).transpose(0, 2, 1)
-    ).astype(np.int32)[:, :, None]                 # [n, S, 1, chunk]
+    ).astype(live_dt)[:, :, None]                  # [n, S, 1, chunk]
     inv_t = np.ascontiguousarray(
         inv_p.reshape(n_chunks, chunk, S, -1).transpose(0, 2, 3, 1)
-    ).astype(np.int32)                             # [n, S, M, chunk]
+    ).astype(np.int8)                              # [n, S, M, chunk]
     nr_t = np.ascontiguousarray(
         nr_p.reshape(n_chunks, chunk, S).transpose(0, 2, 1)
-    ).astype(np.int32)[:, :, None]
-    recnm2 = recnm_p.reshape(n_chunks, 1, chunk).astype(np.int32)
-    recnr2 = np.ones((n_chunks, 1, chunk), np.int32)
+    ).astype(np.int8)[:, :, None]
+    recnm2 = recnm_p.reshape(n_chunks, 1, chunk).astype(np.int8)
+    recnr2 = np.ones((n_chunks, 1, chunk), np.int8)
     del_rw = np.zeros((chunk, S), dtype=bool)
     pay_d = jax.device_put(pay)
     stacks = tuple(jax.device_put(x) for x in

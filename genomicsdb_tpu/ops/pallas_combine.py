@@ -845,7 +845,10 @@ def _make_kernel_rt(cfg: FusedConfig):
         win_refs = rest[:n_win]
         t = pl.program_id(0)
         s = pl.program_id(1)
-        live = live_ref[0]                         # [rt, Bt]
+        # index inputs travel NARROW (int8/int16, fused_host_prep) all
+        # the way into VMEM — upcasting before the pallas_call would
+        # quadruple their HBM read volume — and widen on read here
+        live = live_ref[0].astype(jnp.int32)       # [rt, Bt]
         valid = live >= 0
         g_parts = []                               # per su: [V, Bt]
         if cfg.ws:
@@ -854,7 +857,7 @@ def _make_kernel_rt(cfg: FusedConfig):
             # instance's whole cell span fits in ws*Cb cells)
             base = w2_ref[t, s] * jnp.int32(cfg.cb)
             for su in range(rt):
-                lv = live_ref[0, su:su + 1]        # [1, Bt]
+                lv = live[su:su + 1]               # [1, Bt]
                 rel = jnp.where(lv >= 0, lv - base, 0)
                 if ablate_gather:
                     g_parts.append(win_refs[0][0, :, :cfg.bt]
@@ -882,7 +885,7 @@ def _make_kernel_rt(cfg: FusedConfig):
             # live in [base_su, base_su + 2*Cb) of the cell axis
             for su in range(rt):
                 base = w2_ref[t, su, s] * jnp.int32(cfg.cb)
-                lv = live_ref[0, su:su + 1]            # [1, Bt]
+                lv = live[su:su + 1]                   # [1, Bt]
                 rel = jnp.where(lv >= 0, lv - base, 0)
                 relA = jnp.minimum(rel, jnp.int32(cfg.cb - 1))
                 relB = jnp.minimum(jnp.maximum(rel - jnp.int32(cfg.cb),
@@ -898,10 +901,10 @@ def _make_kernel_rt(cfg: FusedConfig):
                                         (cfg.v, cfg.bt))
                 g_parts.append(jnp.where(in_b, gB, gA))
         g3 = jnp.stack(g_parts, axis=1)            # [V, rt, Bt]
-        inv = inv_ref[0]                           # [M, rt, Bt]
-        nr = nr_ref[0]                             # [rt, Bt]
-        recnm = recnm_ref[:]                       # [rt, Bt]
-        recnr = recnr_ref[:]                       # [rt, Bt]
+        inv = inv_ref[0].astype(jnp.int32)         # [M, rt, Bt]
+        nr = nr_ref[0].astype(jnp.int32)           # [rt, Bt]
+        recnm = recnm_ref[:].astype(jnp.int32)     # [rt, Bt]
+        recnr = recnr_ref[:].astype(jnp.int32)     # [rt, Bt]
         nr_merged = jnp.where(recnr != 0, recnm - 1, -1)   # [rt, Bt]
 
         def row(name, i=0):
@@ -952,7 +955,7 @@ def _make_kernel_rt(cfg: FusedConfig):
             return jnp.where(ok, gathered, INT_MISSING)
 
         if cfg.mixed:
-            gtl = gtl_ref[0]                               # [rt, Bt]
+            gtl = gtl_ref[0].astype(jnp.int32)             # [rt, Bt]
             ploidy_rs = (gtl + 1) // 2 if cfg.gt_phase else gtl
             pl_out = jnp.full((G, rt, cfg.bt), VEC_END, jnp.int32)
             for p_s in range(1, cfg.ploidy + 1):
@@ -1058,14 +1061,9 @@ def fused_gather_remap_rt(payload, live_rt, inv_rt, nr_rt, recnm_rt,
     T = live_rt.shape[1]
     T2 = T // rt
     # per-chunk inputs may arrive narrowed (int8/int16) to cut the
-    # host->device upload; the kernel consumes int32
-    live_rt = live_rt.astype(jnp.int32)
-    inv_rt = inv_rt.astype(jnp.int32)
-    nr_rt = nr_rt.astype(jnp.int32)
-    recnm_rt = recnm_rt.astype(jnp.int32)
-    recnr_rt = recnr_rt.astype(jnp.int32)
-    if gtl_rt is not None:
-        gtl_rt = gtl_rt.astype(jnp.int32)
+    # host->device upload; the kernel reads them narrow (int8/int16
+    # block DMAs) and widens in VMEM — upcasting here would 4x their
+    # HBM read volume
     kernel = _make_kernel_rt(cfg)
     if cfg.ws:
         win_specs = [
