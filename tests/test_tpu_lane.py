@@ -92,16 +92,27 @@ def test_fused_pallas_compiled_on_chip():
 from genomicsdb_tpu.ops.combine_step import (block_to_args, combine_step,
                                              synthesize_cohort)
 from genomicsdb_tpu.ops import pallas_combine as PC
-blk = synthesize_cohort(num_samples=8, cells_per_sample=64,
-                        region_len=4096, seed=21)
+# >= 4096 records so the auto candidates select the production rt=64
+# sublane packing (smaller blocks gate down to rt=32)
+blk = synthesize_cohort(num_samples=8, cells_per_sample=1024,
+                        region_len=65536, seed=21)
+assert len(blk.starts) >= 4096, len(blk.starts)
 with jax.default_device(tpu):
-    fused = PC.combine_step_fused(blk, max_merged=4, ploidy=2)
+    fused = PC.combine_step_fused(blk, max_merged=4, ploidy=2,
+                                  narrow_out=True)
     assert fused is not None, "window premise failed"
     fused = {k: np.asarray(v) for k, v in fused.items()}
     ref = combine_step(*block_to_args(blk), max_merged=4, ploidy=2)
     ref = {k: np.asarray(v) for k, v in ref.items()}
+from genomicsdb_tpu.core import formats as F
 for k in ("pl", "ad", "gt", "gq", "dp_format", "min_dp", "dp_info_sum"):
-    assert np.array_equal(fused[k], ref[k]), k
+    fv = fused[k]
+    if fv.dtype == np.int16:      # narrow outputs: widen the sentinels
+        wide = fv.astype(np.int32)
+        wide[fv == -32768] = F.INT_MISSING
+        wide[fv == -32767] = F.INT_VECTOR_END
+        fv = wide
+    assert np.array_equal(fv, ref[k]), k
 print("FUSED_CHIP_OK")
 """)
     assert "FUSED_CHIP_OK" in out
