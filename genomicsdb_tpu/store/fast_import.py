@@ -528,6 +528,19 @@ def fast_import_file(path: str, vid: VidMapper,
     return store
 
 
+def _merge_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Union (with duplicates) of two sorted arrays, sorted — an O(n)
+    vectorized merge replacing np.sort(np.concatenate([a, b]))."""
+    out = np.empty(len(a) + len(b), a.dtype)
+    pos_b = np.searchsorted(a, b, side="right") \
+        + np.arange(len(b), dtype=np.int64)
+    mask = np.zeros(len(out), dtype=bool)
+    mask[pos_b] = True
+    out[pos_b] = b
+    out[~mask] = a
+    return out
+
+
 def _import_ragged2d(name, info, vid, records, vs_j, ve_j, p_mask,
                      n, K_s, mapped, nsamples, dtype,
                      memo=None) -> FieldData:
@@ -567,10 +580,13 @@ def _import_ragged2d(name, info, vid, records, vs_j, ve_j, p_mask,
         arr = np.frombuffer(blob, np.uint8)
         d0 = ord(parent.length.delimiter(0))
         d1 = ord(parent.length.delimiter(1))
-        pipes = np.flatnonzero(arr == d0)
+        # int32 span arithmetic (blobs are far below 2 GiB): halves the
+        # merge/searchsorted cost of the segmentation
+        boffs = boffs.astype(np.int32)
+        pipes = np.flatnonzero(arr == d0).astype(np.int32)
         # outer segments: one per record plus one per delimiter(0)
-        seg_starts = np.sort(np.concatenate([boffs[:-1], pipes + 1]))
-        seg_ends = np.sort(np.concatenate([pipes, boffs[1:]]))
+        seg_starts = _merge_sorted(boffs[:-1], pipes + 1)
+        seg_ends = _merge_sorted(pipes, boffs[1:])
         cnt = np.searchsorted(pipes, boffs)
         outer_per_rec = (cnt[1:] - cnt[:-1]) + 1        # [n_p]
         n_segs = len(seg_starts)
@@ -578,9 +594,9 @@ def _import_ragged2d(name, info, vid, records, vs_j, ve_j, p_mask,
         # tokens of EMPTY outer segments are dropped (an empty part is
         # a 0-length inner vector, parse_multid_string's `part == ""`
         # branch)
-        commas = np.flatnonzero(arr == d1)
-        tok_starts = np.sort(np.concatenate([seg_starts, commas + 1]))
-        tok_ends = np.sort(np.concatenate([commas, seg_ends]))
+        commas = np.flatnonzero(arr == d1).astype(np.int32)
+        tok_starts = _merge_sorted(seg_starts, commas + 1)
+        tok_ends = _merge_sorted(commas, seg_ends)
         seg_of_tok = np.searchsorted(seg_starts, tok_starts,
                                      side="right") - 1
         first_tok_of_seg = np.searchsorted(tok_starts, seg_starts,
@@ -603,9 +619,11 @@ def _import_ragged2d(name, info, vid, records, vs_j, ve_j, p_mask,
     vals = np.full(n_tok, miss, dtype=np_dtype)
     if n_tok:
         try:
+            # the native parsers take int64 span arrays
             pv, po = (nl.parse_float_lists if is_float
-                      else nl.parse_int_lists)(blob, ts.copy(),
-                                               te.copy())
+                      else nl.parse_int_lists)(blob,
+                                               ts.astype(np.int64),
+                                               te.astype(np.int64))
             tc = np.diff(po)
             one = tc == 1
             vals[one] = pv[po[:-1][one]]
