@@ -104,6 +104,11 @@ class FusedConfig:
     # (combine_step_fused checks the payload ranges — remaps are pure
     # permutations, so input range bounds output range).
     narrow: bool = False
+    # also emit the GQ/DP/MIN_DP scalar rows int16 (they are masked
+    # passthroughs, so payload range bounds output range): skips the
+    # pack step's re-narrow pass for those PACK_SPECS rows and halves
+    # their kernel write + post-pass read volume.  Requires narrow.
+    narrow_scalars: bool = False
 
     # payload row ranges [start, stop)
     @property
@@ -145,8 +150,10 @@ class FusedConfig:
     @property
     def out_rows16(self) -> Dict[str, Tuple[int, int]]:
         r, out = 0, {}
-        for name, w in (("pl", self.g_out), ("ad", self.m),
-                        ("gt", self.gt_w)):
+        names = [("pl", self.g_out), ("ad", self.m), ("gt", self.gt_w)]
+        if self.narrow_scalars:
+            names += [("gq", 1), ("dpf", 1), ("mdp", 1)]
+        for name, w in names:
             out[name] = (r, r + w)
             r += w
         out["__total__"] = (0, r)
@@ -155,9 +162,11 @@ class FusedConfig:
     @property
     def out_rows32(self) -> Dict[str, Tuple[int, int]]:
         r, out = 0, {}
-        for name, w in (("gq", 1), ("dpf", 1), ("mdp", 1), ("dpi", 1),
-                        ("info_f", self.f_med), ("info_i", self.f_imed),
-                        ("info_fs", self.f_fsum)):
+        names = [] if self.narrow_scalars \
+            else [("gq", 1), ("dpf", 1), ("mdp", 1)]
+        names += [("dpi", 1), ("info_f", self.f_med),
+                  ("info_i", self.f_imed), ("info_fs", self.f_fsum)]
+        for name, w in names:
             out[name] = (r, r + w)
             r += w
         out["__total__"] = (0, r)
@@ -611,6 +620,27 @@ def _narrow_inputs_ok(blk) -> bool:
     return ok
 
 
+def _narrow_scalars_ok(blk) -> bool:
+    """True when the GQ/DP/MIN_DP payload values fit int16 (these rows
+    are masked passthroughs, so input range bounds output range); the
+    kernel then emits them in the int16 output with PACK_SPECS
+    sentinels, and the pack step's re-narrow pass is skipped."""
+    lay = getattr(blk, "_dense_layout", None)
+    if lay is not None and "_narrow_scalars_ok" in lay:
+        return lay["_narrow_scalars_ok"]
+    ok = True
+    for arr in (blk.gq, blk.dp, blk.min_dp):
+        a = np.asarray(arr)
+        fits = (((a >= -32000) & (a <= 32000))
+                | (a == INT_MISSING) | (a == formats.INT_VECTOR_END))
+        if not fits.all():
+            ok = False
+            break
+    if lay is not None:
+        lay["_narrow_scalars_ok"] = ok
+    return ok
+
+
 def combine_step_fused(blk, *, max_merged: int, ploidy: int,
                        gt_phase: bool = False,
                        interpret: bool = False,
@@ -654,7 +684,9 @@ def combine_step_fused(blk, *, max_merged: int, ploidy: int,
                                 rt=cand_rt, mixed=mixed_ploidy)
         if narrow and cfg.rt > 1:
             import dataclasses
-            cfg = dataclasses.replace(cfg, narrow=True)
+            cfg = dataclasses.replace(
+                cfg, narrow=True,
+                narrow_scalars=_narrow_scalars_ok(blk))
         if mixed_ploidy and cfg.rt <= 1:
             continue
         if scoped_vmem_estimate(cfg) > budget:
@@ -769,9 +801,25 @@ def _fused_post(out, del_rw_p, live_p, cfg: FusedConfig, b_real: int,
         return jnp.transpose(x, (1, 2, 0))[:, :b_real]
 
     S_n = out.shape[0]
-    gq = to_bs(rows("gq"))
-    dpf = to_bs(rows("dpf"))
-    mdp = to_bs(rows("mdp"))
+    if cfg.narrow_scalars:
+        # GQ/DP/MIN_DP live in the int16 output (PACK_SPECS sentinels);
+        # keep them narrow for the fetch pack and widen only the copies
+        # the DP reduction consumes (fused into its reads)
+        def wide16(x16):
+            x = x16.astype(jnp.int32)
+            x = jnp.where(x16 == jnp.int16(-32768),
+                          jnp.int32(INT_MISSING), x)
+            return jnp.where(x16 == jnp.int16(-32767),
+                             jnp.int32(formats.INT_VECTOR_END), x)
+
+        gq16 = to_bs(rows_v("gq"))
+        dpf16 = to_bs(rows_v("dpf"))
+        mdp16 = to_bs(rows_v("mdp"))
+        gq, dpf, mdp = wide16(gq16), wide16(dpf16), wide16(mdp16)
+    else:
+        gq = to_bs(rows("gq"))
+        dpf = to_bs(rows("dpf"))
+        mdp = to_bs(rows("mdp"))
     dpi = to_bs(rows("dpi"))
     empty_f = jnp.zeros((0, b_real, S_n), jnp.float32)
     infog = jax.lax.bitcast_convert_type(to_fbs(rows("info_f")),
@@ -800,6 +848,10 @@ def _fused_post(out, del_rw_p, live_p, cfg: FusedConfig, b_real: int,
         med_valid = valid_b
     res = reduce_fn(gq, dpf, mdp, dpi, infog, infoig, infofsg,
                     med_valid)
+    if cfg.narrow_scalars:
+        # the widened copies above fed the DP math; the fetch pack
+        # takes the kernel-narrowed rows directly (no re-narrow pass)
+        res["gq"], res["dp_format"], res["min_dp"] = gq16, dpf16, mdp16
     res["pl"] = to_bsx(rows_v("pl"))
     res["ad"] = to_bsx(rows_v("ad"))
     res["gt"] = to_bsx(rows_v("gt"))
@@ -1015,8 +1067,11 @@ def _make_kernel_rt(cfg: FusedConfig):
             fill = NAN_BITS if fl else jnp.int32(INT_MISSING)
             return jnp.where(valid, row(name, i), fill)[None]
 
-        scalars = [masked("gq"), masked("dpf"), masked("mdp"),
-                   masked("dpi")]
+        narrow16 = [masked("gq"), masked("dpf"), masked("mdp")] \
+            if cfg.narrow_scalars else []
+        scalars = [] if cfg.narrow_scalars \
+            else [masked("gq"), masked("dpf"), masked("mdp")]
+        scalars.append(masked("dpi"))
         for blkname, n, fl in (("info_f", cfg.f_med, True),
                                ("info_i", cfg.f_imed, False),
                                ("info_fs", cfg.f_fsum, True)):
@@ -1035,7 +1090,8 @@ def _make_kernel_rt(cfg: FusedConfig):
             out16_ref = rest[n_win]
             out32_ref = rest[n_win + 1]
             out16_ref[0] = to16(
-                jnp.concatenate([pl_out, ad_out, gt_out], axis=0))
+                jnp.concatenate([pl_out, ad_out, gt_out] + narrow16,
+                                axis=0))
             out32_ref[0] = jnp.concatenate(scalars, axis=0)
         else:
             out_ref = rest[n_win]

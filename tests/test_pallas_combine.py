@@ -139,12 +139,14 @@ def test_fused_narrow_outputs(mixed):
                                 interpret=True, mixed_ploidy=mixed,
                                 narrow_out=True)
     assert out is not None
-    for k in ("pl", "ad", "gt"):
+    # GQ/DP/MIN_DP also come back kernel-narrowed when the payload
+    # ranges allow it (narrow_scalars; this synthetic cohort qualifies)
+    for k in ("pl", "ad", "gt", "gq", "dp_format", "min_dp"):
         got = np.asarray(out[k])
         assert got.dtype == np.int16, (k, got.dtype)
         np.testing.assert_array_equal(_widen16(got), np.asarray(ref[k]),
                                       err_msg=k)
-    for k in ("gq", "dp_format", "min_dp", "dp_info_sum", "live"):
+    for k in ("dp_info_sum", "live"):
         np.testing.assert_array_equal(np.asarray(out[k]),
                                       np.asarray(ref[k]), err_msg=k)
 
